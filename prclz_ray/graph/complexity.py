@@ -1,0 +1,86 @@
+"""Block k-complexity: Voronoi S₀ approximation + weak-dual sequence.
+
+Reference-parity (semantics, not code, from /root/reference):
+  - S₀ (`prclz/complexity.py:11-40`): Voronoi decomposition of the
+    building centroids, each cell intersected with the block polygon,
+    cells with < 3 vertices dropped (`:25` ``len(vs) > 2``), multi-part
+    intersections resolved to the part containing the anchor
+    (`:35-37`), surviving cell boundaries unioned into a planar graph.
+  - sequence (`prclz/complexity.py:52-60` ``get_weak_dual_sequence``,
+    the variant the pipelines call): S₀, then repeated ``weak_dual()``
+    while the latest graph still has nodes; the trailing empty graph is
+    popped.
+  - k-complexity (`prclz/complexity.py:62-63`): ``len(sequence) - 1``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..geom.core import clip_polygon_convex, point_in_polygon, polygon_area
+from .planar import PlanarGraph
+from .voronoi import voronoi_cells
+
+# cells whose clipped ring ends up below this area are numerically-empty
+# intersections (the reference relies on shapely returning an empty
+# geometry there, which `from_polygons` then ignores)
+_MIN_CELL_AREA = 1e-18
+
+
+def get_s0_approximation(block_ring: np.ndarray, centroids: Sequence[Tuple[float, float]]) -> PlanarGraph:
+    """Planar graph of the Voronoi decomposition of ``centroids`` clipped
+    to ``block_ring`` (an (N, 2) exterior ring, open or closed).
+
+    The engine clips with Sutherland–Hodgman, which is exact for convex
+    blocks (all fixture blocks are rectangles); non-convex blocks get
+    the convex-clip approximation, documented engine behavior.
+    """
+    block_ring = np.asarray(block_ring, dtype=np.float64)
+    pts = np.asarray(list(centroids), dtype=np.float64).reshape(-1, 2)
+    if len(pts) == 0:
+        return PlanarGraph()
+
+    rings: List[np.ndarray] = []
+    for site_idx, cell_ring in voronoi_cells(pts):
+        clipped = clip_polygon_convex(cell_ring, block_ring)
+        if len(clipped) < 3 or polygon_area(clipped) < _MIN_CELL_AREA:
+            continue
+        # anchor-containment guard (multi-part resolution analogue):
+        # keep the cell only if its anchor falls inside the clipped ring
+        # or exactly on its boundary (clip can place the anchor on an
+        # edge when the anchor sits on the block boundary).
+        ax, ay = pts[site_idx]
+        if not point_in_polygon(clipped, ax, ay):
+            # boundary tolerance: accept if anchor is within eps of bbox
+            if not _near_ring(clipped, ax, ay):
+                continue
+        rings.append(clipped)
+    return PlanarGraph.from_polygons(rings)
+
+
+def _near_ring(ring: np.ndarray, x: float, y: float, eps: float = 1e-9) -> bool:
+    mn = ring.min(axis=0) - eps
+    mx = ring.max(axis=0) + eps
+    return bool(mn[0] <= x <= mx[0] and mn[1] <= y <= mx[1])
+
+
+def weak_dual_sequence(s0: PlanarGraph) -> List[PlanarGraph]:
+    """S₀, S₁, … Sₖ — iterate ``weak_dual`` while nodes remain, then pop
+    the trailing empty graph (`prclz/complexity.py:52-60`)."""
+    seq = [s0]
+    while seq[-1].number_of_nodes() > 0:
+        seq.append(seq[-1].weak_dual())
+    seq.pop()
+    return seq
+
+
+def get_complexity(sequence: List[PlanarGraph]) -> int:
+    return len(sequence) - 1 if sequence else 0
+
+
+def block_complexity(block_ring: np.ndarray, centroids: Sequence[Tuple[float, float]]) -> int:
+    """k-complexity of one block given its building centroids."""
+    s0 = get_s0_approximation(block_ring, centroids)
+    return get_complexity(weak_dual_sequence(s0))

@@ -1,0 +1,174 @@
+"""Geometry-kernel unit tests.
+
+Fixtures ported from the reference's assert-script tests
+(`prclz/test_topology.py:4-109`, `reblock/test_i_topology.py:4-56`):
+segment predicates over the four canonical edge orientations, projection
+probes, and the unit-square closest-edge insertions.
+"""
+
+import numpy as np
+import pytest
+
+from prclz_ray.geom import (
+    STRtree,
+    haversine_m,
+    point_in_polygon,
+    points_in_polygon,
+    polygon_area,
+    polygon_centroid,
+    clip_polygon_convex,
+    point_on_segment,
+    project_point_to_segment,
+)
+from prclz_ray.geom.core import closest_point_on_segment
+from prclz_ray.geom.wkb import (
+    parse_wkb,
+    polygon_exterior,
+    wkb_linestring,
+    wkb_multipolygon,
+    wkb_point,
+    wkb_polygon,
+    POINT,
+    POLYGON,
+)
+
+
+# --- segment predicates (reference test 1-3) -------------------------------
+
+CASES = [
+    # edge a, edge b, point, expected on-edge
+    ((0, 0), (1, 1), (0.5, 0.5), True),   # y = x
+    ((0, 0), (1, 1), (2, 2), False),
+    ((0, 0), (1, 0), (0.5, 0.0), True),   # horizontal
+    ((0, 0), (1, 0), (1.5, 0.0), False),
+    ((0, 1), (1, 0), (0.5, 0.5), True),   # y = -x + 1
+    ((0, 1), (1, 0), (2, -1), False),
+    ((0, 0), (0, 1), (0.0, 0.5), True),   # vertical
+    ((0, 0), (0, 1), (0.0, 1.5), False),
+]
+
+
+@pytest.mark.parametrize("a,b,p,expected", CASES)
+def test_point_on_segment(a, b, p, expected):
+    assert bool(point_on_segment(a[0], a[1], b[0], b[1], p[0], p[1])) == expected
+
+
+def test_projection_lands_on_edge():
+    # probes onto the edge ((0,1),(1,0)) — reference test 2
+    for px, py in [(-0.5, 0.5), (-0.25, 0.25), (0, 0), (0.25, -0.25), (0.5, -0.5)]:
+        qx, qy = project_point_to_segment(0, 1, 1, 0, px, py)
+        assert qx + qy == pytest.approx(1.0)  # on the line x + y = 1
+
+
+def test_closest_point_clamps_to_endpoints():
+    qx, qy = closest_point_on_segment(0, 0, 1, 0, 2.0, 1.0)
+    assert (qx, qy) == (1.0, 0.0)
+    qx, qy = closest_point_on_segment(0, 0, 1, 0, 0.5, 1.0)
+    assert (qx, qy) == (0.5, 0.0)
+
+
+# --- polygon kernels --------------------------------------------------------
+
+SQUARE = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+
+
+def test_area_centroid_square():
+    assert polygon_area(SQUARE) == pytest.approx(1.0)
+    cx, cy = polygon_centroid(SQUARE)
+    assert (cx, cy) == pytest.approx((0.5, 0.5))
+
+
+def test_centroid_degenerate_fallback():
+    # |2A| < 0.02 triggers the vertex-mean fallback (topology.py:261-265)
+    sliver = np.array([[0, 0], [1, 0], [1, 0.001], [0, 0.001]])
+    cx, cy = polygon_centroid(sliver)
+    assert (cx, cy) == pytest.approx((0.5, 0.0005))
+
+
+def test_point_in_polygon():
+    assert point_in_polygon(SQUARE, 0.5, 0.5)
+    assert not point_in_polygon(SQUARE, 1.5, 0.5)
+    inside = points_in_polygon(SQUARE, np.array([0.5, 2.0]), np.array([0.5, 0.5]))
+    assert inside.tolist() == [True, False]
+
+
+def test_clip_convex():
+    tri = np.array([[0.5, 0.5], [3, 0.5], [0.5, 3]])
+    out = clip_polygon_convex(tri, SQUARE)
+    # the triangle covers the [0.5,1]^2 corner of the unit square
+    assert polygon_area(out) == pytest.approx(0.25)
+    tri2 = np.array([[0.5, 0.5], [1.5, 0.5], [0.5, 1.5]])
+    out2 = clip_polygon_convex(tri2, SQUARE)
+    assert polygon_area(out2) == pytest.approx(0.5 - 0.125 - 0.125)
+
+
+def test_haversine_equator_degree():
+    # one degree of longitude at the equator ≈ 111.19 km
+    assert haversine_m(0, 0, 1, 0) == pytest.approx(111_195, rel=1e-3)
+
+
+# --- WKB round-trips --------------------------------------------------------
+
+def test_wkb_roundtrip_point():
+    t, (x, y) = parse_wkb(wkb_point(1.5, -2.5))
+    assert t == POINT and (x, y) == (1.5, -2.5)
+
+
+def test_wkb_roundtrip_polygon():
+    buf = wkb_polygon(SQUARE)
+    t, rings = parse_wkb(buf)
+    assert t == POLYGON
+    assert np.array_equal(rings[0][:4], SQUARE)
+    assert np.array_equal(polygon_exterior(buf)[:4], SQUARE)
+
+
+def test_wkb_multipolygon_exterior():
+    buf = wkb_multipolygon([SQUARE, SQUARE + 5])
+    assert np.array_equal(polygon_exterior(buf)[:4], SQUARE)
+
+
+def test_wkb_linestring_roundtrip():
+    coords = np.array([[0, 0], [1, 2], [3, 1]], dtype=float)
+    t, a = parse_wkb(wkb_linestring(coords))
+    assert np.array_equal(a, coords)
+
+
+# --- STRtree ----------------------------------------------------------------
+
+def test_strtree_query_matches_bruteforce():
+    rng = np.random.default_rng(42)
+    lo = rng.uniform(0, 100, size=(500, 2))
+    sz = rng.uniform(0.1, 3, size=(500, 2))
+    bboxes = np.hstack([lo, lo + sz])
+    tree = STRtree(bboxes)
+    q = (20.0, 20.0, 30.0, 30.0)
+    got = set(tree.query(q).tolist())
+    brute = {
+        i
+        for i in range(500)
+        if bboxes[i, 0] <= q[2] and bboxes[i, 2] >= q[0] and bboxes[i, 1] <= q[3] and bboxes[i, 3] >= q[1]
+    }
+    assert got == brute
+
+
+def test_strtree_query_points_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(0, 50, size=(200, 2))
+    bboxes = np.hstack([lo, lo + 2.0])
+    tree = STRtree(bboxes)
+    px = rng.uniform(0, 52, size=300)
+    py = rng.uniform(0, 52, size=300)
+    pi, ci = tree.query_points(px, py)
+    got = set(zip(pi.tolist(), ci.tolist()))
+    brute = {
+        (p, i)
+        for p in range(300)
+        for i in range(200)
+        if bboxes[i, 0] <= px[p] <= bboxes[i, 2] and bboxes[i, 1] <= py[p] <= bboxes[i, 3]
+    }
+    assert got == brute
+
+
+def test_strtree_empty():
+    tree = STRtree(np.empty((0, 4)))
+    assert tree.query((0, 0, 1, 1)).size == 0
