@@ -139,6 +139,49 @@ def bbox_of(coords: np.ndarray):
     return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
 
 
+def inset_convex(ring: np.ndarray, eps: float) -> np.ndarray:
+    """Inset a CONVEX ring by ``eps`` (each edge moved inward).
+
+    The engine's buffered-line-difference analogue
+    (`prclz/blocks/methods.py:17-40`): subtracting streets buffered by
+    eps from a convex face equals insetting the face by eps. Implemented
+    as successive half-plane clips against the offset edge lines.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    if polygon_signed_area2(ring) < 0:
+        ring = ring[::-1]
+    out = ring
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        d = b - a
+        L = np.hypot(d[0], d[1])
+        if L < 1e-30:
+            continue
+        # inward normal for a CCW ring
+        nrm = np.array([-d[1], d[0]]) / L
+        a_off, b_off = a + nrm * eps, b + nrm * eps
+        # keep the side of the offset line in the normal direction
+        kept = []
+        m = len(out)
+        if m == 0:
+            break
+        side = (out - a_off) @ nrm
+        for j in range(m):
+            k = (j + 1) % m
+            pj, pk, sj, sk = out[j], out[k], side[j], side[k]
+            if sj >= 0:
+                kept.append(pj)
+                if sk < 0:
+                    kept.append(pj + (sj / (sj - sk)) * (pk - pj))
+            elif sk >= 0:
+                kept.append(pj + (sj / (sj - sk)) * (pk - pj))
+        out = np.asarray(kept) if kept else np.empty((0, 2))
+    return out
+
+
 def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Sutherland–Hodgman clip of ``subject`` by CONVEX ring ``clip``.
 

@@ -1,0 +1,276 @@
+"""Polygon-side derivation pipelines (the prclz hierarchy), Ray-Data-first.
+
+streets → blocks:   the reference's block extraction
+                    (`midway/midway_blocks.py:56-82`, method
+                    `prclz/blocks/methods.py:17-40`) re-expressed as
+                    ``groupby(gadm).map_groups``: per admin cell, union
+                    the street lines into a planar graph, trace inner
+                    faces (the polygonization), inset each face by the
+                    street buffer, mint key-derived block ids.
+blocks → parcels:   Voronoi decomposition per block
+                    (`prclz/parcelization/midway_parcelization.R:44-91`
+                    semantics) via the half-plane Voronoi kernel.
+blocks → buildings: deterministic synthetic building centroids
+                    (fixture side of `prclz/utils.py:69`).
+join → complexity:  PIP join buildings→blocks, group centroid lists per
+                    block, weak-dual k per block
+                    (`midway/midway_complexity.py:42-60`).
+
+All heavy steps are map_batches / map_groups over Arrow batches;
+derived tables are cached as parquet under /tmp (they depend only on
+the world constants, not on the input scale factor).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .. import world
+from ..geom.cells import RES_PARTITION, cell_id_e6
+from ..geom.core import inset_convex, polygon_centroid
+from ..geom.wkb import wkb_multipoint, wkb_polygon
+from ..graph.complexity import block_complexity
+from ..graph.voronoi import voronoi_cells
+
+CACHE_DIR = os.environ.get("PRCLZ_RAY_CACHE", "/tmp/prclz_ray_derived")
+
+
+# ---------------------------------------------------------------------------
+# streets source
+
+def streets_table() -> pa.Table:
+    """The synthetic street grid: per 1° admin cell, 11 vertical and 11
+    horizontal lines at 0.1° pitch (fixture analogue of the OSM road
+    grid, FIXTURES.md §1.2). Columns x0/y0/x1/y1 in degrees."""
+    rows = {k: [] for k in ("line_id", "gadm", "x0", "y0", "x1", "y1")}
+    n_gadm = world.GADM_E6 // world.BLOCK_E6  # 10 blocks per admin cell side
+    for gx in range(N_GADM_AXIS()):
+        for gy in range(N_GADM_AXIS()):
+            gadm = world.gadm_id_str(gx, gy)
+            x_lo, y_lo = float(gx), float(gy)
+            for i in range(n_gadm + 1):
+                off = i * world.BLOCK_E6 / 1e6
+                rows["line_id"].append(f"{gadm}_v{i}")
+                rows["gadm"].append(gadm)
+                rows["x0"].append(x_lo + off)
+                rows["y0"].append(y_lo)
+                rows["x1"].append(x_lo + off)
+                rows["y1"].append(y_lo + 1.0)
+                rows["line_id"].append(f"{gadm}_h{i}")
+                rows["gadm"].append(gadm)
+                rows["x0"].append(x_lo)
+                rows["y0"].append(y_lo + off)
+                rows["x1"].append(x_lo + 1.0)
+                rows["y1"].append(y_lo + off)
+    return pa.table(rows)
+
+
+def N_GADM_AXIS() -> int:
+    return world.N_BLOCKS * world.BLOCK_E6 // world.GADM_E6
+
+
+# ---------------------------------------------------------------------------
+# block extraction (map_groups per gadm)
+
+def extract_blocks_group(group: pa.Table) -> pa.Table:
+    """One admin cell's streets → its block polygons.
+
+    Real polygonization: planar graph of the lines → rotation-system
+    face tracing → drop outer face → inset each inner face by the
+    street buffer → WKB + key-derived block id (M6/M12 semantics).
+    """
+    from ..graph.planar import PlanarGraph
+
+    gadm = group.column("gadm")[0].as_py()
+    x0 = group.column("x0").to_numpy()
+    y0 = group.column("y0").to_numpy()
+    x1 = group.column("x1").to_numpy()
+    y1 = group.column("y1").to_numpy()
+    lines = [np.array([[x0[i], y0[i]], [x1[i], y1[i]]]) for i in range(len(x0))]
+
+    # split lines at 0.1° intersections so face tracing sees the full
+    # arrangement (the reference gets this from shapely's unary_union)
+    eps_deg = world.STREET_EPS_E6 / 1e6
+    pitch = world.BLOCK_E6 / 1e6
+    g = PlanarGraph()
+    for ln in lines:
+        (ax, ay), (bx, by) = ln
+        if ax == bx:  # vertical: split at horizontal pitch
+            ys = np.arange(min(ay, by), max(ay, by) + pitch / 2, pitch)
+            for y_a, y_b in zip(ys, ys[1:]):
+                g.add_edge((ax, y_a), (ax, y_b))
+        else:  # horizontal
+            xs = np.arange(min(ax, bx), max(ax, bx) + pitch / 2, pitch)
+            for x_a, x_b in zip(xs, xs[1:]):
+                g.add_edge((x_a, ay), (x_b, ay))
+
+    out = {
+        "block_id": [], "gadm": [], "bx": [], "by": [],
+        "xmin_e6": [], "ymin_e6": [], "xmax_e6": [], "ymax_e6": [],
+        "cell_r5": [], "geom_wkb": [],
+    }
+    for face in g.inner_faces():
+        ring = np.array([e[0] for e in face], dtype=np.float64)
+        inset = inset_convex(ring, eps_deg)
+        if len(inset) < 3:
+            continue
+        cx, cy = polygon_centroid(inset)
+        bx = int(cx * 1e6) // world.BLOCK_E6
+        by = int(cy * 1e6) // world.BLOCK_E6
+        out["block_id"].append(world.block_id_str(bx, by))
+        out["gadm"].append(gadm)
+        out["bx"].append(bx)
+        out["by"].append(by)
+        out["xmin_e6"].append(int(round(inset[:, 0].min() * 1e6)))
+        out["ymin_e6"].append(int(round(inset[:, 1].min() * 1e6)))
+        out["xmax_e6"].append(int(round(inset[:, 0].max() * 1e6)))
+        out["ymax_e6"].append(int(round(inset[:, 1].max() * 1e6)))
+        ctr_lat = by * world.BLOCK_E6 + world.BLOCK_E6 // 2
+        ctr_lon = bx * world.BLOCK_E6 + world.BLOCK_E6 // 2
+        out["cell_r5"].append(int(cell_id_e6(ctr_lat, ctr_lon, RES_PARTITION)))
+        out["geom_wkb"].append(wkb_polygon(inset))
+    t = pa.table(out)
+    return t.set_column(
+        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
+    )
+
+
+# ---------------------------------------------------------------------------
+# parcels (Voronoi per block) and buildings
+
+def parcelize_batch(batch: pa.Table) -> pa.Table:
+    """Blocks → 4 Voronoi parcels each (anchors at the quarter points).
+
+    Runs the real Voronoi kernel + convex clip per block — the R
+    parcelization semantics (segmentize → st_voronoi → intersect →
+    dissolve) collapse to this for point anchors."""
+    from ..geom.wkb import parse_wkb
+
+    bxs = batch.column("bx").to_numpy()
+    bys = batch.column("by").to_numpy()
+    wkbs = batch.column("geom_wkb").to_pylist()
+    out = {
+        "parcel_id": [], "block_id": [], "bx": [], "by": [], "p": [],
+        "anchor_lon_e6": [], "anchor_lat_e6": [], "geom_wkb": [],
+    }
+    for i in range(len(bxs)):
+        bx, by = int(bxs[i]), int(bys[i])
+        _, rings = parse_wkb(wkbs[i])
+        block_ring = rings[0]
+        anchors_e6 = np.array(
+            [world.parcel_anchor_e6(bx, by, p) for p in range(world.PARCELS_PER_BLOCK)],
+            dtype=np.float64,
+        )
+        anchors_deg = anchors_e6 / 1e6
+        from ..geom.core import clip_polygon_convex
+
+        for p, cell_ring in voronoi_cells(anchors_deg):
+            clipped = clip_polygon_convex(cell_ring, block_ring)
+            if len(clipped) < 3:
+                continue
+            out["parcel_id"].append(world.parcel_id_str(bx, by, p))
+            out["block_id"].append(world.block_id_str(bx, by))
+            out["bx"].append(bx)
+            out["by"].append(by)
+            out["p"].append(p)
+            out["anchor_lon_e6"].append(int(anchors_e6[p, 0]))
+            out["anchor_lat_e6"].append(int(anchors_e6[p, 1]))
+            out["geom_wkb"].append(wkb_polygon(clipped))
+    t = pa.table(out)
+    return t.set_column(
+        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
+    )
+
+
+def buildings_batch(batch: pa.Table) -> pa.Table:
+    """Blocks → deterministic synthetic building centroids (3-8/block)."""
+    bxs = batch.column("bx").to_numpy()
+    bys = batch.column("by").to_numpy()
+    ids, lons, lats = [], [], []
+    for i in range(len(bxs)):
+        bx, by = int(bxs[i]), int(bys[i])
+        pts = world.building_centroids_e6(bx, by)
+        for j, (lon, lat) in enumerate(pts):
+            ids.append(f"B{bx:02d}_{by:02d}_b{j}")
+            lons.append(int(lon))
+            lats.append(int(lat))
+    return pa.table({"bldg_id": ids, "lon_e6": lons, "lat_e6": lats})
+
+
+# ---------------------------------------------------------------------------
+# complexity (per-block k via weak-dual sequence)
+
+def complexity_group(group: pa.Table) -> pa.Table:
+    """One block's building centroids → its k-complexity record
+    (`midway/midway_complexity.py:32-37,57-60` semantics)."""
+    from ..geom.wkb import parse_wkb
+
+    block_id = group.column("block_id")[0].as_py()
+    wkb = group.column("geom_wkb")[0].as_py()
+    _, rings = parse_wkb(wkb)
+    lons = group.column("lon_e6").to_numpy() / 1e6
+    lats = group.column("lat_e6").to_numpy() / 1e6
+    centroids = np.stack([lons, lats], axis=1)
+    k = block_complexity(rings[0], centroids)
+    return pa.table(
+        {
+            "block_id": [block_id],
+            "k": pa.array([k], pa.int32()),
+            "n_bldgs": pa.array([len(centroids)], pa.int32()),
+            "centroids_wkb": pa.array([wkb_multipoint(centroids)], pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset builders (cached)
+
+def _cached(name: str, build):
+    """Build a derived table once per machine; cache as parquet."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"{name}.parquet")
+    if not os.path.exists(path):
+        tbl = build()
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)  # atomic: concurrent builders race safely
+    return path
+
+
+def blocks_path() -> str:
+    def build():
+        import ray.data
+
+        streets = ray.data.from_arrow(streets_table())
+        ds = streets.groupby("gadm").map_groups(extract_blocks_group, batch_format="pyarrow")
+        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+
+    return _cached("blocks", build)
+
+
+def parcels_path() -> str:
+    def build():
+        import ray.data
+
+        ds = ray.data.read_parquet(blocks_path()).map_batches(
+            parcelize_batch, batch_format="pyarrow"
+        )
+        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+
+    return _cached("parcels", build)
+
+
+def buildings_path() -> str:
+    def build():
+        import ray.data
+
+        ds = ray.data.read_parquet(blocks_path()).map_batches(
+            buildings_batch, batch_format="pyarrow"
+        )
+        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+
+    return _cached("buildings", build)

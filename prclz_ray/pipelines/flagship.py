@@ -1,0 +1,127 @@
+"""The flagship pipeline: pages → extract → geocode → index → PIP join
+→ kNN parcel assignment (→ optional tile rollup), streaming end-to-end
+with per-partition lineage manifests.
+
+Target shape per SURVEY.md §3.4: every stage is a ``map_batches`` over
+zero-copy Arrow; the polygon/anchor side tables are broadcast via
+``ray.put`` once and indexed inside actor-pool workers; the wide
+``html`` column is dropped at the extract stage before anything
+shuffles; output is Hive-partitioned parquet by the res-5 cell key so
+a killed run resumes per partition.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..stages.pages import extract_text, geocode, index_cells, synth_pages
+from ..stages.spatial import (
+    KNNAnchorActor,
+    PIPJoinActor,
+    put_anchors_side,
+    put_blocks_side,
+)
+from ..state.manifest import Manifest
+from . import derive
+
+
+def load_side_tables():
+    """Blocks + parcels side tables (derived, cached) → broadcast refs."""
+    blocks = pq.read_table(derive.blocks_path())
+    parcels = pq.read_table(derive.parcels_path())
+    return put_blocks_side(blocks), put_anchors_side(parcels)
+
+
+def joined_pages(
+    input_dir: str,
+    *,
+    blocks_ref=None,
+    anchors_ref=None,
+    pip_concurrency=(1, 4),
+    knn_concurrency=(1, 4),
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """documents.parquet → joined pages Dataset (lazy, streaming).
+
+    Columns out: doc_id, url, warc_ts, text, lang, n_chars, has_geo,
+    lat_e6, lon_e6, cell_r5, cell_r7, block_id, gadm, parcel_id, dist2.
+    """
+    if blocks_ref is None or anchors_ref is None:
+        blocks_ref, anchors_ref = load_side_tables()
+    ds = ray.data.read_parquet(f"{input_dir}/documents.parquet")
+    ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(index_cells, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        PIPJoinActor,
+        fn_constructor_args=(blocks_ref,),
+        concurrency=pip_concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        KNNAnchorActor,
+        fn_constructor_args=(anchors_ref,),
+        concurrency=knn_concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
+    return ds
+
+
+def run_flagship(
+    input_dir: str,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    pip_concurrency=(1, 4),
+    knn_concurrency=(1, 4),
+) -> dict:
+    """Run the flagship join and write partitioned parquet + manifest.
+
+    Resumable: partitions (res-5 cells) already in the manifest are
+    filtered out before the join actors run; output is one Hive
+    directory per cell. Returns {partitions, rows, wall_s, skipped}.
+    """
+    t0 = time.time()
+    manifest = Manifest(out_dir)
+    done = manifest.completed() if resume else set()
+
+    ds = joined_pages(
+        input_dir, pip_concurrency=pip_concurrency, knn_concurrency=knn_concurrency
+    )
+    if done:
+        done_keys = ", ".join(sorted(done))
+        ds = ds.filter(expr=f"cell_r5 not in ({done_keys})")
+
+    # drop the heavy text column before the write shuffle: the joined
+    # output is the assignment table, text lives in the source parquet
+    ds = ds.drop_columns(["text"])
+    ds.write_parquet(out_dir, partition_cols=["cell_r5"])
+
+    # manifest rows: per-partition counts from the (small) written output
+    written = ray.data.read_parquet(out_dir).groupby("cell_r5").count().to_pandas()
+    wall = time.time() - t0
+    new_rows = 0
+    for _, row in written.iterrows():
+        key = str(int(row["cell_r5"]))
+        if key not in done:
+            manifest.mark(key, int(row["count()"]), fingerprint=input_dir, wall_s=wall)
+            new_rows += int(row["count()"])
+    return {
+        "partitions": len(written),
+        "rows": int(written["count()"].sum()),
+        "new_rows": new_rows,
+        "skipped": len(done),
+        "wall_s": wall,
+    }

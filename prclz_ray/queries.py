@@ -1,0 +1,618 @@
+"""The engine's query surface: one named entry per operator/pipeline
+(SURVEY.md §2), each with a Ray Data implementation and (where
+SQL-expressible) a DuckDB oracle over the same parquet tables.
+
+Every Ray callable takes ``sf_dir`` and returns a Dataset / pyarrow
+Table; aggregates are exact-integer (or one final float division) so
+value hashes match the oracle bit-for-bit. Column names match the SQL
+aliases exactly (driver compares after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import world
+from .geom.cells import RES_PARTITION, WORLD_SPAN_E6
+
+_SIDE_REFS = None
+
+
+def _cents(col) -> pa.Array:
+    """value*100 rounded half-away-from-zero (DuckDB ROUND semantics;
+    values are non-negative here) and cast to exact int64."""
+    v = pc.multiply(pc.cast(col, pa.float64()), 100.0)
+    return pc.cast(pc.floor(pc.add(v, 0.5)), pa.int64())
+
+
+def _side_refs():
+    """ray.put the blocks/parcels side tables once per session."""
+    global _SIDE_REFS
+    if _SIDE_REFS is None:
+        from .pipelines.flagship import load_side_tables
+
+        _SIDE_REFS = load_side_tables()
+    return _SIDE_REFS
+
+
+def _joined(sf_dir: str):
+    from .pipelines.flagship import joined_pages
+
+    blocks_ref, anchors_ref = _side_refs()
+    return joined_pages(sf_dir, blocks_ref=blocks_ref, anchors_ref=anchors_ref)
+
+
+def _pages(sf_dir: str):
+    """pages after synth+geocode+extract+index (no join)."""
+    import ray.data
+
+    from .stages.pages import extract_text, geocode, index_cells, synth_pages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = ds.map_batches(synth_pages, batch_format="pyarrow")
+    ds = ds.map_batches(geocode, batch_format="pyarrow")
+    ds = ds.map_batches(extract_text, batch_format="pyarrow")
+    return ds.map_batches(index_cells, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+
+_CELL_W = WORLD_SPAN_E6 >> RES_PARTITION  # 312500 µdeg at res 5
+_CELL_SQL = (
+    f"CASE WHEN has_geo THEN {RES_PARTITION} * (1::BIGINT << 56)"
+    f" + LEAST(GREATEST(lon_e6, 0) // {_CELL_W}, {(1 << RES_PARTITION) - 1}) * (1::BIGINT << 28)"
+    f" + LEAST(GREATEST(lat_e6, 0) // {_CELL_W}, {(1 << RES_PARTITION) - 1})"
+    " ELSE -1 END"
+)
+
+_WITH_GEO = f"WITH {world.GEO_CTE}"
+
+_BLOCK_SQL = world.BLOCK_ID_SQL
+_GADM_SQL = world.GADM_ID_SQL
+
+# kNN oracle: nearest of the page's own block's 4 anchors (own block is
+# provably nearest in this geography; ties broken by smallest p)
+_KNN_CTE = f"""
+knn AS (
+  SELECT doc_id, url, p,
+         ('B' || printf('%02d', bx) || '_' || printf('%02d', by) || '_P' || p) AS parcel_id,
+         (lon_e6 - (bx * {world.BLOCK_E6} + 25000 + (p % 2) * 50000)) ** 2
+       + (lat_e6 - (by * {world.BLOCK_E6} + 25000 + (p // 2) * 50000)) ** 2 AS d2
+  FROM pages, (SELECT unnest([0, 1, 2, 3]) AS p)
+  WHERE has_geo
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d2, p) = 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# geospatial core queries
+
+def q_extract_text(sf_dir: str):
+    ds = _pages(sf_dir)
+    return ds.select_columns(["url", "lang", "text"])
+
+
+SQL_EXTRACT = (
+    "SELECT 'https://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, lang, text"
+    " FROM documents"
+)
+
+
+def q_geocode(sf_dir: str):
+    return _pages(sf_dir).select_columns(["url", "has_geo", "lat_e6", "lon_e6", "cell_r5"])
+
+
+SQL_GEOCODE = (
+    _WITH_GEO
+    + f" SELECT url, has_geo, lat_e6, lon_e6, CAST({_CELL_SQL} AS BIGINT) AS cell_r5 FROM pages"
+)
+
+
+def q_pip_join(sf_dir: str):
+    return _joined(sf_dir).select_columns(["url", "block_id", "gadm"])
+
+
+SQL_PIP_JOIN = (
+    _WITH_GEO
+    + f""" SELECT url,
+        CASE WHEN has_geo THEN {_BLOCK_SQL} END AS block_id,
+        CASE WHEN has_geo THEN {_GADM_SQL} END AS gadm
+      FROM pages"""
+)
+
+
+def q_knn_parcels(sf_dir: str):
+    ds = _joined(sf_dir)
+    ds = ds.filter(expr="has_geo")
+    return ds.select_columns(["url", "parcel_id", "dist2"])
+
+
+SQL_KNN = _WITH_GEO + ", " + _KNN_CTE + " SELECT url, parcel_id, CAST(d2 AS BIGINT) AS dist2 FROM knn"
+
+
+def q_tile_rollup(sf_dir: str):
+    from .stages.rollup import tile_rollup
+
+    return tile_rollup(_joined(sf_dir))
+
+
+SQL_TILE = (
+    _WITH_GEO
+    + f""" SELECT lon_e6 // {1_000_000} AS tile_x,
+        lat_e6 // {1_000_000} AS tile_y,
+        COUNT(*) AS n_pages,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+      FROM pages WHERE has_geo GROUP BY 1, 2"""
+)
+
+
+def q_match_count_qc(sf_dir: str):
+    from .stages.rollup import match_count_qc
+
+    return match_count_qc(_joined(sf_dir))
+
+
+SQL_QC = (
+    _WITH_GEO
+    + f""", keys AS (
+      SELECT ('G' || gx || '_' || gy) AS gadm_key
+      FROM (SELECT unnest(range(10)) AS gx), (SELECT unnest(range(10)) AS gy)
+      UNION ALL SELECT '{world.SENTINEL_GADM}'
+    ),
+    counted AS (
+      SELECT CASE WHEN has_geo THEN {_GADM_SQL} ELSE '{world.SENTINEL_GADM}' END AS gadm_key,
+             COUNT(*) AS n
+      FROM pages GROUP BY 1
+    )
+    SELECT k.gadm_key, COALESCE(c.n, 0) AS n_pages
+    FROM keys k LEFT JOIN counted c USING (gadm_key)"""
+)
+
+
+def q_dist_quantiles(sf_dir: str):
+    from .stages.rollup import exact_quantiles_int
+
+    ds = _joined(sf_dir).filter(expr="has_geo")
+    p50, p95, p100 = exact_quantiles_int(ds, "dist2", [0.5, 0.95, 1.0])
+    return pa.table({"metric": ["p50", "p95", "p100"], "dist2": pa.array([p50, p95, p100], pa.int64())})
+
+
+SQL_QUANTILES = (
+    _WITH_GEO
+    + ", "
+    + _KNN_CTE
+    + """ SELECT 'p50' AS metric, CAST(quantile_disc(d2, 0.5) AS BIGINT) AS dist2 FROM knn
+     UNION ALL SELECT 'p95', CAST(quantile_disc(d2, 0.95) AS BIGINT) FROM knn
+     UNION ALL SELECT 'p100', CAST(quantile_disc(d2, 1.0) AS BIGINT) FROM knn"""
+)
+
+
+def q_top_blocks(sf_dir: str):
+    ds = _joined(sf_dir).filter(expr="has_geo")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"block_id": batch.column("block_id")})
+        return t.group_by("block_id").aggregate([([], "count_all")]).rename_columns(
+            ["block_id", "n"]
+        )
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby("block_id").sum("n")
+    top = counts.sort(["sum(n)", "block_id"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: pa.table({"block_id": b.column("block_id"), "n_pages": b.column("sum(n)")}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOP_BLOCKS = (
+    _WITH_GEO
+    + f""" SELECT {_BLOCK_SQL} AS block_id, COUNT(*) AS n_pages
+      FROM pages WHERE has_geo
+      GROUP BY 1 ORDER BY n_pages DESC, block_id LIMIT 10"""
+)
+
+
+def q_semi_join_aoi(sf_dir: str):
+    """Semi-join (J7): pages inside the AoI block set (urban core of
+    admin cell G1_1: bx, by ∈ [11, 19])."""
+    ds = _joined(sf_dir).filter(expr="has_geo")
+    aoi = {
+        world.block_id_str(bx, by)
+        for bx in range(11, 20)
+        for by in range(11, 20)
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("block_id"), value_set=pa.array(sorted(aoi)))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").select_columns(["url", "block_id"])
+
+
+SQL_SEMI_JOIN = (
+    _WITH_GEO
+    + f""" SELECT url, {_BLOCK_SQL} AS block_id
+      FROM pages WHERE has_geo AND bx BETWEEN 11 AND 19 AND by BETWEEN 11 AND 19"""
+)
+
+
+def q_anti_join_empty_gadm(sf_dir: str):
+    """Anti-join (J10/D4 pattern): admin cells with ZERO joined pages."""
+    from .stages.rollup import match_count_qc
+
+    qc = match_count_qc(_joined(sf_dir))
+    mask = pc.and_(
+        pc.equal(qc.column("n_pages"), 0),
+        pc.not_equal(qc.column("gadm_key"), world.SENTINEL_GADM),
+    )
+    return qc.filter(mask).select(["gadm_key"])
+
+
+SQL_ANTI_JOIN = (
+    _WITH_GEO
+    + f""", keys AS (
+      SELECT ('G' || gx || '_' || gy) AS gadm_key
+      FROM (SELECT unnest(range(10)) AS gx), (SELECT unnest(range(10)) AS gy)
+    )
+    SELECT gadm_key FROM keys
+    WHERE gadm_key NOT IN (
+      SELECT {_GADM_SQL} FROM pages WHERE has_geo
+    )"""
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup (D6): md5 hash-partition, keep the smallest doc_id."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        return pa.table({"text_md5": pa.array(md5s, pa.string()), "doc_id": batch.column("doc_id")})
+
+    return ds.map_batches(add_md5, batch_format="pyarrow").groupby("text_md5").min("doc_id").map_batches(
+        lambda b: pa.table({"text_md5": b.column("text_md5"), "doc_id": b.column("min(doc_id)")}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_EXACT = "SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables (integer-exact sums)
+
+def q_lineitem_pricing(sf_dir: str):
+    """Groupby-aggregate (A4 pattern, TPC-H Q1 shape). Money sums are
+    exact integer cents so they hash identically to the oracle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch.column("l_extendedprice"))
+        qty_c = _cents(batch.column("l_quantity"))
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "price_cents": price_c,
+                "qty_cents": qty_c,
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("price_cents", "sum"), ("qty_cents", "sum"), ([], "count_all")])
+            .rename_columns(["l_returnflag", "l_linestatus", "price_cents", "qty_cents", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["price_cents", "qty_cents", "n"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_price_cents": b.column("sum(price_cents)"),
+                "sum_qty_cents": b.column("sum(qty_cents)"),
+                "n_rows": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Multi-way hash join (J6 pattern): lineitem ⋈ orders ⋈ customer →
+    revenue cents per market segment. Small dims are joined via
+    broadcast lookup inside map_batches (no shuffle join needed)."""
+    import ray.data
+    import ray
+
+    orders = pa.table(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).to_pandas()
+    )
+    cust = pa.table(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).to_pandas()
+    )
+    okey = orders.column("o_orderkey").to_numpy()
+    ocust = orders.column("o_custkey").to_numpy()
+    ckey = cust.column("c_custkey").to_numpy()
+    cseg = np.asarray(cust.column("c_mktsegment").to_pylist())
+    o2c = np.full(int(okey.max()) + 1, -1, dtype=np.int64)
+    o2c[okey] = ocust
+    c2s = np.full(int(ckey.max()) + 1, "", dtype=object)
+    c2s[ckey] = cseg
+    lookup_ref = ray.put((o2c, c2s))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        o2c_, c2s_ = ray.get(lookup_ref)
+        ok = batch.column("l_orderkey").to_numpy()
+        seg = c2s_[o2c_[ok]]
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        # revenue in exact integer: cents(price) * (100 - cents(disc*100))
+        price_c = np.floor(price * 100 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100 + 0.5).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        t = pa.table({"c_mktsegment": pa.array(seg.tolist(), pa.string()), "rev": pa.array(rev)})
+        return t.group_by("c_mktsegment").aggregate([("rev", "sum"), ([], "count_all")]).rename_columns(
+            ["c_mktsegment", "rev", "n"]
+        )
+
+    agg = ds.map_batches(join_batch, batch_format="pyarrow").groupby("c_mktsegment").sum(["rev", "n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b.column("c_mktsegment"),
+                "revenue_x10000": b.column("sum(rev)"),
+                "n_items": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x10000,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Time-bucketed rollup over the events stream table."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # µs epoch
+        hour = ts // 3_600_000_000
+        val_c = _cents(batch.column("value"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pa.array(hour),
+                "val_cents": val_c,
+            }
+        )
+        return (
+            t.group_by(["event_type", "hour"])
+            .aggregate([("val_cents", "sum"), ([], "count_all")])
+            .rename_columns(["event_type", "hour", "v", "n"])
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["event_type", "hour"]).sum(["v", "n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": b.column("hour"),
+                "sum_value_cents": b.column("sum(v)"),
+                "n_events": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# derivation queries (rows-only oracles: non-SQL-expressible geometry)
+
+def q_blocks_derived(sf_dir: str):
+    """Block extraction output (M6): ids + integer bounds. The polygon
+    derivation itself is pytest-golden-checked; here the oracle verifies
+    the full id/bounds set against the grid arithmetic."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+
+    t = pq.read_table(derive.blocks_path())
+    return t.select(["block_id", "gadm", "bx", "by", "xmin_e6", "ymin_e6", "xmax_e6", "ymax_e6"])
+
+
+SQL_BLOCKS_DERIVED = f"""
+SELECT ('B' || printf('%02d', bx) || '_' || printf('%02d', by)) AS block_id,
+       ('G' || CAST(bx // 10 AS VARCHAR) || '_' || CAST(by // 10 AS VARCHAR)) AS gadm,
+       bx, by,
+       bx * {world.BLOCK_E6} + {world.STREET_EPS_E6} AS xmin_e6,
+       by * {world.BLOCK_E6} + {world.STREET_EPS_E6} AS ymin_e6,
+       (bx + 1) * {world.BLOCK_E6} - {world.STREET_EPS_E6} AS xmax_e6,
+       (by + 1) * {world.BLOCK_E6} - {world.STREET_EPS_E6} AS ymax_e6
+FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world.N_BLOCKS})) AS by)
+"""
+
+
+def q_block_complexity(sf_dir: str):
+    """k-complexity per block (G10/G11) — PIP join buildings→blocks,
+    group per block, weak-dual sequence. Geometry is not
+    SQL-expressible: the driver records a rows-only check; exact k
+    values are pytest-golden-checked."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .pipelines import derive
+    from .pipelines.derive import complexity_group
+
+    blocks = pq.read_table(derive.blocks_path())
+    buildings = ray.data.read_parquet(derive.buildings_path())
+
+    # route each building to its block arithmetically? No — run the real
+    # PIP join (small side = blocks) then group per block.
+    import ray as _ray
+
+    from .stages.spatial import PIPJoinActor, put_blocks_side
+
+    blocks_ref = put_blocks_side(blocks)
+    pts = buildings.map_batches(
+        lambda b: pa.table(
+            {
+                "lat_e6": b.column("lat_e6"),
+                "lon_e6": b.column("lon_e6"),
+                "has_geo": pa.array(np.ones(b.num_rows, dtype=bool)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = pts.map_batches(
+        PIPJoinActor,
+        fn_constructor_args=(blocks_ref,),
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
+    # attach block geometry for the group step via broadcast lookup
+    wkb_by_block = dict(
+        zip(blocks.column("block_id").to_pylist(), blocks.column("geom_wkb").to_pylist())
+    )
+    wkb_ref = _ray.put(wkb_by_block)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lut = _ray.get(wkb_ref)
+        ids = batch.column("block_id").to_pylist()
+        return pa.table(
+            {
+                "block_id": batch.column("block_id"),
+                "lon_e6": batch.column("lon_e6"),
+                "lat_e6": batch.column("lat_e6"),
+                "geom_wkb": pa.array([lut.get(i) for i in ids], pa.binary()),
+            }
+        )
+
+    def drop_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("block_id")))
+
+    grouped = (
+        joined.map_batches(drop_unmatched, batch_format="pyarrow")
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("block_id")
+        .map_groups(complexity_group, batch_format="pyarrow")
+    )
+    return grouped.select_columns(["block_id", "k", "n_bldgs"])
+
+
+def q_complexity_hist(sf_dir: str):
+    """Distribution of k over all blocks (A8 QC rollup)."""
+    ds = q_block_complexity(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch.column("k")})
+        return t.group_by("k").aggregate([([], "count_all")]).rename_columns(["k", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("k").sum("n")
+    return agg.map_batches(
+        lambda b: pa.table({"k": b.column("k"), "n_blocks": b.column("sum(n)")}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: Dict[str, Callable] = {
+    "extract_text": q_extract_text,
+    "geocode": q_geocode,
+    "pip_join": q_pip_join,
+    "knn_parcels": q_knn_parcels,
+    "tile_rollup": q_tile_rollup,
+    "match_count_qc": q_match_count_qc,
+    "dist_quantiles": q_dist_quantiles,
+    "top_blocks": q_top_blocks,
+    "semi_join_aoi": q_semi_join_aoi,
+    "anti_join_empty_gadm": q_anti_join_empty_gadm,
+    "dedup_exact": q_dedup_exact,
+    "lineitem_pricing": q_lineitem_pricing,
+    "segment_revenue": q_segment_revenue,
+    "events_hourly": q_events_hourly,
+    "blocks_derived": q_blocks_derived,
+    "block_complexity": q_block_complexity,
+    "complexity_hist": q_complexity_hist,
+}
+
+ORACLES: Dict[str, str] = {
+    "extract_text": SQL_EXTRACT,
+    "geocode": SQL_GEOCODE,
+    "pip_join": SQL_PIP_JOIN,
+    "knn_parcels": SQL_KNN,
+    "tile_rollup": SQL_TILE,
+    "match_count_qc": SQL_QC,
+    "dist_quantiles": SQL_QUANTILES,
+    "top_blocks": SQL_TOP_BLOCKS,
+    "semi_join_aoi": SQL_SEMI_JOIN,
+    "anti_join_empty_gadm": SQL_ANTI_JOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "blocks_derived": SQL_BLOCKS_DERIVED,
+    # block_complexity / complexity_hist: geometry not SQL-expressible →
+    # rows-only driver check; exact values pytest-golden-checked.
+}

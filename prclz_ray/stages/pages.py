@@ -1,0 +1,149 @@
+"""Pages-table stages: synthesis from the driver's ``documents`` table,
+HTML→text extraction, geocoding, and cell indexing.
+
+The pages table is the engine's input corpus per BASELINE.json
+``input_hint``: (url:string, warc_ts:timestamp[us], html:binary,
+text:large_string, lang:string). The driver testdata carries
+``documents`` (doc_id, text, lang, source, n_chars); ``synth_pages``
+derives pages from it deterministically (FIXTURES.md §1.1) so DuckDB
+oracles can recompute every downstream value from ``documents``.
+
+Extraction parity: ``extract_text`` must reproduce the ``text`` column
+byte-identically from ``html`` (the role of the reference's
+tag-filtering ogr2ogr extract, `osm-etl/extract.sh:25-27`, transplanted
+to web pages). All stages are vectorized pyarrow.compute kernels — no
+Python row loops.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import world
+from ..geom.cells import RES_FINE, RES_PARTITION, cell_id_e6
+
+WARC_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+WARC_STEP_US = 37_000_000  # 37 s per doc_id
+
+_GEO_RE = r'<meta name="geo\.position" content="(?P<lat_e6>-?[0-9]+);(?P<lon_e6>-?[0-9]+)">'
+_ARTICLE_RE = r"<article>(?P<body>(?s:.*))</article>"
+
+
+def _escape(col: pa.Array) -> pa.Array:
+    # html-escape; & first so later entities are not double-escaped
+    col = pc.replace_substring(col, "&", "&amp;")
+    col = pc.replace_substring(col, "<", "&lt;")
+    col = pc.replace_substring(col, ">", "&gt;")
+    return col
+
+
+def _unescape(col: pa.Array) -> pa.Array:
+    # exact inverse of _escape: entities first, ampersand last
+    col = pc.replace_substring(col, "&lt;", "<")
+    col = pc.replace_substring(col, "&gt;", ">")
+    col = pc.replace_substring(col, "&amp;", "&")
+    return col
+
+
+def synth_pages(batch: pa.Table) -> pa.Table:
+    """documents → pages. Deterministic, fully vectorized.
+
+    html layout: title, optional geo.position meta (integer microdegree
+    lat;lon from the world geocode arithmetic), body text inside
+    <article> (html-escaped).
+    """
+    doc_id = batch.column("doc_id")
+    text = batch.column("text").cast(pa.large_string())
+    d = doc_id.to_numpy(zero_copy_only=False)
+
+    has_geo, lat_e6, lon_e6 = world.geocode_from_doc_id(d)
+
+    LS = pa.large_string()
+
+    def _s(v):  # scalar literal as large_string (kernel needs uniform types)
+        return pa.scalar(v, LS)
+
+    doc_s = pc.cast(doc_id, pa.string()).cast(LS)
+    url = pc.binary_join_element_wise(
+        _s("https://"), batch.column("source").cast(LS), _s("/"), doc_s, _s("")
+    ).cast(pa.string())
+    warc_ts = pa.array(WARC_EPOCH_US + d * WARC_STEP_US).cast(pa.timestamp("us"))
+
+    geo_meta = pc.binary_join_element_wise(
+        _s('<meta name="geo.position" content="'),
+        pa.array(lat_e6.astype("int64")).cast(pa.string()).cast(LS),
+        _s(";"),
+        pa.array(lon_e6.astype("int64")).cast(pa.string()).cast(LS),
+        _s('">'),
+        _s(""),
+    )
+    geo_meta = pc.if_else(pa.array(has_geo), geo_meta, _s(""))
+
+    body = _escape(text)
+    html = pc.binary_join_element_wise(
+        _s("<html><head><title>doc "),
+        doc_s,
+        _s("</title>"),
+        geo_meta,
+        _s("</head><body><article>"),
+        body,
+        _s("</article></body></html>"),
+        _s(""),
+    )
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": html.cast(pa.large_binary()),
+            "text": text,
+            "lang": batch.column("lang"),
+            "n_chars": batch.column("n_chars"),
+        }
+    )
+
+
+def extract_text(batch: pa.Table) -> pa.Table:
+    """html → extracted text (byte-identical to the original corpus text).
+
+    Drops the wide ``html`` column immediately after extraction so it
+    never enters a shuffle (SURVEY.md §7.4 "wide binary rows").
+    """
+    html = batch.column("html").cast(pa.large_string())
+    body = pc.struct_field(pc.extract_regex(html, _ARTICLE_RE), "body")
+    extracted = _unescape(body).cast(pa.large_string())
+    cols = {name: batch.column(name) for name in batch.column_names if name != "html"}
+    cols["text"] = extracted
+    return pa.table(cols)
+
+
+def geocode(batch: pa.Table) -> pa.Table:
+    """Parse the geo.position meta tag out of ``html`` → integer
+    microdegree lat/lon (+ ``has_geo``). Pages without the tag get
+    lat_e6 = lon_e6 = -1."""
+    html = batch.column("html").cast(pa.large_string())
+    m = pc.extract_regex(html, _GEO_RE)
+    lat = pc.cast(pc.struct_field(m, "lat_e6"), pa.int64())
+    lon = pc.cast(pc.struct_field(m, "lon_e6"), pa.int64())
+    has_geo = pc.is_valid(lat)
+    out = dict(zip(batch.column_names, batch.columns))
+    out["has_geo"] = has_geo
+    out["lat_e6"] = pc.fill_null(lat, -1)
+    out["lon_e6"] = pc.fill_null(lon, -1)
+    return pa.table(out)
+
+
+def index_cells(batch: pa.Table) -> pa.Table:
+    """Attach the partitioning cell ids (res-5 route key, res-7 fine)."""
+    lat = batch.column("lat_e6").to_numpy(zero_copy_only=False)
+    lon = batch.column("lon_e6").to_numpy(zero_copy_only=False)
+    has = batch.column("has_geo").to_numpy(zero_copy_only=False)
+    r5 = cell_id_e6(lat, lon, RES_PARTITION)
+    r7 = cell_id_e6(lat, lon, RES_FINE)
+    r5[~has] = -1
+    r7[~has] = -1
+    out = dict(zip(batch.column_names, batch.columns))
+    out["cell_r5"] = pa.array(r5)
+    out["cell_r7"] = pa.array(r7)
+    return pa.table(out)

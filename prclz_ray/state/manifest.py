@@ -1,0 +1,55 @@
+"""Per-partition lineage manifest.
+
+One JSON file per completed partition under ``<out_dir>/_manifest/``:
+partition key, input fingerprint, row count, wall seconds. A restarted
+run anti-joins its planned partitions against the manifest (J10/D4
+semantics — the reference's completed-set reload at
+`reblock/i_reblock.py:120-125` and residual set-difference at
+`prclz/parcelization/midway_parcelization_residual.sh:31-44`) and only
+computes the missing ones. Files are written atomically (tmp+rename)
+so a killed run never leaves a half-written manifest row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterable, Set
+
+
+class Manifest:
+    def __init__(self, out_dir: str):
+        self.dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, partition: str) -> str:
+        return os.path.join(self.dir, f"{partition}.json")
+
+    def completed(self) -> Set[str]:
+        return {
+            f[: -len(".json")]
+            for f in os.listdir(self.dir)
+            if f.endswith(".json")
+        }
+
+    def plan(self, partitions: Iterable[str]) -> Set[str]:
+        """Anti-join: planned partitions not yet completed."""
+        return set(partitions) - self.completed()
+
+    def mark(self, partition: str, rows: int, fingerprint: str = "", wall_s: float = 0.0):
+        rec = {
+            "partition": partition,
+            "rows": int(rows),
+            "input_fingerprint": fingerprint,
+            "wall_s": round(wall_s, 3),
+            "ts": time.time(),
+        }
+        tmp = self._path(partition) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._path(partition))
+
+    def read(self, partition: str) -> Dict:
+        with open(self._path(partition)) as f:
+            return json.load(f)

@@ -120,6 +120,40 @@ def parcel_anchor_e6(bx: int, by: int, p: int):
     return ax, ay
 
 
+# --- buildings (deterministic per block, integer arithmetic) ---------------
+# n buildings per block: 3 + ((bx*7 + by*13) % 6)  → 3..8
+# building j of block (bx, by):
+#   s = (bx*1000003 + by*1009 + j*2654435761) % 2^31
+#   lon_e6 = bx*100000 + 15000 + (s % 70000)
+#   lat_e6 = by*100000 + 15000 + ((s // 70000) % 70000)
+# (margin 15000 keeps every centroid inside the inset block polygon)
+
+M31 = 1 << 31
+
+
+def n_buildings_for_block(bx, by):
+    bx = np.asarray(bx, dtype=np.int64)
+    by = np.asarray(by, dtype=np.int64)
+    return 3 + (bx * 7 + by * 13) % 6
+
+
+def building_centroids_e6(bx: int, by: int) -> np.ndarray:
+    """(n, 2) int64 array of (lon_e6, lat_e6) building centroids."""
+    n = int(3 + (bx * 7 + by * 13) % 6)
+    j = np.arange(n, dtype=np.int64)
+    s = (bx * 1000003 + by * 1009 + j * H1_MUL) % M31
+    lon = bx * BLOCK_E6 + 15_000 + s % 70_000
+    lat = by * BLOCK_E6 + 15_000 + (s // 70_000) % 70_000
+    return np.stack([lon, lat], axis=1)
+
+
+def all_block_xy() -> np.ndarray:
+    """(N_BLOCKS², 2) int64 array of every (bx, by)."""
+    g = np.arange(N_BLOCKS, dtype=np.int64)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], axis=1)
+
+
 # --- SQL fragments (DuckDB side) ------------------------------------------
 # Shared CTE that reproduces the geocode from the `documents` view.
 # Downstream oracle queries compose on top of `geo`.

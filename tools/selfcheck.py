@@ -1,0 +1,106 @@
+"""Replicates the driver's correctness gate locally: runs every
+``queries()`` entry and its DuckDB oracle side-by-side and compares
+row count, schema (column names), and an order-insensitive value hash.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    # canonical row order: sort by all columns stringified
+    rows = df.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"ERROR  {name}: {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        wall = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS   {name}: {len(got)} rows ({wall:.1f}s, rows-only: no oracle)")
+            continue
+        want = con.execute(oracles[name]).df()
+        ok_rows = len(got) == len(want)
+        ok_cols = sorted(got.columns) == sorted(want.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
+        status = "MATCH " if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+        if status == "MATCH ":
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(
+            f"{status}{name}: rows {len(got)}/{len(want)} cols_ok={ok_cols} "
+            f"hash_ok={ok_hash} ({wall:.1f}s)"
+        )
+        if not ok_cols:
+            print(f"    got  cols: {sorted(got.columns)}")
+            print(f"    want cols: {sorted(want.columns)}")
+        elif not ok_hash and ok_rows:
+            merged = got.sort_values(sorted(got.columns)).reset_index(drop=True).compare(
+                want[got.columns].sort_values(sorted(got.columns)).reset_index(drop=True)
+            )
+            print(f"    first diffs:\n{merged.head(5)}")
+    print(f"\n{n_pass} matched, {n_fail} failed")
+    ray.shutdown()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
