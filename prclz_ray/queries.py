@@ -465,6 +465,348 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# text analysis (training-data pipeline operators)
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_counts(sf_dir: str):
+    from .stages.textops import token_counts
+
+    return _docs(sf_dir).map_batches(token_counts, batch_format="pyarrow")
+
+
+def _sql_token_counts() -> str:
+    from .stages.textops import BPE_RE
+
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from .stages.textops import quality_score
+
+    return _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
+
+
+def _sql_text_quality() -> str:
+    from .stages.textops import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, strlen(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST((n_chars - (len(words) - 1)) * 100 // len(words) AS BIGINT) AS mean_wlen_x100,
+       CAST(len(list_filter(words, x -> x IN ({stops}))) AS BIGINT) AS stopword_hits,
+       CAST(CASE WHEN len(words) < 20 THEN 0 WHEN len(words) < 60 THEN 1 ELSE 2 END AS BIGINT) AS quality_bucket
+FROM w
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from .stages.textops import lang_id
+
+    return _docs(sf_dir).map_batches(lang_id, batch_format="pyarrow")
+
+
+def _sql_lang_id() -> str:
+    from .stages.textops import LANG_ORDER, LANG_PROFILES, UND
+
+    score_cols = ", ".join(
+        f"len(list_filter(words, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES[c])}))) AS s_{c}"
+        for c in LANG_ORDER
+    )
+    # first maximal score in LANG_ORDER wins (argmax tie-break: CASE
+    # evaluates in order, ties satisfy >= for both, earliest fires)
+    cases = []
+    for c in LANG_ORDER:
+        conds = [f"s_{c} >= s_{o}" for o in LANG_ORDER if o != c]
+        cases.append(f"WHEN s_{c} > 0 AND {' AND '.join(conds)} THEN '{c}'")
+    case_sql = " ".join(cases)
+    return f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, lang, {score_cols} FROM w)
+SELECT doc_id,
+       CASE {case_sql} ELSE '{UND}' END AS lang_pred,
+       lang AS lang_meta
+FROM s
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from .stages.textops import fingerprint
+
+    return _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _sql_fingerprint() -> str:
+    from .stages.textops import FP_GRAM
+
+    g = FP_GRAM
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN strlen(text) < {g}
+      THEN [CAST(('0x' || substr(md5('0:' || text), 1, 15)) AS BIGINT)]
+      ELSE list_transform(range(1, strlen(text) - {g} + 2),
+             i -> CAST(('0x' || substr(md5('0:' || substr(text, CAST(i AS INT), {g})), 1, 15)) AS BIGINT))
+    END AS hs
+  FROM documents
+)
+SELECT doc_id, md5(text) AS text_md5, CAST(list_min(hs) AS BIGINT) AS min_gram_h
+FROM grams JOIN documents USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite
+
+_SQL_SHINGLES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+      ELSE list_transform(range(1, len(words) - 1),
+             i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1] || ' ' || words[CAST(i AS INT) + 2])
+    END AS sh_list
+  FROM w
+)
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH candidate pairs: signature map → ONE band-key
+    groupby shuffle → per-bucket pairs → distinct."""
+    from .stages.dedup import bucket_pairs, minhash_signatures
+
+    ds = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
+    pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .count()
+        .map_batches(
+            lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    from .stages.dedup import BAND, N_HASHES
+
+    return f"""
+WITH {_SQL_SHINGLES},
+shu AS (SELECT doc_id, unnest(sh_list) AS s FROM sh),
+sig AS (
+  SELECT doc_id, salt,
+         min(CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS h
+  FROM shu, (SELECT unnest(range({N_HASHES})) AS salt)
+  GROUP BY 1, 2
+),
+band AS (
+  SELECT doc_id, salt // {BAND} AS band,
+         string_agg(CAST(h AS VARCHAR), ':' ORDER BY salt) AS key
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(sf_dir: str):
+    from .stages.dedup import simhash
+
+    return _docs(sf_dir).map_batches(simhash, batch_format="pyarrow")
+
+
+def _sql_dedup_simhash() -> str:
+    from .stages.dedup import SIMHASH_BITS
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5('0:' || word), 1, 15)) AS BIGINT) AS h FROM w)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM h GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard(sf_dir: str):
+    """Exact 3-shingle Jaccard ≥ 0.2 over all pairs. At test scale the
+    corpus fits one batch; at 100 TB this kernel runs per LSH bucket
+    (map_groups after q_dedup_minhash's band shuffle)."""
+    from .stages.dedup import jaccard_pairs
+
+    return _docs(sf_dir).repartition(1).map_batches(
+        jaccard_pairs, batch_format="pyarrow", batch_size=1 << 20
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sets AS (SELECT doc_id, list_distinct(sh_list) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(1000 * inter // uni AS BIGINT) AS jaccard_x1000
+FROM pairs WHERE inter > 0 AND 1000 * inter // uni >= 200
+"""
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4 — the synthetic
+    embeddings have no true dups; threshold set to exercise the pair
+    path), normalized matmul."""
+    import pyarrow.parquet as pq
+
+    from .stages.dedup import embedding_near_dups
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    return embedding_near_dups(emb, ids, threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN top-k)
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10: per-batch local top-k vs broadcast
+    queries (vec_id % 100 == 0), then a small per-query merge."""
+    import ray.data
+
+    from .stages.similarity import make_topk_fn, merge_topk, put_queries
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    qsel = ids % 100 == 0
+    emb_q = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[qsel]
+    qref = put_queries(emb_q, ids[qsel])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    local = ds.map_batches(make_topk_fn(qref, k=10), batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=10), batch_format="pyarrow"
+    )
+
+
+SQL_ANN_TOPK = """
+SELECT q.vec_id AS query_id,
+       CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(
+           list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(v.embedding, x -> CAST(x AS DOUBLE))) DESC, v.vec_id
+       ) AS BIGINT) AS rank,
+       v.vec_id
+FROM embeddings q JOIN embeddings v ON q.vec_id % 100 = 0
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """SRP-bucketed approximate top-k (the partition-pruned scale path).
+    No SQL oracle — approximate recall by design; rows-only check."""
+    import ray.data
+
+    from .stages.similarity import (
+        make_bucketed_topk_fn,
+        merge_topk,
+        put_queries,
+        srp_planes,
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    qsel = ids % 100 == 0
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qref = put_queries(emb[qsel], ids[qsel])
+    planes = srp_planes(emb.shape[1])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    local = ds.map_batches(
+        make_bucketed_topk_fn(qref, planes, k=10), batch_format="pyarrow"
+    )
+    return local.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=10), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary media columns; decode stubbed, plumbing real)
+
+def q_media_meta(sf_dir: str):
+    from .stages.media import media_meta, synth_media
+
+    ds = _docs(sf_dir).map_batches(synth_media, batch_format="pyarrow")
+    return ds.map_batches(media_meta, batch_format="pyarrow")
+
+
+SQL_MEDIA_META = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_payload FROM documents
+)
+SELECT doc_id,
+       CAST(16 + doc_id % 240 AS BIGINT) AS width,
+       CAST(16 + (doc_id // 7) % 240 AS BIGINT) AS height,
+       CAST(n_payload AS BIGINT) AS n_payload,
+       CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+              i -> ord(substr(text, CAST(i AS INT), 1)))) % 65536 AS BIGINT) AS checksum
+FROM b
+"""
+
+
+def q_frame_sample(sf_dir: str):
+    from .stages.media import frame_sample_plan, synth_media
+
+    ds = _docs(sf_dir).map_batches(synth_media, batch_format="pyarrow")
+    return ds.map_batches(frame_sample_plan, batch_format="pyarrow")
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id,
+         16 + doc_id % 240 AS width,
+         octet_length(encode(text)) AS n_payload
+  FROM documents
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(8 + f * width AS BIGINT) AS byte_off
+FROM m, LATERAL (SELECT unnest(range(0, n_payload // width, 10)) AS f)
+"""
+
+
+# ---------------------------------------------------------------------------
 # derivation queries (rows-only oracles: non-SQL-expressible geometry)
 
 def q_blocks_derived(sf_dir: str):
@@ -595,6 +937,18 @@ QUERIES: Dict[str, Callable] = {
     "blocks_derived": q_blocks_derived,
     "block_complexity": q_block_complexity,
     "complexity_hist": q_complexity_hist,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "media_meta": q_media_meta,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLES: Dict[str, str] = {
@@ -613,6 +967,17 @@ ORACLES: Dict[str, str] = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "blocks_derived": SQL_BLOCKS_DERIVED,
-    # block_complexity / complexity_hist: geometry not SQL-expressible →
-    # rows-only driver check; exact values pytest-golden-checked.
+    "token_counts": _sql_token_counts(),
+    "text_quality": _sql_text_quality(),
+    "lang_id": _sql_lang_id(),
+    "doc_fingerprint": _sql_fingerprint(),
+    "dedup_minhash": _sql_dedup_minhash(),
+    "dedup_simhash": _sql_dedup_simhash(),
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "ann_topk": SQL_ANN_TOPK,
+    "media_meta": SQL_MEDIA_META,
+    "frame_sample": SQL_FRAME_SAMPLE,
+    # block_complexity / complexity_hist: geometry not SQL-expressible;
+    # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -1,0 +1,168 @@
+"""Deduplication stages for the training-data pipeline.
+
+Five dedup families over the ``documents`` / ``embeddings`` corpora,
+each expressed Ray-Data-first:
+
+- exact: hash-partition on text digest + per-group min (queries.py
+  ``dedup_exact``; reference analogue D1-D3 `prclz/utils.py:33-34`)
+- MinHash+LSH: shingle → minhash signature → band buckets →
+  per-bucket candidate pairs (the shuffle is ONE groupby on the band
+  key — at 100 TB the only all-to-all in the dedup path)
+- SimHash: 16-bit signature from per-word hash bits, bucket by value
+- n-gram Jaccard: exact verify over LSH candidates (or all pairs at
+  test scale)
+- embedding cosine near-dup: normalized matmul per batch against the
+  broadcast matrix (IVF-bucketed at scale)
+
+Hash family: md5 (oracle parity with DuckDB). Swap ``_h64`` for a
+vectorized 64-bit xxhash/polynomial family at 100 TB — the pipeline
+shapes are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SHINGLE = 3       # words per shingle
+N_HASHES = 8      # minhash signature length
+BAND = 2          # rows per LSH band → N_HASHES // BAND bands
+SIMHASH_BITS = 16
+
+
+def _h64(s: str, salt: int = 0) -> int:
+    """int64 hash = first 15 hex chars of md5('{salt}:{s}')."""
+    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str) -> list[str]:
+    w = text.split(" ")
+    if len(w) < SHINGLE:
+        return [" ".join(w)]
+    return [" ".join(w[i : i + SHINGLE]) for i in range(len(w) - SHINGLE + 1)]
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signatures(batch: pa.Table) -> pa.Table:
+    """documents → one row per (doc, band) with the band's bucket key.
+
+    Emitting band rows (flat_map shape) lets the downstream groupby on
+    ``bucket`` do ALL the pair-finding work in one shuffle.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_doc, out_band, out_bucket = [], [], []
+    for d, t in zip(doc_ids, texts):
+        sh = _shingles(t)
+        sig = [min(_h64(s, salt) for s in sh) for salt in range(N_HASHES)]
+        for b in range(N_HASHES // BAND):
+            key = ":".join(str(sig[b * BAND + r]) for r in range(BAND))
+            out_doc.append(d)
+            out_band.append(b)
+            out_bucket.append(f"{b}|{key}")
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.string()),
+        }
+    )
+
+
+def bucket_pairs(group: pa.Table) -> pa.Table:
+    """One LSH bucket → candidate pairs (a < b)."""
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    pairs = list(combinations(ids, 2))
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash(batch: pa.Table) -> pa.Table:
+    """SIMHASH_BITS-bit signature: per word w, h = _h64(w); bit b
+    contributes +1 if set else -1; signature bit b = (sum > 0)."""
+    doc_ids = batch.column("doc_id")
+    words = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(words).to_pylist()
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    h = np.array([_h64(w) for w in flat], dtype=np.int64)
+    bits = (h[:, None] >> np.arange(SIMHASH_BITS)[None, :]) & 1  # (W, B)
+    votes = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
+    for b in range(SIMHASH_BITS):
+        votes[:, b] = np.bincount(par, weights=2 * bits[:, b] - 1, minlength=n)
+    sig = ((votes > 0).astype(np.int64) << np.arange(SIMHASH_BITS)[None, :]).sum(axis=1)
+    return pa.table({"doc_id": doc_ids, "simhash": pa.array(sig)})
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verify stage)
+
+def jaccard_pairs(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
+    """All-pairs exact 3-shingle Jaccard within the batch ≥ threshold.
+
+    Exact-integer output: jaccard_x1000 = floor(1000·|∩| / |∪|). At
+    scale this runs per LSH bucket (map_groups after the band shuffle),
+    never all-pairs; at test scale the batch IS the whole corpus.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sets = [frozenset(_shingles(t)) for t in texts]
+    order = np.argsort(doc_ids, kind="stable")
+    out_a, out_b, out_j = [], [], []
+    for ii in range(len(order)):
+        i = order[ii]
+        for jj in range(ii + 1, len(order)):
+            j = order[jj]
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            union = len(sets[i] | sets[j])
+            jx = 1000 * inter // union
+            if jx >= threshold_x1000:
+                out_a.append(doc_ids[i])
+                out_b.append(doc_ids[j])
+                out_j.append(jx)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard_x1000": pa.array(out_j, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+def embedding_near_dups(
+    emb_matrix: np.ndarray, vec_ids: np.ndarray, threshold: float = 0.9
+) -> pa.Table:
+    """Pairs (a < b) with cosine ≥ threshold. Dense normalized matmul —
+    at test scale over the whole matrix; at 100 TB the same kernel runs
+    per LSH/IVF bucket with the bucket's matrix broadcast."""
+    x = emb_matrix.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sim = x @ x.T
+    iu = np.triu_indices(len(x), k=1)
+    mask = sim[iu] >= threshold
+    a, b = iu[0][mask], iu[1][mask]
+    order = np.lexsort((vec_ids[b], vec_ids[a]))
+    return pa.table(
+        {
+            "vec_a": pa.array(vec_ids[a][order], pa.int64()),
+            "vec_b": pa.array(vec_ids[b][order], pa.int64()),
+        }
+    )

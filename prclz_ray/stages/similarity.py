@@ -1,0 +1,126 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the exactness baseline: the query matrix is
+broadcast once (``ray.put``), each ``map_batches`` task computes a
+normalized matmul of its batch against the queries and emits its LOCAL
+top-k per query; a final small groupby-sort merges the per-batch
+candidates — so the full corpus streams, only k·num_batches candidate
+rows shuffle.
+
+The scale path (``lsh_bucketed_topk``) hashes vectors into sign-random-
+projection buckets; queries probe only their own bucket (and neighbors),
+turning the scan into a partition-pruned read — same output contract,
+approximate recall, documented partitioning assumption: vectors are
+Hive-partitioned by ``bucket`` on disk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def put_queries(q_matrix: np.ndarray, q_ids: np.ndarray) -> "ray.ObjectRef":
+    qn = q_matrix.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    return ray.put({"q": qn, "ids": q_ids.astype(np.int64)})
+
+
+def make_topk_fn(queries_ref, k: int = 10):
+    """Per-batch local top-k: emits (query_id, vec_id, sim) candidate
+    rows, ≤ k per query per batch."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        side = ray.get(queries_ref)
+        qn, q_ids = side["q"], side["ids"]
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        sim = qn @ emb.T  # (Q, B)
+        kk = min(k, sim.shape[1])
+        # local top-k per query (ties broken by smaller vec_id via stable
+        # argsort on (-sim, vec_id))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            order = np.lexsort((vids, -sim[qi]))[:kk]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_s.extend(sim[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return topk
+
+
+def merge_topk(group: pa.Table, k: int = 10) -> pa.Table:
+    """Final per-query merge of local candidates → global top-k."""
+    sim = group.column("sim").to_numpy(zero_copy_only=False)
+    vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -sim))[:k]
+    rank = np.arange(1, len(order) + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": group.column("query_id").take(pa.array(order)),
+            "rank": pa.array(rank),
+            "vec_id": pa.array(vid[order], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+
+N_PLANES = 8  # sign-random-projection bits → 256 buckets
+
+
+def srp_planes(dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-random-projection bucket id per vector."""
+    bits = (vectors @ planes.T) > 0
+    return (bits.astype(np.int64) << np.arange(N_PLANES)[None, :]).sum(axis=1)
+
+
+def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
+    """Like make_topk_fn but each batch only scores vectors whose SRP
+    bucket matches some query's bucket — the partition-pruned scan."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        side = ray.get(queries_ref)
+        qn, q_ids = side["q"], side["ids"]
+        qbuck = bucket_of(qn, planes)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vbuck = bucket_of(emb_n, planes)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qn)):
+            # multi-probe: own bucket plus all Hamming-distance-1 buckets
+            xor = vbuck ^ qbuck[qi]
+            sel = np.flatnonzero((xor & (xor - 1)) == 0)  # popcount ≤ 1
+            if len(sel) == 0:
+                continue
+            sim = emb_n[sel] @ qn[qi]
+            order = np.lexsort((vids[sel], -sim))[: min(k, len(sel))]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(vids[sel][order].tolist())
+            out_s.extend(sim[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return topk

@@ -1,0 +1,137 @@
+"""Text-analysis stages for the training-data pipeline: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+Each is a vectorized ``map_batches`` transform over the ``documents``
+corpus with an exact-integer output contract so the DuckDB oracles hash
+bit-for-bit (`__ray_entry__.py::oracle_sql`).
+
+Hash family: md5 (the oracle-parity reference — DuckDB computes the
+identical digests). At 100 TB the same stages run with a vectorized
+numpy 64-bit polynomial/xxhash family instead; only `_h64` changes.
+
+Reference analogues: line feature-typing / tag classification
+(`reblock/i_topology_utils.py:282-307`), QC match-rate counts
+(`data_processing/split_geojson.py:159-190`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# tiny per-language stopword profiles (language-ID n-gram heuristic at
+# word granularity; deterministic and SQL-expressible)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+LANG_ORDER = tuple(sorted(LANG_PROFILES))  # deterministic tie-break
+UND = "und"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+FP_GRAM = 8  # character n-gram width for the winnow-lite fingerprint
+
+
+def _h64(s: str, salt: int = 0) -> int:
+    """First 15 hex chars of md5 → int64 (SQL: CAST('0x'||substr(md5(..),1,15) AS BIGINT))."""
+    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    text = batch.column("text")
+    ws = pc.list_value_length(pc.split_pattern(text, " "))
+    n_bpe = pc.count_substring_regex(text, BPE_RE)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": pc.cast(ws, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+        }
+    )
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Quality features, exact-integer: word count, mean word length
+    ×100 (floor), stopword hits, and a bucketed score."""
+    text = batch.column("text")
+    words = pc.split_pattern(text, " ")
+    n_words = pc.cast(pc.list_value_length(words), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    # mean word length ×100 = floor(100 * (n_chars - (n_words-1)) / n_words)
+    letters = pc.subtract(n_chars, pc.subtract(n_words, 1))
+    mean_wlen_x100 = pc.cast(
+        pc.divide(pc.multiply(letters, 100), n_words), pa.int64()
+    )
+    flat = pc.list_flatten(words)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS)))
+    # per-row stopword hits via parent indices
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    hits = np.bincount(
+        par, weights=is_stop.to_numpy(zero_copy_only=False), minlength=len(batch)
+    ).astype(np.int64)
+    nw = n_words.to_numpy(zero_copy_only=False)
+    bucket = np.where(nw < 20, 0, np.where(nw < 60, 1, 2)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": n_words,
+            "mean_wlen_x100": mean_wlen_x100,
+            "stopword_hits": pa.array(hits),
+            "quality_bucket": pa.array(bucket),
+        }
+    )
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Stopword-profile language ID: argmax profile hits, ties by
+    language code order, all-zero → 'und'."""
+    words = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(words)
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    scores = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+    for j, code in enumerate(LANG_ORDER):
+        hit = pc.is_in(flat, value_set=pa.array(list(LANG_PROFILES[code])))
+        scores[:, j] = np.bincount(
+            par, weights=hit.to_numpy(zero_copy_only=False), minlength=n
+        )
+    best = np.argmax(scores, axis=1)  # first max → alphabetical tie-break
+    pred = np.asarray(LANG_ORDER, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = UND
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+            "lang_meta": batch.column("lang"),
+        }
+    )
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """Document fingerprints: whole-text md5 + winnow-lite (min over
+    character FP_GRAM-gram hashes — the rolling-hash fingerprint)."""
+    texts = batch.column("text").to_pylist()
+    full = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    mins: list[int] = []
+    for t in texts:
+        if len(t) < FP_GRAM:
+            mins.append(_h64(t))
+        else:
+            mins.append(min(_h64(t[i : i + FP_GRAM]) for i in range(len(t) - FP_GRAM + 1)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_md5": pa.array(full, pa.string()),
+            "min_gram_h": pa.array(mins, pa.int64()),
+        }
+    )

@@ -38,6 +38,8 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    if len(df) == 0:
+        return "empty"
     df = df[sorted(df.columns)].copy()
     # canonical row order: sort by all columns stringified
     rows = df.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
