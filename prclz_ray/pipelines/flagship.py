@@ -117,8 +117,16 @@ def run_flagship(
         input_dir, pip_concurrency=pip_concurrency, knn_concurrency=knn_concurrency
     )
     if done:
-        done_keys = ", ".join(sorted(done))
-        ds = ds.filter(expr=f"cell_r5 not in ({done_keys})")
+        done_arr = pa.array(sorted(int(k) for k in done), pa.int64())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column("cell_r5"), value_set=done_arr))
+            )
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
     # drop the heavy text column before the write shuffle: the joined
     # output is the assignment table, text lives in the source parquet

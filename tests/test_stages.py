@@ -1,0 +1,173 @@
+"""Ray-stage tests: flagship join, resume semantics, training-data
+operators. Uses the session-scoped ray fixture (conftest.py) and the
+driver testdata at sf0.001."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def joined_df(ray_session):
+    from prclz_ray.queries import _joined
+
+    return _joined(SF).to_pandas()
+
+
+def test_flagship_join_assignments(joined_df):
+    df = joined_df
+    assert len(df) == 500
+    geo = df[df.has_geo]
+    # every geocoded page gets a block, gadm, parcel
+    assert geo.block_id.notna().all()
+    assert geo.parcel_id.notna().all()
+    # the integer-arithmetic oracle: block = floor(coord / pitch)
+    bx = geo.lon_e6 // 100_000
+    by = geo.lat_e6 // 100_000
+    expect = "B" + bx.astype(int).map("{:02d}".format) + "_" + by.astype(int).map("{:02d}".format)
+    assert (geo.block_id == expect).all()
+    # parcel is one of the block's own four
+    assert all(p.startswith(b) for p, b in zip(geo.parcel_id, geo.block_id))
+    # non-geo pages get nothing
+    assert df[~df.has_geo].block_id.isna().all()
+
+
+def test_extract_text_byte_identical(ray_session):
+    """input_hint invariant: extracted text is byte-identical per url."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.queries import q_extract_text
+
+    got = q_extract_text(SF).to_pandas().sort_values("url").reset_index(drop=True)
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    src["url"] = "https://" + src.source + "/" + src.doc_id.astype(str)
+    src = src.sort_values("url").reset_index(drop=True)
+    assert (got.text.str.encode("utf-8") == src.text.str.encode("utf-8")).all()
+
+
+def test_run_flagship_resume(ray_session, tmp_path):
+    """Kill-and-resume: delete a few completed partitions, resume, and
+    the output matches a clean full run partition-for-partition."""
+    from prclz_ray.pipelines.flagship import run_flagship
+    from prclz_ray.state.manifest import Manifest
+
+    full = str(tmp_path / "full")
+    res = str(tmp_path / "resumable")
+    r1 = run_flagship(SF, full, resume=False)
+    r2 = run_flagship(SF, res, resume=False)
+    assert r1["rows"] == r2["rows"] == 500
+
+    # simulate a killed run: drop 3 partitions (files + manifest rows)
+    m = Manifest(res)
+    victims = sorted(m.completed())[:3]
+    for v in victims:
+        for d in glob.glob(os.path.join(res, f"cell_r5={v}")):
+            shutil.rmtree(d)
+        os.remove(os.path.join(res, "_manifest", f"{v}.json"))
+    assert m.plan(Manifest(full).completed()) == set(victims)
+
+    r3 = run_flagship(SF, res, resume=True)
+    assert r3["skipped"] == len(Manifest(full).completed()) - 3
+    assert r3["rows"] == 500  # total rows across all partitions again
+
+    import pyarrow.parquet as pq
+
+    a = pq.read_table(full).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pq.read_table(res).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert (a.block_id.fillna("") == b.block_id.fillna("")).all()
+    assert (a.parcel_id.fillna("") == b.parcel_id.fillna("")).all()
+
+
+def test_minhash_lsh_finds_near_duplicates(ray_session):
+    """A doc and a 1-word-edited copy must share an LSH bucket."""
+    from prclz_ray.stages.dedup import bucket_pairs, minhash_signatures
+
+    base = " ".join(f"word{i}" for i in range(40))
+    edited = base.replace("word20", "changed")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, edited, "completely different words entirely here now"]),
+        }
+    )
+    sig = minhash_signatures(t)
+    import pandas as pd
+
+    pairs = (
+        sig.to_pandas()
+        .groupby("bucket")["doc_id"]
+        .apply(lambda s: sorted(set(s)))
+    )
+    dup_pairs = {tuple(v) for v in pairs if len(v) > 1}
+    assert (1, 2) in dup_pairs
+    assert not any(3 in p for p in dup_pairs)
+
+
+def test_simhash_close_for_near_duplicates(ray_session):
+    from prclz_ray.stages.dedup import simhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([base, base.replace("kappa", "lambda")]),
+        }
+    )
+    s = simhash(t).column("simhash").to_pylist()
+    hamming = bin(s[0] ^ s[1]).count("1")
+    assert hamming <= 4  # near-dups land within a few bits
+
+
+def test_ann_topk_rank1_is_self(ray_session):
+    from prclz_ray.queries import q_ann_topk
+
+    df = q_ann_topk(SF).to_pandas()
+    r1 = df[df["rank"] == 1]
+    assert (r1.query_id == r1.vec_id).all()
+    assert set(df.groupby("query_id")["rank"].max()) == {10}
+
+
+def test_media_roundtrip(ray_session):
+    from prclz_ray.stages.media import media_meta, synth_media
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 7, 239, 2400], pa.int64()),
+            "text": pa.array(["abc", "defgh", "x" * 300, "y" * 40]),
+        }
+    )
+    m = media_meta(synth_media(t)).to_pandas()
+    assert m.width.tolist() == [16, 23, 255, 16]
+    assert m.height.tolist() == [16, 17, 50, 16 + (2400 // 7) % 240]
+    assert m.n_payload.tolist() == [3, 5, 300, 40]
+    assert m.checksum.tolist()[0] == sum(b"abc")
+
+
+def test_quality_and_langid_vectorized(ray_session):
+    from prclz_ray.stages.textops import lang_id, quality_score
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat",
+                    "el gato que duerme y la casa",
+                    "xyzzy plugh",
+                ]
+            ),
+            "lang": pa.array(["en", "es", "zz"]),
+        }
+    )
+    q = quality_score(t).to_pandas()
+    assert q.n_words.tolist() == [6, 7, 2]
+    assert q.stopword_hits.tolist()[0] == 3  # the, on, the
+    l = lang_id(t).to_pandas()
+    assert l.lang_pred.tolist() == ["en", "es", "und"]
