@@ -1,0 +1,118 @@
+"""Reblock pipeline: per-block Steiner road proposals, Ray-Data-first.
+
+Reference semantics (NOT code) from `reblock/i_reblock.py::reblock_gadm`
+(:240-319) and `reblock/i_topology.py::get_optimal_path` (:56-101):
+
+1. per block, build the planar graph of parcel boundaries; edges lying
+   on the block boundary are ROADS (weight ≈ 0, the edge-type weighting
+   of `reblock/i_topology_utils.py:197-252` G16);
+2. snap each building centroid onto its closest graph edge as a
+   terminal (`add_node_to_closest_edge`, G6), plus one road-access
+   terminal on the block boundary (the reference's dummy outside
+   terminal, `reblock/i_reblock.py:285-291` G17);
+3. reduce to the largest connected component (G14), then the Steiner
+   2-approximation (G13) connects the terminals;
+4. emit per-block summary + the new (non-road) steiner lines as WKB.
+
+Execution shape: ONE ``groupby('block_id').map_groups`` over the
+parcels table — the group is the whole per-block state, transient
+inside the UDF exactly as the reference's per-task graphs are.
+Building centroids are recomputed from the deterministic world
+arithmetic inside the UDF (identical to the `buildings` table rows;
+avoids a second shuffle of the tiny building set).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import world
+from ..geom.wkb import parse_wkb, wkb_multilinestring
+from ..graph.planar import PlanarGraph
+from ..graph.steiner import steiner_tree_approx
+
+ROAD_WEIGHT = 1e-9  # roads are free to traverse (G16 highway→0)
+
+
+def reblock_group(group: pa.Table) -> pa.Table:
+    """One block's parcels → steiner summary row."""
+    block_id = group.column("block_id")[0].as_py()
+    bx = int(group.column("bx")[0].as_py())
+    by = int(group.column("by")[0].as_py())
+
+    # block boundary (for road-typing): the inset block square
+    x0 = (bx * world.BLOCK_E6 + world.STREET_EPS_E6) / 1e6
+    x1 = ((bx + 1) * world.BLOCK_E6 - world.STREET_EPS_E6) / 1e6
+    y0 = (by * world.BLOCK_E6 + world.STREET_EPS_E6) / 1e6
+    y1 = ((by + 1) * world.BLOCK_E6 - world.STREET_EPS_E6) / 1e6
+
+    def on_boundary(a, b) -> bool:
+        for coord, lo, hi in ((0, x0, x1), (1, y0, y1)):
+            for edge_val in (lo, hi):
+                if abs(a[coord] - edge_val) < 1e-9 and abs(b[coord] - edge_val) < 1e-9:
+                    return True
+        return False
+
+    g = PlanarGraph()
+    for wkb in group.column("geom_wkb").to_pylist():
+        _, rings = parse_wkb(wkb)
+        ring = rings[0]
+        for i in range(len(ring)):
+            a = (float(ring[i][0]), float(ring[i][1]))
+            b = (float(ring[(i + 1) % len(ring)][0]), float(ring[(i + 1) % len(ring)][1]))
+            if a == b:
+                continue
+            road = on_boundary(a, b)
+            g.add_edge(a, b, road=road, weight=ROAD_WEIGHT if road else None)
+
+    # terminals: building centroids snapped to closest edges + one
+    # road-access point (SW corner of the block boundary)
+    cents = world.building_centroids_e6(bx, by) / 1e6
+    terminals = [g.add_node_to_closest_edge((float(cx), float(cy)), terminal=True)
+                 for cx, cy in cents]
+    terminals.append(g.add_node_to_closest_edge((x0, y0), terminal=True))
+
+    g = g.largest_component()
+    terms = [t for t in terminals if t in g.adj]
+    edges = steiner_tree_approx(g, terms)
+
+    new_lines = [np.array([a, b]) for a, b in edges if not g.is_road(a, b)]
+    total_len_e6 = sum(
+        int(round(np.hypot(b[0] - a[0], b[1] - a[1]) * 1e6)) for a, b in edges
+    )
+    new_len_e6 = sum(
+        int(round(np.hypot(ln[1][0] - ln[0][0], ln[1][1] - ln[0][1]) * 1e6))
+        for ln in new_lines
+    )
+    return pa.table(
+        {
+            "block_id": [block_id],
+            "n_terminals": pa.array([len(terms)], pa.int64()),
+            "n_steiner_edges": pa.array([len(edges)], pa.int64()),
+            "n_new_edges": pa.array([len(new_lines)], pa.int64()),
+            "total_len_e6": pa.array([total_len_e6], pa.int64()),
+            "new_len_e6": pa.array([new_len_e6], pa.int64()),
+            "new_lines_wkb": pa.array(
+                [wkb_multilinestring(new_lines) if new_lines else None], pa.binary()
+            ),
+        }
+    )
+
+
+def reblock_dataset(limit_blocks: int | None = None):
+    """parcels → per-block steiner summaries (lazy Dataset)."""
+    import ray.data
+
+    from . import derive
+
+    ds = ray.data.read_parquet(derive.parcels_path())
+    if limit_blocks is not None:
+
+        def keep(b: pa.Table) -> pa.Table:
+            bxv = b.column("bx").to_numpy(zero_copy_only=False)
+            byv = b.column("by").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(bxv * world.N_BLOCKS + byv < limit_blocks))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+    return ds.groupby("block_id").map_groups(reblock_group, batch_format="pyarrow")

@@ -901,6 +901,36 @@ def q_block_complexity(sf_dir: str):
     return grouped.select_columns(["block_id", "k", "n_bldgs"])
 
 
+REBLOCK_LIMIT = 2500  # blocks reblocked in the query surface (runtime cap)
+
+
+def q_reblock(sf_dir: str):
+    """Per-block Steiner reblocking summary (G13-G18). Geometry not
+    SQL-expressible → rows-only driver check; exact edge sets/lengths
+    pytest-golden-checked (tests/test_stages.py)."""
+    from .pipelines.reblock import reblock_dataset
+
+    return reblock_dataset(limit_blocks=REBLOCK_LIMIT).drop_columns(["new_lines_wkb"])
+
+
+def q_reblock_terminals(sf_dir: str):
+    """SQL-checkable projection of the reblock output: terminal count =
+    building count + 1 road-access terminal."""
+    from .pipelines.reblock import reblock_dataset
+
+    return reblock_dataset(limit_blocks=REBLOCK_LIMIT).select_columns(
+        ["block_id", "n_terminals"]
+    )
+
+
+SQL_REBLOCK_TERMINALS = f"""
+SELECT ('B' || printf('%02d', bx) || '_' || printf('%02d', by)) AS block_id,
+       CAST(3 + (bx * 7 + by * 13) % 6 + 1 AS BIGINT) AS n_terminals
+FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world.N_BLOCKS})) AS by)
+WHERE bx * {world.N_BLOCKS} + by < {REBLOCK_LIMIT}
+"""
+
+
 def q_complexity_hist(sf_dir: str):
     """Distribution of k over all blocks (A8 QC rollup)."""
     ds = q_block_complexity(sf_dir)
@@ -949,6 +979,8 @@ QUERIES: Dict[str, Callable] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "media_meta": q_media_meta,
     "frame_sample": q_frame_sample,
+    "reblock": q_reblock,
+    "reblock_terminals": q_reblock_terminals,
 }
 
 ORACLES: Dict[str, str] = {
@@ -978,6 +1010,7 @@ ORACLES: Dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "media_meta": SQL_MEDIA_META,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "reblock_terminals": SQL_REBLOCK_TERMINALS,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

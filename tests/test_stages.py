@@ -171,3 +171,27 @@ def test_quality_and_langid_vectorized(ray_session):
     assert q.stopword_hits.tolist()[0] == 3  # the, on, the
     l = lang_id(t).to_pandas()
     assert l.lang_pred.tolist() == ["en", "es", "und"]
+
+
+def test_reblock_goldens(ray_session):
+    """Pin the Steiner output for the first blocks (deterministic)."""
+    from prclz_ray.pipelines.reblock import reblock_dataset
+
+    df = (
+        reblock_dataset(limit_blocks=4)
+        .to_pandas()
+        .sort_values("block_id")
+        .reset_index(drop=True)
+    )
+    assert df.block_id.tolist() == ["B00_00", "B00_01", "B00_02", "B00_03"]
+    assert df.n_terminals.tolist() == [4, 5, 6, 7]
+    assert df.n_steiner_edges.tolist() == [4, 11, 14, 14]
+    assert df.n_new_edges.tolist() == [1, 2, 5, 6]
+    assert df.total_len_e6.tolist() == [88484, 396848, 459131, 416506]
+    assert df.new_len_e6.tolist() == [27484, 34726, 96000, 64479]
+    # every block's terminals = its buildings + 1 road-access point
+    from prclz_ray import world
+
+    for _, r in df.iterrows():
+        bx, by = int(r.block_id[1:3]), int(r.block_id[4:6])
+        assert r.n_terminals == int(world.n_buildings_for_block(bx, by)) + 1
