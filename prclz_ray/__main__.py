@@ -1,0 +1,83 @@
+"""CLI entrypoint — the `ray job submit` surface.
+
+    python -m prclz_ray flagship --input /root/testdata/sf0.001 \
+        --output /tmp/joined [--no-resume] [--num-cpus N]
+    python -m prclz_ray query <name> [--sf-dir DIR]
+    python -m prclz_ray list
+
+On a real cluster: `ray job submit -- python -m prclz_ray flagship ...`
+(the config dataclass of SURVEY.md §2.10 is this argparse namespace).
+Owns its Ray session (init if absent, shutdown at exit) — the library
+itself never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="prclz_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship", help="run the spatial-join pipeline to parquet")
+    f.add_argument("--input", required=True, help="dir containing documents.parquet")
+    f.add_argument("--output", required=True, help="output dir (Hive-partitioned)")
+    f.add_argument("--no-resume", action="store_true")
+    f.add_argument("--num-cpus", type=int, default=None)
+
+    q = sub.add_parser("query", help="run a named query and print row count + head")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--num-cpus", type=int, default=None)
+
+    sub.add_parser("list", help="list query names")
+
+    args = ap.parse_args(argv)
+
+    from .queries import QUERIES
+
+    if args.cmd == "list":
+        for name in QUERIES:
+            print(name)
+        return 0
+
+    import ray
+
+    started = False
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kw)
+        started = True
+    try:
+        if args.cmd == "flagship":
+            from .pipelines.flagship import run_flagship
+
+            stats = run_flagship(args.input, args.output, resume=not args.no_resume)
+            print(json.dumps(stats))
+        elif args.cmd == "query":
+            import pandas as pd
+
+            import ray.data
+
+            res = QUERIES[args.name](args.sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                df = res.to_pandas()
+            elif isinstance(res, pd.DataFrame):
+                df = res
+            else:
+                df = res.to_pandas()
+            print(f"{len(df)} rows")
+            print(df.head(10).to_string())
+    finally:
+        if started:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -138,6 +138,72 @@ def extract_blocks_group(group: pa.Table) -> pa.Table:
     )
 
 
+def extract_blocks_buffered_group(group: pa.Table) -> pa.Table:
+    """Alternate extraction method (the plugin point, §2.10): region −
+    buffered(street lines), the reference's DEFAULT
+    ``BufferedLineDifference`` (`prclz/blocks/methods.py:17-40`).
+
+    Axis-aligned implementation: buffered street rectangles partition
+    the admin cell into a grid; each positive-area gap between
+    consecutive buffered lines is a block. For general (non-axis-
+    aligned) arrangements use ``extract_blocks_group`` (face tracing,
+    the ``IntersectionPolygonization`` analogue M7). Both methods must
+    produce identical block sets — parity is oracle-checked.
+    """
+    gadm = group.column("gadm")[0].as_py()
+    x0s = group.column("x0").to_numpy()
+    y0s = group.column("y0").to_numpy()
+    x1s = group.column("x1").to_numpy()
+    y1s = group.column("y1").to_numpy()
+    eps_deg = world.STREET_EPS_E6 / 1e6
+
+    vxs = sorted({x0s[i] for i in range(len(x0s)) if x0s[i] == x1s[i]})
+    hys = sorted({y0s[i] for i in range(len(y0s)) if y0s[i] == y1s[i]})
+
+    out = {
+        "block_id": [], "gadm": [], "bx": [], "by": [],
+        "xmin_e6": [], "ymin_e6": [], "xmax_e6": [], "ymax_e6": [],
+        "cell_r5": [], "geom_wkb": [],
+    }
+    for xa, xb in zip(vxs, vxs[1:]):
+        for ya, yb in zip(hys, hys[1:]):
+            lo_x, hi_x = xa + eps_deg, xb - eps_deg
+            lo_y, hi_y = ya + eps_deg, yb - eps_deg
+            if hi_x <= lo_x or hi_y <= lo_y:
+                continue  # fully consumed by the buffer
+            ring = np.array(
+                [[lo_x, lo_y], [hi_x, lo_y], [hi_x, hi_y], [lo_x, hi_y]]
+            )
+            cx, cy = polygon_centroid(ring)
+            bx = int(cx * 1e6) // world.BLOCK_E6
+            by = int(cy * 1e6) // world.BLOCK_E6
+            out["block_id"].append(world.block_id_str(bx, by))
+            out["gadm"].append(gadm)
+            out["bx"].append(bx)
+            out["by"].append(by)
+            out["xmin_e6"].append(int(round(lo_x * 1e6)))
+            out["ymin_e6"].append(int(round(lo_y * 1e6)))
+            out["xmax_e6"].append(int(round(hi_x * 1e6)))
+            out["ymax_e6"].append(int(round(hi_y * 1e6)))
+            ctr_lat = by * world.BLOCK_E6 + world.BLOCK_E6 // 2
+            ctr_lon = bx * world.BLOCK_E6 + world.BLOCK_E6 // 2
+            out["cell_r5"].append(int(cell_id_e6(ctr_lat, ctr_lon, RES_PARTITION)))
+            out["geom_wkb"].append(wkb_polygon(ring))
+    t = pa.table(out)
+    return t.set_column(
+        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
+    )
+
+
+# the reference's BlockExtractionMethod plugin registry
+# (`prclz/blocks/methods.py:11-14,109`)
+EXTRACTION_METHODS = {
+    "face_trace": extract_blocks_group,          # M7 polygonize analogue
+    "buffered_difference": extract_blocks_buffered_group,  # M6 default analogue
+}
+DEFAULT_EXTRACTION_METHOD = "face_trace"
+
+
 # ---------------------------------------------------------------------------
 # parcels (Voronoi per block) and buildings
 

@@ -901,6 +901,225 @@ def q_block_complexity(sf_dir: str):
     return grouped.select_columns(["block_id", "k", "n_bldgs"])
 
 
+# ---------------------------------------------------------------------------
+# event-stream operators (windowed custom operators)
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization: ONE shuffle on user_id, sorted
+    map_groups per user (SURVEY §2.9 windowed custom operator)."""
+    import ray.data
+
+    from .stages.events import sessionize_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessionize_group, batch_format="pyarrow")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       CAST(MIN(t) AS BIGINT) AS start_us,
+       CAST(MAX(t) AS BIGINT) AS end_us,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_event_props(sf_dir: str):
+    """JSON props extraction (vectorized regex) + rollup per type."""
+    import ray.data
+
+    from .stages.events import extract_props_k
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "props"]
+    )
+    parsed = ds.map_batches(extract_props_k, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("event_type")
+            .aggregate([("k", "sum"), ([], "count_all")])
+            .rename_columns(["event_type", "k", "n"])
+        )
+
+    agg = parsed.map_batches(partial, batch_format="pyarrow").groupby("event_type").sum(["k", "n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "sum_k": b.column("sum(k)"),
+                "n_events": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENT_PROPS = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# union (D5) and native hash join (J6)
+
+def q_points_union(sf_dir: str):
+    """ds.union of two point sources (buildings ∪ parcel anchors) →
+    count per admin cell (the reference's polygon+line-derived building
+    consolidation, `osm-etl/consolidate_buildings.py:25`)."""
+    import ray.data
+
+    from .pipelines import derive
+
+    b = ray.data.read_parquet(derive.buildings_path()).map_batches(
+        lambda t: pa.table(
+            {
+                "lon_e6": t.column("lon_e6").cast(pa.int64()),
+                "lat_e6": t.column("lat_e6").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    p = ray.data.read_parquet(derive.parcels_path()).map_batches(
+        lambda t: pa.table(
+            {
+                "lon_e6": t.column("anchor_lon_e6").cast(pa.int64()),
+                "lat_e6": t.column("anchor_lat_e6").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    u = b.union(p)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gx = pc.divide(batch.column("lon_e6"), 1_000_000)
+        gy = pc.divide(batch.column("lat_e6"), 1_000_000)
+        t = pa.table({"gx": gx, "gy": gy})
+        return t.group_by(["gx", "gy"]).aggregate([([], "count_all")]).rename_columns(
+            ["gx", "gy", "n"]
+        )
+
+    agg = u.map_batches(partial, batch_format="pyarrow").groupby(["gx", "gy"]).sum("n")
+    return agg.map_batches(
+        lambda bt: pa.table(
+            {
+                "gx": bt.column("gx"),
+                "gy": bt.column("gy"),
+                "n_points": bt.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_POINTS_UNION = f"""
+WITH blocks AS (
+  SELECT bx, by FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx),
+                     (SELECT unnest(range({world.N_BLOCKS})) AS by)
+),
+bldg AS (
+  SELECT bx * {world.BLOCK_E6} + 15000
+           + ((bx * 1000003 + by * 1009 + j * {world.H1_MUL}) % {world.M31}) % 70000 AS lon_e6,
+         by * {world.BLOCK_E6} + 15000
+           + (((bx * 1000003 + by * 1009 + j * {world.H1_MUL}) % {world.M31}) // 70000) % 70000 AS lat_e6
+  FROM blocks, (SELECT unnest(range(8)) AS j)
+  WHERE j < 3 + (bx * 7 + by * 13) % 6
+),
+anch AS (
+  SELECT bx * {world.BLOCK_E6} + 25000 + (p % 2) * 50000 AS lon_e6,
+         by * {world.BLOCK_E6} + 25000 + (p // 2) * 50000 AS lat_e6
+  FROM blocks, (SELECT unnest(range({world.PARCELS_PER_BLOCK})) AS p)
+),
+u AS (SELECT * FROM bldg UNION ALL SELECT * FROM anch)
+SELECT lon_e6 // 1000000 AS gx, lat_e6 // 1000000 AS gy, COUNT(*) AS n_points
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """Native Ray Data hash join (J6): orders ⋈ customer on custkey →
+    exact-integer revenue per nation."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b.column("o_custkey"), "price_c": _cents(b.column("o_totalprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("c_nationkey")
+            .aggregate([("price_c", "sum"), ([], "count_all")])
+            .rename_columns(["c_nationkey", "p", "n"])
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby("c_nationkey").sum(["p", "n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey"),
+                "revenue_cents": b.column("sum(p)"),
+                "n_orders": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT c_nationkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_blocks_buffered(sf_dir: str):
+    """The ALTERNATE extraction method (M6 buffered-line-difference)
+    through the plugin registry — same oracle as blocks_derived proves
+    method parity (the reference's two-method equivalence)."""
+    import ray.data
+
+    from .pipelines import derive
+
+    streets = ray.data.from_arrow(derive.streets_table())
+    ds = streets.groupby("gadm").map_groups(
+        derive.EXTRACTION_METHODS["buffered_difference"], batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["block_id", "gadm", "bx", "by", "xmin_e6", "ymin_e6", "xmax_e6", "ymax_e6"]
+    )
+
+
 REBLOCK_LIMIT = 2500  # blocks reblocked in the query surface (runtime cap)
 
 
@@ -981,6 +1200,11 @@ QUERIES: Dict[str, Callable] = {
     "frame_sample": q_frame_sample,
     "reblock": q_reblock,
     "reblock_terminals": q_reblock_terminals,
+    "sessionize": q_sessionize,
+    "event_props": q_event_props,
+    "points_union": q_points_union,
+    "nation_revenue": q_nation_revenue,
+    "blocks_buffered": q_blocks_buffered,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1011,6 +1235,11 @@ ORACLES: Dict[str, str] = {
     "media_meta": SQL_MEDIA_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "reblock_terminals": SQL_REBLOCK_TERMINALS,
+    "sessionize": SQL_SESSIONIZE,
+    "event_props": SQL_EVENT_PROPS,
+    "points_union": SQL_POINTS_UNION,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "blocks_buffered": SQL_BLOCKS_DERIVED,  # method parity: same oracle
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -1,0 +1,59 @@
+"""Event-stream operators: sessionization, JSON props extraction.
+
+The reference is strictly batch (SURVEY.md §2.9) — these are the
+engine's windowed-aggregate custom operators for the events table,
+expressed as groupby + sorted map_groups (the documented composition
+for windows Ray Data lacks natively).
+
+Partitioning assumption (documented per SURVEY.md custom-operator
+rule): sessionization shuffles once on ``user_id``; a user's whole
+history must fit one group. At 100 TB that holds for human-scale users;
+pathological keys would need time-range pre-chunking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def sessionize_group(group: pa.Table) -> pa.Table:
+    """One user's events → session rows (gap > 30 min starts a new
+    session). Exact-integer output (µs epochs)."""
+    ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(ts, kind="stable")
+    ts = ts[order]
+    new_session = np.concatenate([[True], np.diff(ts) > SESSION_GAP_US])
+    sess = np.cumsum(new_session) - 1  # 0-based session index per event
+    n_sessions = int(sess[-1]) + 1 if len(sess) else 0
+    starts = ts[new_session]
+    ends = np.maximum.reduceat(ts, np.flatnonzero(new_session))
+    counts = np.bincount(sess, minlength=n_sessions)
+    uid = group.column("user_id")[0].as_py()
+    return pa.table(
+        {
+            "user_id": pa.array([uid] * n_sessions, pa.int64()),
+            "session_idx": pa.array(np.arange(n_sessions)),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "start_us": pa.array(starts),
+            "end_us": pa.array(ends),
+            "duration_us": pa.array(ends - starts),
+        }
+    )
+
+
+def extract_props_k(batch: pa.Table) -> pa.Table:
+    """Parse the integer ``k`` out of the JSON ``props`` column —
+    vectorized regex (per-record parser, M2 analogue)."""
+    m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?[0-9]+)')
+    k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "k": pc.fill_null(k, -1),
+        }
+    )
