@@ -1120,6 +1120,24 @@ def q_blocks_buffered(sf_dir: str):
     )
 
 
+def q_cell_counts_salted(sf_dir: str):
+    """Skew-handled per-cell counts: count pre-pass → hot-cell salting →
+    salted groupby → merge (stages/skew.py). Counts must equal the
+    unsalted oracle exactly — salting is semantics-free."""
+    from .stages.skew import salted_count_by_cell
+
+    # threshold low enough that the 4 urban clusters' cells are hot even
+    # at sf0.001 (500 docs)
+    return salted_count_by_cell(sf_dir, hot_threshold=10)
+
+
+SQL_CELL_COUNTS = (
+    _WITH_GEO
+    + f" SELECT CAST({_CELL_SQL} AS BIGINT) AS cell_r5, COUNT(*) AS n_pages"
+    + " FROM pages GROUP BY 1"
+)
+
+
 REBLOCK_LIMIT = 2500  # blocks reblocked in the query surface (runtime cap)
 
 
@@ -1205,6 +1223,7 @@ QUERIES: Dict[str, Callable] = {
     "points_union": q_points_union,
     "nation_revenue": q_nation_revenue,
     "blocks_buffered": q_blocks_buffered,
+    "cell_counts_salted": q_cell_counts_salted,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1240,6 +1259,7 @@ ORACLES: Dict[str, str] = {
     "points_union": SQL_POINTS_UNION,
     "nation_revenue": SQL_NATION_REVENUE,
     "blocks_buffered": SQL_BLOCKS_DERIVED,  # method parity: same oracle
+    "cell_counts_salted": SQL_CELL_COUNTS,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }
