@@ -1138,6 +1138,43 @@ SQL_CELL_COUNTS = (
 )
 
 
+def q_zonal_raster(sf_dir: str):
+    """Zonal raster statistics (A5/G20): exact-integer area-weighted
+    raster sum per block (raster modeled as a deterministic tile
+    table, S11)."""
+    from .stages.raster import zonal_dataset
+
+    return zonal_dataset()
+
+
+def _sql_zonal() -> str:
+    from .stages.raster import TILE_E6
+
+    B, E = world.BLOCK_E6, world.STREET_EPS_E6
+    return f"""
+WITH blocks AS (
+  SELECT ('B' || printf('%02d', bx) || '_' || printf('%02d', by)) AS block_id,
+         bx * {B} + {E} AS xmin_e6, by * {B} + {E} AS ymin_e6,
+         (bx + 1) * {B} - {E} AS xmax_e6, (by + 1) * {B} - {E} AS ymax_e6
+  FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx),
+       (SELECT unnest(range({world.N_BLOCKS})) AS by)
+),
+pairs AS (
+  SELECT block_id,
+         ((tx * 31 + ty * 17) % 100 + 1)
+           * GREATEST(LEAST(xmax_e6, (tx + 1) * {TILE_E6}) - GREATEST(xmin_e6, tx * {TILE_E6}), 0)
+           * GREATEST(LEAST(ymax_e6, (ty + 1) * {TILE_E6}) - GREATEST(ymin_e6, ty * {TILE_E6}), 0) AS w
+  FROM blocks,
+       (SELECT unnest(range({world.N_BLOCKS * world.BLOCK_E6 // TILE_E6})) AS tx),
+       (SELECT unnest(range({world.N_BLOCKS * world.BLOCK_E6 // TILE_E6})) AS ty)
+  WHERE tx * {TILE_E6} < xmax_e6 AND (tx + 1) * {TILE_E6} > xmin_e6
+    AND ty * {TILE_E6} < ymax_e6 AND (ty + 1) * {TILE_E6} > ymin_e6
+)
+SELECT block_id, CAST(SUM(w) AS BIGINT) AS zonal_weighted
+FROM pairs GROUP BY block_id
+"""
+
+
 REBLOCK_LIMIT = 2500  # blocks reblocked in the query surface (runtime cap)
 
 
@@ -1224,6 +1261,7 @@ QUERIES: Dict[str, Callable] = {
     "nation_revenue": q_nation_revenue,
     "blocks_buffered": q_blocks_buffered,
     "cell_counts_salted": q_cell_counts_salted,
+    "zonal_raster": q_zonal_raster,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1260,6 +1298,7 @@ ORACLES: Dict[str, str] = {
     "nation_revenue": SQL_NATION_REVENUE,
     "blocks_buffered": SQL_BLOCKS_DERIVED,  # method parity: same oracle
     "cell_counts_salted": SQL_CELL_COUNTS,
+    "zonal_raster": _sql_zonal(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }
