@@ -35,8 +35,39 @@ from ..graph.steiner import steiner_tree_approx
 ROAD_WEIGHT = 1e-9  # roads are free to traverse (G16 highway→0)
 
 
+MAX_GRAPH_EDGES = 50_000  # straggler bail-out (O4): the engine's
+# compute-budget replacement for the reference's wall-clock
+# `mins_threshold` abort (`reblock/i_reblock.py:268-273`) — deterministic
+# (same block always gets the same verdict) unlike a timer.
+
+
+def _dead_letter(block_id: str, status: str) -> pa.Table:
+    return pa.table(
+        {
+            "block_id": [block_id],
+            "n_terminals": pa.array([0], pa.int64()),
+            "n_steiner_edges": pa.array([0], pa.int64()),
+            "n_new_edges": pa.array([0], pa.int64()),
+            "total_len_e6": pa.array([0], pa.int64()),
+            "new_len_e6": pa.array([0], pa.int64()),
+            "new_lines_wkb": pa.array([None], pa.binary()),
+            "status": [status],
+        }
+    )
+
+
 def reblock_group(group: pa.Table) -> pa.Table:
-    """One block's parcels → steiner summary row."""
+    """One block's parcels → steiner summary row (status='ok'), or a
+    dead-letter row: poison-pill rows become data, never lost tasks
+    (the Ray-native `error_{index}` file, `midway_blocks.py:45-48`)."""
+    block_id = group.column("block_id")[0].as_py()
+    try:
+        return _reblock_group(group)
+    except Exception as ex:  # pragma: no cover - defensive
+        return _dead_letter(block_id, f"error:{type(ex).__name__}")
+
+
+def _reblock_group(group: pa.Table) -> pa.Table:
     block_id = group.column("block_id")[0].as_py()
     bx = int(group.column("bx")[0].as_py())
     by = int(group.column("by")[0].as_py())
@@ -65,6 +96,8 @@ def reblock_group(group: pa.Table) -> pa.Table:
                 continue
             road = on_boundary(a, b)
             g.add_edge(a, b, road=road, weight=ROAD_WEIGHT if road else None)
+            if g.number_of_edges() > MAX_GRAPH_EDGES:
+                return _dead_letter(block_id, "dead_letter:graph_too_large")
 
     # terminals: building centroids snapped to closest edges + one
     # road-access point (SW corner of the block boundary)
@@ -96,6 +129,7 @@ def reblock_group(group: pa.Table) -> pa.Table:
             "new_lines_wkb": pa.array(
                 [wkb_multilinestring(new_lines) if new_lines else None], pa.binary()
             ),
+            "status": ["ok"],
         }
     )
 

@@ -118,6 +118,41 @@ def match_count_qc(joined_ds) -> pa.Table:
 # exact distributed quantiles (discrete, DuckDB quantile_disc semantics:
 # value at sorted index ceil(q*n) - 1)
 
+def approx_quantiles_int(
+    ds, col: str, qs: Sequence[float], sample_per_batch: int = 256
+) -> List[int]:
+    """Approximate quantiles in ONE pass: each batch contributes its
+    systematic sample (``sample_per_batch`` evenly spaced order
+    statistics, each weighted batch_size/sample), samples merge
+    driver-side by weighted rank — the mergeable-sketch scale path for
+    A6 (error ≤ ~1/sample_per_batch of rank). Deterministic."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).copy()
+        v.sort(kind="stable")
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.int64()), "w": pa.array([], pa.float64())})
+        k = min(sample_per_batch, n)
+        idx = ((np.arange(k) + 0.5) * n / k).astype(np.int64)
+        return pa.table(
+            {"v": pa.array(v[idx]), "w": pa.array(np.full(k, n / k, dtype=np.float64))}
+        )
+
+    merged = ds.select_columns([col]).map_batches(sample, batch_format="pyarrow").to_pandas()
+    if len(merged) == 0:
+        return [0 for _ in qs]
+    merged = merged.sort_values("v")
+    v = merged["v"].to_numpy()
+    cum = np.cumsum(merged["w"].to_numpy())
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = q * total
+        out.append(int(v[min(int(np.searchsorted(cum, target)), len(v) - 1)]))
+    return out
+
+
 def exact_quantiles_int(ds, col: str, qs: Sequence[float], n_buckets: int = 4096) -> List[int]:
     """Exact discrete quantiles of an int64 column in two passes + one
     small filter, without a global sort."""

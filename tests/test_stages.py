@@ -195,3 +195,41 @@ def test_reblock_goldens(ray_session):
     for _, r in df.iterrows():
         bx, by = int(r.block_id[1:3]), int(r.block_id[4:6])
         assert r.n_terminals == int(world.n_buildings_for_block(bx, by)) + 1
+
+
+def test_approx_quantiles_close_to_exact(ray_session):
+    from prclz_ray.queries import _joined
+    from prclz_ray.stages.rollup import approx_quantiles_int, exact_quantiles_int
+
+    ds = _joined(SF).filter(expr="has_geo")
+    qs = [0.5, 0.95]
+    exact = exact_quantiles_int(ds, "dist2", qs)
+    approx = approx_quantiles_int(ds, "dist2", qs)
+    for e, a in zip(exact, approx):
+        assert abs(a - e) <= 0.05 * max(e, 1)  # rank error ≤ ~1/256
+
+
+def test_reblock_status_ok_and_dead_letter(ray_session):
+    from prclz_ray.pipelines.reblock import MAX_GRAPH_EDGES, reblock_dataset, reblock_group
+    import prclz_ray.pipelines.reblock as rb
+
+    df = reblock_dataset(limit_blocks=3).to_pandas()
+    assert (df.status == "ok").all()
+    # force the budget down → dead-letter, never an exception
+    old = rb.MAX_GRAPH_EDGES
+    try:
+        rb.MAX_GRAPH_EDGES = 2
+        import pyarrow.parquet as pq
+
+        from prclz_ray.pipelines import derive
+
+        parcels = pq.read_table(derive.parcels_path())
+        g = parcels.filter(
+            __import__("pyarrow.compute", fromlist=["equal"]).equal(
+                parcels.column("block_id"), "B00_00"
+            )
+        )
+        out = reblock_group(g).to_pandas()
+        assert out.status.tolist() == ["dead_letter:graph_too_large"]
+    finally:
+        rb.MAX_GRAPH_EDGES = old
