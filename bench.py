@@ -117,6 +117,10 @@ def run_secondary(sf_dir: str) -> dict:
         "match_count_qc",
         "top_blocks",
         "dedup_exact",
+        "dedup_minhash",
+        "ann_topk",
+        "sessionize",
+        "zonal_raster",
         "lineitem_pricing",
         "segment_revenue",
         "events_hourly",

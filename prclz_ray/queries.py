@@ -1138,6 +1138,30 @@ SQL_CELL_COUNTS = (
 )
 
 
+def q_parcels_derived(sf_dir: str):
+    """Voronoi parcelization output (G19): ids + anchors. The cell
+    geometry is pytest-checked (partition property: parcel areas sum to
+    the block area); ids/anchors are SQL-derivable."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+
+    t = pq.read_table(derive.parcels_path())
+    return t.select(["parcel_id", "block_id", "p", "anchor_lon_e6", "anchor_lat_e6"])
+
+
+SQL_PARCELS_DERIVED = f"""
+SELECT ('B' || printf('%02d', bx) || '_' || printf('%02d', by) || '_P' || p) AS parcel_id,
+       ('B' || printf('%02d', bx) || '_' || printf('%02d', by)) AS block_id,
+       p,
+       bx * {world.BLOCK_E6} + 25000 + (p % 2) * 50000 AS anchor_lon_e6,
+       by * {world.BLOCK_E6} + 25000 + (p // 2) * 50000 AS anchor_lat_e6
+FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx),
+     (SELECT unnest(range({world.N_BLOCKS})) AS by),
+     (SELECT unnest(range({world.PARCELS_PER_BLOCK})) AS p)
+"""
+
+
 def q_zonal_raster(sf_dir: str):
     """Zonal raster statistics (A5/G20): exact-integer area-weighted
     raster sum per block (raster modeled as a deterministic tile
@@ -1262,6 +1286,7 @@ QUERIES: Dict[str, Callable] = {
     "blocks_buffered": q_blocks_buffered,
     "cell_counts_salted": q_cell_counts_salted,
     "zonal_raster": q_zonal_raster,
+    "parcels_derived": q_parcels_derived,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1299,6 +1324,7 @@ ORACLES: Dict[str, str] = {
     "blocks_buffered": SQL_BLOCKS_DERIVED,  # method parity: same oracle
     "cell_counts_salted": SQL_CELL_COUNTS,
     "zonal_raster": _sql_zonal(),
+    "parcels_derived": SQL_PARCELS_DERIVED,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

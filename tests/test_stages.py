@@ -233,3 +233,27 @@ def test_reblock_status_ok_and_dead_letter(ray_session):
         assert out.status.tolist() == ["dead_letter:graph_too_large"]
     finally:
         rb.MAX_GRAPH_EDGES = old
+
+
+def test_voronoi_parcels_partition_their_block(ray_session):
+    """G19 partition property: a block's 4 parcel cells tile it exactly
+    (areas sum to the block area; anchors inside their own cell)."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.geom.core import point_in_polygon, polygon_area
+    from prclz_ray.geom.wkb import parse_wkb
+    from prclz_ray.pipelines import derive
+
+    parcels = pq.read_table(derive.parcels_path()).to_pandas()
+    blocks = pq.read_table(derive.blocks_path()).to_pandas().set_index("block_id")
+    for block_id, grp in list(parcels.groupby("block_id"))[:25]:
+        _, brings = parse_wkb(bytes(blocks.loc[block_id, "geom_wkb"]))
+        barea = polygon_area(brings[0])
+        total = 0.0
+        for _, r in grp.iterrows():
+            _, rings = parse_wkb(bytes(r.geom_wkb))
+            total += polygon_area(rings[0])
+            assert point_in_polygon(
+                rings[0], r.anchor_lon_e6 / 1e6, r.anchor_lat_e6 / 1e6
+            )
+        assert abs(total - barea) < 1e-9
