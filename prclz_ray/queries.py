@@ -137,6 +137,27 @@ def q_knn_parcels(sf_dir: str):
 SQL_KNN = _WITH_GEO + ", " + _KNN_CTE + " SELECT url, parcel_id, CAST(d2 AS BIGINT) AS dist2 FROM knn"
 
 
+_SHARD_REFS = None
+
+
+def q_pip_join_sharded(sf_dir: str):
+    """The 100 TB PIP path: polygon side sharded per partitioning cell
+    (one ray.put slice per cell), rows routed by cell_r5, per-worker
+    lazy slice indexes. Same oracle as pip_join proves equivalence."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+    from .stages.spatial import make_pip_sharded_fn, put_blocks_side_by_cell
+
+    global _SHARD_REFS
+    if _SHARD_REFS is None:
+        _SHARD_REFS = put_blocks_side_by_cell(pq.read_table(derive.blocks_path()))
+    ds = _pages(sf_dir).map_batches(
+        make_pip_sharded_fn(_SHARD_REFS), batch_format="pyarrow"
+    )
+    return ds.select_columns(["url", "block_id", "gadm"])
+
+
 def q_tile_rollup(sf_dir: str):
     from .stages.rollup import tile_rollup
 
@@ -1287,6 +1308,7 @@ QUERIES: Dict[str, Callable] = {
     "cell_counts_salted": q_cell_counts_salted,
     "zonal_raster": q_zonal_raster,
     "parcels_derived": q_parcels_derived,
+    "pip_join_sharded": q_pip_join_sharded,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1325,6 +1347,7 @@ ORACLES: Dict[str, str] = {
     "cell_counts_salted": SQL_CELL_COUNTS,
     "zonal_raster": _sql_zonal(),
     "parcels_derived": SQL_PARCELS_DERIVED,
+    "pip_join_sharded": SQL_PIP_JOIN,  # sharded path ≡ broadcast path
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -218,6 +218,76 @@ def _points_in_ring(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndar
 
 
 # ---------------------------------------------------------------------------
+# cell-sharded side table (the 100 TB path): one object-store slice per
+# partitioning cell instead of a whole-table broadcast. A worker only
+# ever fetches (and indexes) the slices its batches touch — required
+# when the polygon side itself is too large for one worker's heap
+# (SURVEY.md J1: "polygons partitioned by H3 res-5 cell, ray.put
+# per-cell slices; points routed by h3_r5").
+
+def put_blocks_side_by_cell(blocks: pa.Table, res: int | None = None) -> dict:
+    """Blocks table → {cell_id: ObjectRef of that cell's slice}.
+
+    A polygon whose bbox spans several cells is replicated into each
+    (bbox-cover routing; exact PIP resolves false positives)."""
+    from ..geom.cells import RES_PARTITION, polygon_covering_cells
+
+    if res is None:
+        res = RES_PARTITION
+    wkbs = blocks.column("geom_wkb").to_pylist()
+    by_cell: dict = {}
+    for i, w in enumerate(wkbs):
+        ring = parse_wkb(w)[1][0]
+        for cid in polygon_covering_cells(ring, res):
+            by_cell.setdefault(int(cid), []).append(i)
+    refs = {}
+    for cid, idxs in by_cell.items():
+        refs[cid] = put_blocks_side(blocks.take(pa.array(idxs, pa.int64())))
+    return refs
+
+
+def make_pip_sharded_fn(shard_refs: dict):
+    """Task-mode cell-sharded PIP join. Rows are grouped by their
+    ``cell_r5`` and each group is matched against only that cell's
+    polygon slice; slices index lazily per worker (build-once)."""
+
+    def pip_join_sharded(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell_r5").to_numpy(zero_copy_only=False)
+        n = len(cells)
+        block_id = np.full(n, None, dtype=object)
+        gadm = np.full(n, None, dtype=object)
+        lat = batch.column("lat_e6").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon_e6").to_numpy(zero_copy_only=False)
+        has = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_cells[1:] != sorted_cells[:-1]])
+        )
+        bounds = np.concatenate([starts, [n]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cid = int(sorted_cells[s])
+            ref = shard_refs.get(cid)
+            if ref is None:
+                continue
+            joiner = _cached(f"pip_cell:{cid}", PIPJoinActor, ref)
+            rows = order[s:e]
+            sel = rows[has[rows]]
+            if len(sel) == 0:
+                continue
+            idx = joiner._match(lon[sel] / 1e6, lat[sel] / 1e6)
+            m = idx >= 0
+            block_id[sel[m]] = joiner.ids[idx[m]]
+            gadm[sel[m]] = joiner.gadm[idx[m]]
+        out = dict(zip(batch.column_names, batch.columns))
+        out["block_id"] = pa.array(block_id.tolist(), pa.string())
+        out["gadm"] = pa.array(gadm.tolist(), pa.string())
+        return pa.table(out)
+
+    return pip_join_sharded
+
+
+# ---------------------------------------------------------------------------
 # task-mode wrappers: same build-once-per-worker semantics as the actor
 # pool, but as stateless tasks + a per-worker-process cache keyed by the
 # broadcast ObjectRef. Ray reuses worker processes across tasks, so the
