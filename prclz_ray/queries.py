@@ -715,6 +715,43 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_dedup_corpus(sf_dir: str):
+    """The deduplicated corpus: drop every doc that shares an LSH
+    bucket with a smaller doc_id (deterministic keep-bucket-minimum
+    policy — the per-group-first of D1/D6 applied to near-dup
+    clusters). Output: kept doc ids."""
+    from .stages.dedup import minhash_signatures
+
+    sig = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
+
+    def drop_candidates(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        return pa.table({"doc_id": pa.array(ids[1:], pa.int64())})
+
+    dropped = sig.groupby("bucket").map_groups(drop_candidates, batch_format="pyarrow")
+    drop_set = set(dropped.to_pandas()["doc_id"])  # tiny: only dup-cluster members
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(
+                batch.column("doc_id"),
+                value_set=pa.array(sorted(drop_set), pa.int64()),
+            )
+        )
+        return pa.table({"doc_id": batch.column("doc_id")}).filter(mask)
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_dedup_corpus() -> str:
+    pairs = _sql_dedup_minhash()
+    return f"""
+WITH pairs AS ({pairs})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (ANN top-k)
 
@@ -1309,6 +1346,7 @@ QUERIES: Dict[str, Callable] = {
     "zonal_raster": q_zonal_raster,
     "parcels_derived": q_parcels_derived,
     "pip_join_sharded": q_pip_join_sharded,
+    "dedup_corpus": q_dedup_corpus,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1348,6 +1386,7 @@ ORACLES: Dict[str, str] = {
     "zonal_raster": _sql_zonal(),
     "parcels_derived": SQL_PARCELS_DERIVED,
     "pip_join_sharded": SQL_PIP_JOIN,  # sharded path ≡ broadcast path
+    "dedup_corpus": _sql_dedup_corpus(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }
