@@ -257,3 +257,34 @@ def test_voronoi_parcels_partition_their_block(ray_session):
                 rings[0], r.anchor_lon_e6 / 1e6, r.anchor_lat_e6 / 1e6
             )
         assert abs(total - barea) < 1e-9
+
+
+def test_fault_tolerance_worker_crash(ray_session, tmp_path):
+    """Lineage fault tolerance: a worker death (os._exit, not a user
+    exception) mid-pipeline is retried by Ray and the flagship output
+    is complete and correct — the engine-level replacement for the
+    reference's error_{index}-file-and-continue (`midway_blocks.py:45-48`)."""
+    import os
+
+    import ray.data
+
+    from prclz_ray.stages.pages import extract_text, geocode, index_cells, synth_pages
+
+    marker = str(tmp_path / "crashed_once")
+
+    def crash_once(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)
+        return batch
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=100)
+    ds = ds.map_batches(crash_once, batch_format="pyarrow", batch_size=100)
+    ds = ds.map_batches(geocode, batch_format="pyarrow")
+    ds = ds.map_batches(extract_text, batch_format="pyarrow")
+    ds = ds.map_batches(index_cells, batch_format="pyarrow")
+    df = ds.to_pandas()
+    assert len(df) == 500
+    assert df.doc_id.nunique() == 500
+    assert os.path.exists(marker)
