@@ -205,6 +205,8 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     for i in range(n):
         ax, ay = clip[i]
         bx, by = clip[(i + 1) % n]
+        if abs(bx - ax) < 1e-12 and abs(by - ay) < 1e-12:
+            continue  # (near-)zero-length clip edge, no constraint
         inp, out = out, []
         if not inp:
             return np.empty((0, 2))
@@ -217,6 +219,10 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
             x1, y1, x2, y2 = ax, ay, bx, by
             x3, y3, x4, y4 = p[0], p[1], q[0], q[1]
             den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+            if abs(den) < 1e-30:
+                # segment (numerically) parallel to the clip line: both
+                # endpoints sit on it — either is a valid crossing point
+                return (x3, y3)
             t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
             return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
 

@@ -565,6 +565,34 @@ FROM s
 """
 
 
+def q_lang_id_trigram(sf_dir: str):
+    from .stages.textops import lang_id_trigram
+
+    return _docs(sf_dir).map_batches(lang_id_trigram, batch_format="pyarrow")
+
+
+def _sql_lang_id_trigram() -> str:
+    from .stages.textops import TRI_ORDER, TRIGRAM_PROFILES, UND
+
+    score_cols = ", ".join(
+        f"""len(list_filter(list_transform(range(1, strlen(text) - 1),
+              i -> substr(text, CAST(i AS INT), 3)),
+              g -> g IN ({', '.join(repr(g) for g in TRIGRAM_PROFILES[c])}))) AS s_{c}"""
+        for c in TRI_ORDER
+    )
+    cases = []
+    for c in TRI_ORDER:
+        conds = [f"s_{c} >= s_{o}" for o in TRI_ORDER if o != c]
+        cases.append(f"WHEN s_{c} > 0 AND {' AND '.join(conds)} THEN '{c}'")
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE '{UND}' END AS lang_pred3,
+       CAST(GREATEST(s_de, s_en, s_es, s_fr) AS BIGINT) AS top_score
+FROM s
+"""
+
+
 def q_fingerprint(sf_dir: str):
     from .stages.textops import fingerprint
 
@@ -1178,6 +1206,99 @@ def q_blocks_buffered(sf_dir: str):
     )
 
 
+def q_block_inventory(sf_dir: str):
+    """A2/J6: per-block parcel + building counts via a native Ray Data
+    hash join of the two derived tables on block_id."""
+    import ray.data
+
+    from .pipelines import derive
+
+    parcels = ray.data.read_parquet(derive.parcels_path(), columns=["block_id"])
+
+    def pcount(b: pa.Table) -> pa.Table:
+        return b.group_by("block_id").aggregate([([], "count_all")]).rename_columns(
+            ["block_id", "np_"]
+        )
+
+    p = parcels.map_batches(pcount, batch_format="pyarrow").groupby("block_id").sum("np_")
+    p = p.map_batches(
+        lambda b: pa.table({"block_id": b.column("block_id"), "n_parcels": b.column("sum(np_)")}),
+        batch_format="pyarrow",
+    )
+
+    bld = ray.data.read_parquet(derive.buildings_path(), columns=["bldg_id"])
+
+    def bcount(b: pa.Table) -> pa.Table:
+        ids = pc.utf8_slice_codeunits(b.column("bldg_id"), 0, 6)
+        t = pa.table({"block_id": ids})
+        return t.group_by("block_id").aggregate([([], "count_all")]).rename_columns(
+            ["block_id", "nb_"]
+        )
+
+    bc = bld.map_batches(bcount, batch_format="pyarrow").groupby("block_id").sum("nb_")
+    bc = bc.map_batches(
+        lambda b: pa.table({"block_id": b.column("block_id"), "n_buildings": b.column("sum(nb_)")}),
+        batch_format="pyarrow",
+    )
+    return p.join(bc, join_type="inner", num_partitions=8, on=("block_id",))
+
+
+SQL_BLOCK_INVENTORY = f"""
+SELECT ('B' || printf('%02d', bx) || '_' || printf('%02d', by)) AS block_id,
+       CAST({world.PARCELS_PER_BLOCK} AS BIGINT) AS n_parcels,
+       CAST(3 + (bx * 7 + by * 13) % 6 AS BIGINT) AS n_buildings
+FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world.N_BLOCKS})) AS by)
+"""
+
+
+# AoI triangle (integer µdeg vertices): the polygon-scope filter J9.
+# Exact PIP on a convex polygon = all cross products same sign — integer
+# arithmetic, so the oracle is exact SQL.
+_AOI_TRI = ((1_200_000, 1_100_000), (2_800_000, 1_300_000), (1_900_000, 2_900_000))
+
+
+def q_aoi_polygon_filter(sf_dir: str):
+    """J9: scope pages to an arbitrary AoI polygon — candidate pruning
+    by covering cells (predicate pushdown), then the exact PIP test."""
+    from .geom.cells import RES_PARTITION, polygon_covering_cells
+
+    tri = np.asarray(_AOI_TRI, dtype=np.float64) / 1e6
+    cover = set(int(c) for c in polygon_covering_cells(tri, RES_PARTITION))
+    (ax, ay), (bx_, by_), (cx, cy) = _AOI_TRI
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell_r5").to_numpy(zero_copy_only=False)
+        pre = np.isin(cells, np.fromiter(cover, dtype=np.int64))
+        t = batch.filter(pa.array(pre))
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string())})
+        px = t.column("lon_e6").to_numpy(zero_copy_only=False)
+        py = t.column("lat_e6").to_numpy(zero_copy_only=False)
+        d1 = (bx_ - ax) * (py - ay) - (by_ - ay) * (px - ax)
+        d2 = (cx - bx_) * (py - by_) - (cy - by_) * (px - bx_)
+        d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        inside = ((d1 >= 0) & (d2 >= 0) & (d3 >= 0)) | ((d1 <= 0) & (d2 <= 0) & (d3 <= 0))
+        return pa.table({"url": t.column("url").filter(pa.array(inside))})
+
+    return _pages(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_aoi() -> str:
+    (ax, ay), (bx_, by_), (cx, cy) = _AOI_TRI
+    return (
+        _WITH_GEO
+        + f""" SELECT url FROM pages
+      WHERE has_geo AND (
+        (({bx_} - {ax}) * (lat_e6 - {ay}) - ({by_} - {ay}) * (lon_e6 - {ax}) >= 0
+         AND ({cx} - {bx_}) * (lat_e6 - {by_}) - ({cy} - {by_}) * (lon_e6 - {bx_}) >= 0
+         AND ({ax} - {cx}) * (lat_e6 - {cy}) - ({ay} - {cy}) * (lon_e6 - {cx}) >= 0)
+        OR
+        (({bx_} - {ax}) * (lat_e6 - {ay}) - ({by_} - {ay}) * (lon_e6 - {ax}) <= 0
+         AND ({cx} - {bx_}) * (lat_e6 - {by_}) - ({cy} - {by_}) * (lon_e6 - {bx_}) <= 0
+         AND ({ax} - {cx}) * (lat_e6 - {cy}) - ({ay} - {cy}) * (lon_e6 - {cx}) <= 0))"""
+    )
+
+
 def q_cell_counts_salted(sf_dir: str):
     """Skew-handled per-cell counts: count pre-pass → hot-cell salting →
     salted groupby → merge (stages/skew.py). Counts must equal the
@@ -1326,6 +1447,7 @@ QUERIES: Dict[str, Callable] = {
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "lang_id_trigram": q_lang_id_trigram,
     "doc_fingerprint": q_fingerprint,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1347,6 +1469,8 @@ QUERIES: Dict[str, Callable] = {
     "parcels_derived": q_parcels_derived,
     "pip_join_sharded": q_pip_join_sharded,
     "dedup_corpus": q_dedup_corpus,
+    "block_inventory": q_block_inventory,
+    "aoi_polygon_filter": q_aoi_polygon_filter,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1368,6 +1492,7 @@ ORACLES: Dict[str, str] = {
     "token_counts": _sql_token_counts(),
     "text_quality": _sql_text_quality(),
     "lang_id": _sql_lang_id(),
+    "lang_id_trigram": _sql_lang_id_trigram(),
     "doc_fingerprint": _sql_fingerprint(),
     "dedup_minhash": _sql_dedup_minhash(),
     "dedup_simhash": _sql_dedup_simhash(),
@@ -1387,6 +1512,8 @@ ORACLES: Dict[str, str] = {
     "parcels_derived": SQL_PARCELS_DERIVED,
     "pip_join_sharded": SQL_PIP_JOIN,  # sharded path ≡ broadcast path
     "dedup_corpus": _sql_dedup_corpus(),
+    "block_inventory": SQL_BLOCK_INVENTORY,
+    "aoi_polygon_filter": _sql_aoi(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -117,6 +117,59 @@ def lang_id(batch: pa.Table) -> pa.Table:
     )
 
 
+# character-trigram profiles (ASCII-only so byte == char; the n-gram
+# language-ID heuristic proper, vs the word-level lang_id above)
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent"),
+    "es": ("que", "los", "ado", "nte", "era"),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "fr": ("les", "ent", "que", "des", "eur"),
+}
+TRI_ORDER = tuple(sorted(TRIGRAM_PROFILES))
+
+
+def _tri_codes(grams: tuple[str, ...]) -> np.ndarray:
+    return np.array(
+        [(ord(g[0]) << 16) | (ord(g[1]) << 8) | ord(g[2]) for g in grams],
+        dtype=np.int64,
+    )
+
+
+def lang_id_trigram(batch: pa.Table) -> pa.Table:
+    """Char-trigram language ID, vectorized over one flat byte view:
+    all texts concatenate into a single uint8 array; trigram codes come
+    from three shifted views; per-language hits sum by doc via
+    bincount. Argmax with alphabetical tie-break; all-zero → 'und'."""
+    texts = batch.column("text").to_pylist()
+    n = len(texts)
+    lens = np.array([len(t.encode()) for t in texts], dtype=np.int64)
+    flat = np.frombuffer("".join(texts).encode(), dtype=np.uint8).astype(np.int64)
+    total = len(flat)
+    scores = np.zeros((n, len(TRI_ORDER)), dtype=np.int64)
+    if total >= 3:
+        codes = (flat[:-2] << 16) | (flat[1:-1] << 8) | flat[2:]
+        # doc index per trigram-start position; positions whose trigram
+        # crosses a doc boundary are masked out
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[: total - 2]
+        ends = starts + lens
+        pos = np.arange(total - 2, dtype=np.int64)
+        valid = pos + 3 <= ends[doc_of]
+        for j, code in enumerate(TRI_ORDER):
+            hit = np.isin(codes, _tri_codes(TRIGRAM_PROFILES[code])) & valid
+            scores[:, j] = np.bincount(doc_of[hit], minlength=n)
+    best = np.argmax(scores, axis=1)
+    pred = np.asarray(TRI_ORDER, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = UND
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred3": pa.array(pred.tolist(), pa.string()),
+            "top_score": pa.array(scores.max(axis=1)),
+        }
+    )
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Document fingerprints: whole-text md5 + winnow-lite (min over
     character FP_GRAM-gram hashes — the rolling-hash fingerprint)."""
