@@ -288,3 +288,28 @@ def test_fault_tolerance_worker_crash(ray_session, tmp_path):
     assert len(df) == 500
     assert df.doc_id.nunique() == 500
     assert os.path.exists(marker)
+
+
+def test_determinism_under_parallelism(ray_session):
+    """FIXTURES.md §3 'scaling' row: the joined output is identical
+    regardless of partitioning/parallelism (key-derived ids, no
+    enumeration order anywhere)."""
+    import ray.data
+
+    from prclz_ray.pipelines.flagship import joined_pages, load_side_tables
+
+    br, ar = load_side_tables()
+    a = (
+        joined_pages(SF, blocks_ref=br, anchors_ref=ar, batch_size=8192)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        joined_pages(SF, blocks_ref=br, anchors_ref=ar, batch_size=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ("doc_id", "block_id", "gadm", "parcel_id", "dist2", "cell_r5"):
+        assert (a[col].fillna("") == b[col].fillna("")).all(), col

@@ -1,0 +1,41 @@
+"""Per-operator stats for any named query — the perf feedback loop.
+
+Usage: python tools/explain.py <query> [sf_dir]
+
+Runs the query, materializes it, and prints Ray Data's per-operator
+stats (task counts, remote wall/cpu, rows, bytes) so a slow stage is
+visible immediately (the `ds.stats()` iteration loop the build brief
+prescribes).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    import ray.data
+
+    from prclz_ray.queries import QUERIES
+
+    res = QUERIES[name](sf_dir)
+    if isinstance(res, ray.data.Dataset):
+        mat = res.materialize()
+        print(mat.stats())
+        print(f"rows: {mat.count()}")
+    else:
+        print(f"(driver-side result, no Ray stats) rows: {res.num_rows}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
