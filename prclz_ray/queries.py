@@ -158,6 +158,26 @@ def q_pip_join_sharded(sf_dir: str):
     return ds.select_columns(["url", "block_id", "gadm"])
 
 
+_KNN_SHARD_REFS = None
+
+
+def q_knn_parcels_sharded(sf_dir: str):
+    """The 100 TB kNN path: anchors sharded per cell with a 100k-µdeg
+    halo; rows routed by cell_r5. Same oracle as knn_parcels proves the
+    halo assumption holds (nearest anchor always inside the slice)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+    from .stages.spatial import make_knn_sharded_fn, put_anchors_side_by_cell
+
+    global _KNN_SHARD_REFS
+    if _KNN_SHARD_REFS is None:
+        _KNN_SHARD_REFS = put_anchors_side_by_cell(pq.read_table(derive.parcels_path()))
+    ds = _pages(sf_dir).filter(expr="has_geo")
+    ds = ds.map_batches(make_knn_sharded_fn(_KNN_SHARD_REFS), batch_format="pyarrow")
+    return ds.select_columns(["url", "parcel_id", "dist2"])
+
+
 def q_tile_rollup(sf_dir: str):
     from .stages.rollup import tile_rollup
 
@@ -1471,6 +1491,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_corpus": q_dedup_corpus,
     "block_inventory": q_block_inventory,
     "aoi_polygon_filter": q_aoi_polygon_filter,
+    "knn_parcels_sharded": q_knn_parcels_sharded,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1514,6 +1535,7 @@ ORACLES: Dict[str, str] = {
     "dedup_corpus": _sql_dedup_corpus(),
     "block_inventory": SQL_BLOCK_INVENTORY,
     "aoi_polygon_filter": _sql_aoi(),
+    "knn_parcels_sharded": SQL_KNN,  # halo'd shards ≡ broadcast
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

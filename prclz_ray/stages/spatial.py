@@ -307,6 +307,72 @@ def _cached(kind: str, cls, ref):
     return inst
 
 
+def put_anchors_side_by_cell(parcels: pa.Table, res: int | None = None, halo_e6: int = 100_000) -> dict:
+    """Anchors table → {cell_id: ObjectRef of slice + halo}.
+
+    Each cell's slice contains its own anchors PLUS every anchor within
+    ``halo_e6`` of the cell border, so a point's true nearest anchor is
+    in its own slice whenever nearest-distance < halo (documented
+    partitioning assumption; in this world nearest ≤ ~36k µdeg ≪ the
+    100k halo — asserted by the equivalence oracle)."""
+    from ..geom.cells import RES_PARTITION, cell_width_e6
+
+    if res is None:
+        res = RES_PARTITION
+    w = cell_width_e6(res)
+    ax = parcels.column("anchor_lon_e6").to_numpy().astype(np.int64)
+    ay = parcels.column("anchor_lat_e6").to_numpy().astype(np.int64)
+    nmax = (1 << res) - 1
+    cx0 = np.clip((ax - halo_e6) // w, 0, nmax)
+    cx1 = np.clip((ax + halo_e6) // w, 0, nmax)
+    cy0 = np.clip((ay - halo_e6) // w, 0, nmax)
+    cy1 = np.clip((ay + halo_e6) // w, 0, nmax)
+    by_cell: dict = {}
+    for i in range(len(ax)):
+        for cx in range(cx0[i], cx1[i] + 1):
+            for cy in range(cy0[i], cy1[i] + 1):
+                cid = (res << 56) | (int(cx) << 28) | int(cy)
+                by_cell.setdefault(cid, []).append(i)
+    return {
+        cid: put_anchors_side(parcels.take(pa.array(idxs, pa.int64())))
+        for cid, idxs in by_cell.items()
+    }
+
+
+def make_knn_sharded_fn(shard_refs: dict):
+    """Task-mode cell-sharded kNN: rows grouped by cell_r5, each group
+    assigned from only its cell's halo'd anchor slice."""
+
+    def knn_sharded(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell_r5").to_numpy(zero_copy_only=False)
+        n = len(cells)
+        parcel_id = np.full(n, None, dtype=object)
+        dist2 = np.full(n, -1, dtype=np.int64)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_cells[1:] != sorted_cells[:-1]])
+        )
+        bounds = np.concatenate([starts, [n]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cid = int(sorted_cells[s])
+            ref = shard_refs.get(cid)
+            if ref is None:
+                continue
+            knn = _cached(f"knn_cell:{cid}", KNNAnchorActor, ref)
+            rows = order[s:e]
+            sub = batch.take(pa.array(rows, pa.int64()))
+            res_t = knn(sub)
+            parcel_id[rows] = res_t.column("parcel_id").to_pylist()
+            dist2[rows] = res_t.column("dist2").to_numpy(zero_copy_only=False)
+        out = dict(zip(batch.column_names, batch.columns))
+        out["parcel_id"] = pa.array(parcel_id.tolist(), pa.string())
+        out["dist2"] = pa.array(dist2)
+        return pa.table(out)
+
+    return knn_sharded
+
+
 def make_pip_fn(blocks_ref):
     """Task-mode PIP join: ``ds.map_batches(make_pip_fn(ref), ...)``."""
 

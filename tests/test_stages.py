@@ -313,3 +313,24 @@ def test_determinism_under_parallelism(ray_session):
     )
     for col in ("doc_id", "block_id", "gadm", "parcel_id", "dist2", "cell_r5"):
         assert (a[col].fillna("") == b[col].fillna("")).all(), col
+
+
+def test_actor_mode_equals_task_mode(ray_session):
+    """mode='actor' (explicit actor pools) produces the identical join
+    to the default task mode."""
+    from prclz_ray.pipelines.flagship import joined_pages, load_side_tables
+
+    br, ar = load_side_tables()
+    t = (
+        joined_pages(SF, blocks_ref=br, anchors_ref=ar, mode="task")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    a = (
+        joined_pages(
+            SF, blocks_ref=br, anchors_ref=ar, mode="actor",
+            pip_concurrency=(1, 2), knn_concurrency=(1, 2),
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for col in ("block_id", "gadm", "parcel_id", "dist2"):
+        assert (t[col].fillna("") == a[col].fillna("")).all(), col
