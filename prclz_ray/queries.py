@@ -23,6 +23,33 @@ from .geom.cells import RES_PARTITION, WORLD_SPAN_E6
 _SIDE_REFS = None
 
 
+def _ray_epoch() -> str:
+    """Current Ray session marker — broadcast ObjectRefs die with the
+    session, so every module-level ref cache is keyed by this."""
+    import ray
+
+    try:
+        # session dir name is unique per ray.init (job ids restart at 01)
+        return ray._private.worker._global_node.session_name
+    except Exception:
+        try:
+            return ray.get_runtime_context().get_node_id()
+        except Exception:
+            return "no-session"
+
+
+_EPOCHED: dict = {}
+
+
+def _epoch_cached(name: str, build):
+    """Session-aware singleton: rebuilt if Ray was restarted."""
+    epoch = _ray_epoch()
+    hit = _EPOCHED.get(name)
+    if hit is None or hit[0] != epoch:
+        _EPOCHED[name] = (epoch, build())
+    return _EPOCHED[name][1]
+
+
 def _cents(col) -> pa.Array:
     """value*100 rounded half-away-from-zero (DuckDB ROUND semantics;
     values are non-negative here) and cast to exact int64."""
@@ -31,13 +58,10 @@ def _cents(col) -> pa.Array:
 
 
 def _side_refs():
-    """ray.put the blocks/parcels side tables once per session."""
-    global _SIDE_REFS
-    if _SIDE_REFS is None:
-        from .pipelines.flagship import load_side_tables
+    """ray.put the blocks/parcels side tables once per Ray session."""
+    from .pipelines.flagship import load_side_tables
 
-        _SIDE_REFS = load_side_tables()
-    return _SIDE_REFS
+    return _epoch_cached("side_refs", load_side_tables)
 
 
 def _joined(sf_dir: str):
@@ -137,9 +161,6 @@ def q_knn_parcels(sf_dir: str):
 SQL_KNN = _WITH_GEO + ", " + _KNN_CTE + " SELECT url, parcel_id, CAST(d2 AS BIGINT) AS dist2 FROM knn"
 
 
-_SHARD_REFS = None
-
-
 def q_pip_join_sharded(sf_dir: str):
     """The 100 TB PIP path: polygon side sharded per partitioning cell
     (one ray.put slice per cell), rows routed by cell_r5, per-worker
@@ -149,16 +170,11 @@ def q_pip_join_sharded(sf_dir: str):
     from .pipelines import derive
     from .stages.spatial import make_pip_sharded_fn, put_blocks_side_by_cell
 
-    global _SHARD_REFS
-    if _SHARD_REFS is None:
-        _SHARD_REFS = put_blocks_side_by_cell(pq.read_table(derive.blocks_path()))
-    ds = _pages(sf_dir).map_batches(
-        make_pip_sharded_fn(_SHARD_REFS), batch_format="pyarrow"
+    refs = _epoch_cached(
+        "pip_shards", lambda: put_blocks_side_by_cell(pq.read_table(derive.blocks_path()))
     )
+    ds = _pages(sf_dir).map_batches(make_pip_sharded_fn(refs), batch_format="pyarrow")
     return ds.select_columns(["url", "block_id", "gadm"])
-
-
-_KNN_SHARD_REFS = None
 
 
 def q_knn_parcels_sharded(sf_dir: str):
@@ -170,11 +186,11 @@ def q_knn_parcels_sharded(sf_dir: str):
     from .pipelines import derive
     from .stages.spatial import make_knn_sharded_fn, put_anchors_side_by_cell
 
-    global _KNN_SHARD_REFS
-    if _KNN_SHARD_REFS is None:
-        _KNN_SHARD_REFS = put_anchors_side_by_cell(pq.read_table(derive.parcels_path()))
+    refs = _epoch_cached(
+        "knn_shards", lambda: put_anchors_side_by_cell(pq.read_table(derive.parcels_path()))
+    )
     ds = _pages(sf_dir).filter(expr="has_geo")
-    ds = ds.map_batches(make_knn_sharded_fn(_KNN_SHARD_REFS), batch_format="pyarrow")
+    ds = ds.map_batches(make_knn_sharded_fn(refs), batch_format="pyarrow")
     return ds.select_columns(["url", "parcel_id", "dist2"])
 
 
