@@ -167,7 +167,7 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dic
 def scaling_run(sf_dir: str, amplify: int) -> dict:
     """Same job at 8 and 32 CPUs in fresh processes; efficiency =
     rows/s(32) / (4 * rows/s(8))."""
-    amplify = int(os.environ.get("GRAFT_SCALE_AMPLIFY", str(max(amplify, 400))))
+    amplify = int(os.environ.get("GRAFT_SCALE_AMPLIFY", str(max(amplify, 2000))))
     results = {}
     for cpus in (8, 32):
         time.sleep(5)  # let the previous Ray session finish teardown
