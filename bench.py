@@ -205,7 +205,7 @@ def main():
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
     ap.add_argument("--amplify", type=int,
-                    default=int(os.environ.get("GRAFT_AMPLIFY", "100")))
+                    default=int(os.environ.get("GRAFT_AMPLIFY", "400")))
     args = ap.parse_args()
 
     if args.scaling:

@@ -104,3 +104,62 @@ def test_convex_clip_area_bounds(a, b):
         assert ca <= polygon_area(a) + 1e-6
         assert ca <= polygon_area(b) + 1e-6
         assert ca >= -1e-9
+
+
+def test_cell_parent_containment():
+    from prclz_ray.geom.cells import (
+        RES_FINE,
+        RES_PARTITION,
+        cell_bounds,
+        cell_id_e6,
+        cell_parent,
+    )
+
+    rng = np.random.default_rng(7)
+    lat = rng.integers(0, 10_000_000, 200)
+    lon = rng.integers(0, 10_000_000, 200)
+    fine = cell_id_e6(lat, lon, RES_FINE)
+    coarse = cell_id_e6(lat, lon, RES_PARTITION)
+    assert (cell_parent(fine, RES_PARTITION) == coarse).all()
+    for cid in np.unique(fine)[:20]:
+        lo0, la0, lo1, la1 = cell_bounds(cid)
+        plo0, pla0, plo1, pla1 = cell_bounds(cell_parent(cid, RES_PARTITION))
+        assert plo0 <= lo0 and pla0 <= la0 and lo1 <= plo1 and la1 <= pla1
+
+
+def test_cell_id_matches_sql_fragment():
+    """The numpy cell id and the SQL oracle fragment agree on random
+    coordinates (the partitioning key is computed identically on both
+    sides of the correctness gate)."""
+    import duckdb
+
+    from prclz_ray.geom.cells import RES_PARTITION, cell_id_e6
+    from prclz_ray.queries import _CELL_SQL
+
+    rng = np.random.default_rng(11)
+    lat = rng.integers(0, 10_000_000, 500).astype(np.int64)
+    lon = rng.integers(0, 10_000_000, 500).astype(np.int64)
+    want = cell_id_e6(lat, lon, RES_PARTITION)
+    con = duckdb.connect()
+    import pandas as pd
+
+    df = pd.DataFrame({"lat_e6": lat, "lon_e6": lon, "has_geo": True})
+    con.register("pts", df)
+    got = con.execute(
+        f"SELECT CAST({_CELL_SQL} AS BIGINT) FROM pts"
+    ).df().iloc[:, 0].to_numpy()
+    assert (got == want).all()
+
+
+def test_mercator_tile_roundtrip():
+    from prclz_ray.geom.tiles import mercator_tile, mercator_tile_bounds
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-80, 80, 100)
+    lon = rng.uniform(-179, 179, 100)
+    for z in (2, 6):
+        x, y = mercator_tile(lat, lon, z)
+        for i in range(0, 100, 13):
+            lo0, la0, lo1, la1 = mercator_tile_bounds(int(x[i]), int(y[i]), z)
+            assert lo0 - 1e-9 <= lon[i] <= lo1 + 1e-9
+            assert la0 - 1e-6 <= lat[i] <= la1 + 1e-6
