@@ -1444,9 +1444,27 @@ WHERE bx * {world.N_BLOCKS} + by < {REBLOCK_LIMIT}
 """
 
 
+def _complexity_path() -> str:
+    """Parquet-cached full complexity table (the reference's per-block
+    `.block.cache` checkpoint files, `single_file_complexity.py:28-46`,
+    as one partitioned cache): built once per machine by the REAL
+    pipeline (q_block_complexity), then read."""
+    from .pipelines.derive import _cached
+
+    def build():
+        return pa.table(
+            q_block_complexity("unused").to_pandas().sort_values("block_id")
+        )
+
+    return _cached("complexity", build)
+
+
 def q_complexity_hist(sf_dir: str):
-    """Distribution of k over all blocks (A8 QC rollup)."""
-    ds = q_block_complexity(sf_dir)
+    """Distribution of k over all blocks (A8 QC rollup) — reads the
+    complexity cache (T5 semantics) instead of recomputing."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_complexity_path())
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"k": batch.column("k")})

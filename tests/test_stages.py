@@ -334,3 +334,20 @@ def test_actor_mode_equals_task_mode(ray_session):
     )
     for col in ("block_id", "gadm", "parcel_id", "dist2"):
         assert (t[col].fillna("") == a[col].fillna("")).all(), col
+
+
+def test_complexity_hist_golden(ray_session):
+    """Golden full-pipeline k-complexity distribution over all 10,000
+    blocks (PIP join → per-block Voronoi → weak-dual sequence): the
+    engine-level analogue of the reference's fixed-k smoketests
+    (`smoketests/smoketest_block_complexity.py`)."""
+    from prclz_ray.queries import QUERIES
+
+    df = (
+        QUERIES["complexity_hist"](SF)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert df.k.tolist() == [1, 2, 3]
+    assert df.n_blocks.tolist() == [2693, 4413, 2894]
