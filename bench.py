@@ -139,7 +139,14 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dic
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+        try:
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+        except Exception:
+            pass
     run_headline(sf_dir, min(2, amplify), num_cpus)  # warmup: worker imports
     # best-of-2: single-node timing variance here is large (±40%)
     head = run_headline(sf_dir, amplify, num_cpus)
