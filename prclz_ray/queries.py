@@ -1061,6 +1061,43 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1 h windows / 15 min step) — the third
+    window family beside tumbling (events_hourly) and session
+    (sessionize). Map-side explode×4 + partial combine, one small
+    groupby shuffle."""
+    import ray.data
+
+    from .stages.events import sliding_window_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    agg = (
+        ds.map_batches(sliding_window_counts, batch_format="pyarrow")
+        .groupby(["event_type", "window_us"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_us": b.column("window_us"),
+                "n_events": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       CAST((epoch_us(ts) // 900000000) * 900000000
+            - CAST(k AS BIGINT) * 900000000 AS BIGINT) AS window_us,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY 1, 2
+"""
+
+
 def q_event_props(sf_dir: str):
     """JSON props extraction (vectorized regex) + rollup per type."""
     import ray.data
@@ -1526,6 +1563,7 @@ QUERIES: Dict[str, Callable] = {
     "block_inventory": q_block_inventory,
     "aoi_polygon_filter": q_aoi_polygon_filter,
     "knn_parcels_sharded": q_knn_parcels_sharded,
+    "events_sliding": q_events_sliding,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1570,6 +1608,7 @@ ORACLES: Dict[str, str] = {
     "block_inventory": SQL_BLOCK_INVENTORY,
     "aoi_polygon_filter": _sql_aoi(),
     "knn_parcels_sharded": SQL_KNN,  # halo'd shards ≡ broadcast
+    "events_sliding": SQL_EVENTS_SLIDING,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -45,6 +45,34 @@ def sessionize_group(group: pa.Table) -> pa.Table:
     )
 
 
+SLIDE_STEP_US = 15 * 60 * 1_000_000   # 15-min step
+SLIDE_WIDTH_US = 60 * 60 * 1_000_000  # 1-hour window
+
+
+def sliding_window_counts(batch: pa.Table) -> pa.Table:
+    """Sliding 1 h windows stepped 15 min, per event_type: each event
+    belongs to exactly width/step = 4 windows, so the batch explodes
+    ×4 into (type, window_start) rows pre-aggregated map-side — an
+    order-independent formulation (no sort, late data lands in the
+    right windows by construction). Empty windows are not emitted."""
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    types = batch.column("event_type").to_pylist()
+    k = SLIDE_WIDTH_US // SLIDE_STEP_US
+    base = (ts // SLIDE_STEP_US) * SLIDE_STEP_US
+    starts = base[:, None] - np.arange(k)[None, :] * SLIDE_STEP_US  # (n, 4)
+    t = pa.table(
+        {
+            "event_type": pa.array(np.repeat(types, k)),
+            "window_us": pa.array(starts.ravel()),
+        }
+    )
+    return (
+        t.group_by(["event_type", "window_us"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["event_type", "window_us", "n"])
+    )
+
+
 def extract_props_k(batch: pa.Table) -> pa.Table:
     """Parse the integer ``k`` out of the JSON ``props`` column —
     vectorized regex (per-record parser, M2 analogue)."""
