@@ -61,7 +61,16 @@ def wkb_multipolygon(polygons) -> bytes:
     """``polygons`` is a list of (exterior, holes) pairs or bare exteriors."""
     parts = []
     for p in polygons:
-        if isinstance(p, tuple) and len(p) == 2 and not np.isscalar(p[0][0][0] if len(p[0]) else 0):
+        # an (exterior, holes) pair: element 0 is a ring (rows are
+        # coordinate pairs), element 1 a sequence of rings
+        is_pair = (
+            isinstance(p, tuple)
+            and len(p) == 2
+            and len(p[0]) > 0
+            and not np.isscalar(p[0][0])
+            and len(p[0][0]) == 2
+        )
+        if is_pair:
             parts.append(wkb_polygon(p[0], p[1]))
         else:
             parts.append(wkb_polygon(p))

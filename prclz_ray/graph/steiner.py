@@ -53,11 +53,13 @@ class _DSU:
         self.parent: Dict[Coord, Coord] = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x = p
-        return x
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        # path compression to the TRUE root
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
 
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)

@@ -298,12 +298,18 @@ def _cached(name: str, build):
     """Build a derived table once per machine; cache as parquet."""
     import pyarrow.parquet as pq
 
+    import tempfile
+
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"{name}.parquet")
     if not os.path.exists(path):
         tbl = build()
-        pq.write_table(tbl, path + ".tmp")
-        os.replace(path + ".tmp", path)  # atomic: concurrent builders race safely
+        # unique tmp per builder → os.replace is genuinely atomic even
+        # when two processes race to build the same table
+        fd, tmp = tempfile.mkstemp(prefix=f"{name}.", suffix=".tmp", dir=CACHE_DIR)
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
     return path
 
 

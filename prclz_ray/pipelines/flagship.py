@@ -12,6 +12,7 @@ a killed run resumes per partition.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -105,13 +106,27 @@ def run_flagship(
 ) -> dict:
     """Run the flagship join and write partitioned parquet + manifest.
 
-    Resumable: partitions (res-5 cells) already in the manifest are
-    filtered out before the join actors run; output is one Hive
-    directory per cell. Returns {partitions, rows, wall_s, skipped}.
+    Resumable AND crash-safe: partitions (res-5 cells) already in the
+    manifest are filtered out before the join actors run; partition
+    directories NOT in the manifest are stale output of a killed run
+    (the manifest row is written only after a partition's files are
+    durable) and are deleted before recomputing, so a resumed run never
+    duplicates rows. Output is one Hive directory per cell. Returns
+    {partitions, rows, wall_s, skipped}.
     """
+    import glob
+    import shutil
+
     t0 = time.time()
     manifest = Manifest(out_dir)
     done = manifest.completed() if resume else set()
+
+    # crash cleanup: any partition dir without a manifest row is a
+    # partial write from a killed run — remove before recomputing
+    for d in glob.glob(os.path.join(out_dir, "cell_r5=*")):
+        key = d.rsplit("=", 1)[-1]
+        if key not in done:
+            shutil.rmtree(d)
 
     ds = joined_pages(
         input_dir, pip_concurrency=pip_concurrency, knn_concurrency=knn_concurrency

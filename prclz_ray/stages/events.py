@@ -78,10 +78,12 @@ def extract_props_k(batch: pa.Table) -> pa.Table:
     vectorized regex (per-record parser, M2 analogue)."""
     m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?[0-9]+)')
     k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+    # k stays NULL when props has no integer k — aggregates skip nulls,
+    # matching SQL SUM semantics (oracle parity)
     return pa.table(
         {
             "event_id": batch.column("event_id"),
             "event_type": batch.column("event_type"),
-            "k": pc.fill_null(k, -1),
+            "k": k,
         }
     )

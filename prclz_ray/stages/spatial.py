@@ -14,11 +14,8 @@ Ray and the DuckDB oracle agree bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 
@@ -202,19 +199,6 @@ class PIPJoinActor:
         out["block_id"] = pa.array(block_id.tolist(), pa.string())
         out["gadm"] = pa.array(gadm.tolist(), pa.string())
         return pa.table(out)
-
-
-def _points_in_ring(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-    """Ray-crossing test, many points vs one ring (open)."""
-    x0, y0 = ring[:, 0], ring[:, 1]
-    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
-    pxc = px[:, None]
-    pyc = py[:, None]
-    cond = (y0 > pyc) != (y1 > pyc)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xints = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
-    crossings = np.sum(cond & (pxc < xints), axis=1)
-    return (crossings % 2).astype(bool)
 
 
 # ---------------------------------------------------------------------------
@@ -406,12 +390,20 @@ class KNNAnchorActor:
 
     BUCKET_E6 = 100_000
 
+    MAX_ANCHORS = 1 << 21  # packed-key id width; shard larger side tables
+
     def __init__(self, anchors_ref, k: int = 1):
         side = ray.get(anchors_ref)
         self.ids = side["ids"]
         self.ax = side["ax"]
         self.ay = side["ay"]
         self.k = k
+        if len(self.ids) >= self.MAX_ANCHORS:
+            raise ValueError(
+                f"{len(self.ids)} anchors exceed the per-actor packed-key "
+                f"limit ({self.MAX_ANCHORS}); shard the side table by cell "
+                "(put_anchors_side_by_cell) instead of broadcasting whole"
+            )
         bx = self.ax // self.BUCKET_E6
         by = self.ay // self.BUCKET_E6
         self.buckets: dict = {}
@@ -429,17 +421,21 @@ class KNNAnchorActor:
         self.cell_counts = np.bincount(flat, minlength=self.gw * self.gh).astype(np.int64)
         self.cell_starts = np.concatenate([[0], np.cumsum(self.cell_counts)[:-1]])
 
-    def _candidates(self, bx: int, by: int, need: int) -> np.ndarray:
-        """Anchors from expanding Chebyshev rings around (bx, by).
+    def _nearest_exact(self, lon: int, lat: int):
+        """Exact nearest anchor by Chebyshev ring expansion.
 
-        Stops one ring AFTER k candidates are first found so a nearer
-        anchor just across the ring boundary cannot be missed."""
-        got: list = []
-        count = 0
-        found_ring = None
+        Correct stopping rule: keep expanding while a ring could still
+        hold a nearer anchor — any anchor in ring r is at least
+        (r-1)·BUCKET away from the point, so stop once
+        (r-1)²·BUCKET² > best_d2. Returns (anchor_idx, d2) or (-1, -1).
+        """
+        bx, by = int(lon // self.BUCKET_E6), int(lat // self.BUCKET_E6)
+        best_i, best_d2 = -1, -1
         r = 0
-        while r <= 256:
-            if found_ring is not None and r > found_ring:
+        while r <= 4096:
+            if best_i >= 0 and (r - 1) > 0 and (
+                (r - 1) * self.BUCKET_E6
+            ) ** 2 > best_d2:
                 break
             if r == 0:
                 cells = [(bx, by)]
@@ -450,13 +446,19 @@ class KNNAnchorActor:
                 cells += [(bx + r, cy) for cy in range(by - r + 1, by + r)]
             for c in cells:
                 b = self.buckets.get(c)
-                if b is not None:
-                    got.append(b)
-                    count += len(b)
-            if count >= need and found_ring is None:
-                found_ring = r + 1  # take one safety ring beyond
+                if b is None:
+                    continue
+                dx = lon - self.ax[b]
+                dy = lat - self.ay[b]
+                d2 = dx * dx + dy * dy
+                j = int(np.argmin(d2))
+                # lexicographic (d2, anchor-id) tie-break
+                if best_i < 0 or d2[j] < best_d2 or (
+                    d2[j] == best_d2 and int(b[j]) < best_i
+                ):
+                    best_i, best_d2 = int(b[j]), int(d2[j])
             r += 1
-        return np.concatenate(got) if got else np.empty(0, dtype=np.int64)
+        return best_i, best_d2
 
     def _nearest_3x3(self, lon: np.ndarray, lat: np.ndarray):
         """Vectorized nearest-anchor over each point's 3×3 bucket
@@ -487,8 +489,10 @@ class KNNAnchorActor:
         dx = lon[pair_pt] - self.ax[cand]
         dy = lat[pair_pt] - self.ay[cand]
         d2 = dx * dx + dy * dy
-        # lexicographic (d2, anchor) min per point; d2 < 2^46 in-grid
-        key = np.minimum(d2, (1 << 46) - 1) * (1 << 17) + np.minimum(cand, (1 << 17) - 1)
+        # lexicographic (d2, anchor) min per point packed into int64:
+        # d2 < 2·(3·BUCKET)² ≈ 2^38 in-grid (clipped at 2^41 for safety)
+        # and anchor index < 2^21 (guarded in __init__) → key < 2^63
+        key = np.minimum(d2, (1 << 41) - 1) * (1 << 21) + cand
 
         best = np.full(n, -1, dtype=np.int64)
         best_d2 = np.full(n, -1, dtype=np.int64)
@@ -496,8 +500,8 @@ class KNNAnchorActor:
         if total:
             pstarts = np.concatenate([[0], np.cumsum(tot)[:-1]])[has_cand]
             mins = np.minimum.reduceat(key, pstarts)
-            best[has_cand] = mins % (1 << 17)
-            best_d2[has_cand] = mins >> 17
+            best[has_cand] = mins % (1 << 21)
+            best_d2[has_cand] = mins >> 21
         return best, best_d2
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -518,17 +522,10 @@ class KNNAnchorActor:
             best_id[sel[ok]] = self.ids[a_idx[ok]]
             best_d2[sel[ok]] = d2[ok]
             for i in sel[~ok] if (~ok).any() else []:
-                cand = self._candidates(
-                    int(lon[i] // self.BUCKET_E6), int(lat[i] // self.BUCKET_E6), self.k
-                )
-                if len(cand) == 0:
-                    continue
-                dx = lon[i] - self.ax[cand]
-                dy = lat[i] - self.ay[cand]
-                dd = dx * dx + dy * dy
-                j = int(np.argmin(dd))
-                best_id[i] = self.ids[cand[j]]
-                best_d2[i] = dd[j]
+                bi, bd2 = self._nearest_exact(int(lon[i]), int(lat[i]))
+                if bi >= 0:
+                    best_id[i] = self.ids[bi]
+                    best_d2[i] = bd2
 
         out = dict(zip(batch.column_names, batch.columns))
         out["parcel_id"] = pa.array(best_id.tolist(), pa.string())

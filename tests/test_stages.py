@@ -185,10 +185,10 @@ def test_reblock_goldens(ray_session):
     )
     assert df.block_id.tolist() == ["B00_00", "B00_01", "B00_02", "B00_03"]
     assert df.n_terminals.tolist() == [4, 5, 6, 7]
-    assert df.n_steiner_edges.tolist() == [4, 11, 14, 14]
-    assert df.n_new_edges.tolist() == [1, 2, 5, 6]
-    assert df.total_len_e6.tolist() == [88484, 396848, 459131, 416506]
-    assert df.new_len_e6.tolist() == [27484, 34726, 96000, 64479]
+    assert df.n_steiner_edges.tolist() == [4, 11, 13, 14]
+    assert df.n_new_edges.tolist() == [1, 2, 4, 6]
+    assert df.total_len_e6.tolist() == [88484, 396848, 426601, 416506]
+    assert df.new_len_e6.tolist() == [27484, 34726, 63470, 64479]
     # every block's terminals = its buildings + 1 road-access point
     from prclz_ray import world
 
@@ -351,3 +351,27 @@ def test_complexity_hist_golden(ray_session):
     )
     assert df.k.tolist() == [1, 2, 3]
     assert df.n_blocks.tolist() == [2693, 4413, 2894]
+
+
+def test_resume_cleans_stale_partial_partitions(ray_session, tmp_path):
+    """Crash-mid-write: partition dirs WITHOUT manifest rows are stale
+    partial output and must be deleted before recompute — a resumed run
+    never duplicates rows."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines.flagship import run_flagship
+    from prclz_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "out")
+    run_flagship(SF, out, resume=False)
+    m = Manifest(out)
+    # simulate a crash: files on disk but manifest rows missing
+    victims = sorted(m.completed())[:4]
+    for v in victims:
+        os.remove(os.path.join(out, "_manifest", f"{v}.json"))
+
+    r = run_flagship(SF, out, resume=True)
+    t = pq.read_table(out)
+    assert t.num_rows == 500
+    assert len(set(t.column("doc_id").to_pylist())) == 500  # no duplicates
+    assert r["skipped"] == len(m.completed()) - 4
