@@ -885,6 +885,34 @@ def q_ann_topk_lsh(sf_dir: str):
     )
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale path 2, beside SRP-LSH):
+    k-means coarse quantizer trained once, queries probe top-4 lists.
+    Approximate by design → rows-only check."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .stages.similarity import (
+        ivf_centroids,
+        make_ivf_topk_fn,
+        merge_topk,
+        put_queries,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qsel = ids % 100 == 0
+    qref = put_queries(emb[qsel], ids[qsel])
+    cents = ivf_centroids(emb)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    local = ds.map_batches(make_ivf_topk_fn(qref, cents, k=10), batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=10), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary media columns; decode stubbed, plumbing real)
 
@@ -1546,6 +1574,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "media_meta": q_media_meta,
     "frame_sample": q_frame_sample,
     "reblock": q_reblock,

@@ -75,6 +75,60 @@ def merge_topk(group: pa.Table, k: int = 10) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# IVF variant (scale path 2): k-means coarse quantizer
+
+def ivf_centroids(vectors: np.ndarray, n_lists: int = 16, iters: int = 10,
+                  seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means over normalized vectors (the IVF
+    coarse quantizer — trained once on a sample, broadcast to workers)."""
+    x = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            sel = x[assign == j]
+            if len(sel):
+                m = sel.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
+                     nprobe: int = 4):
+    """IVF ANN: each batch scores only vectors whose nearest centroid is
+    among each query's top-``nprobe`` centroids — at 100 TB the vector
+    table is Hive-partitioned by list id and the probe prunes the read."""
+    def topk(batch: pa.Table) -> pa.Table:
+        side = ray.get(queries_ref)
+        qn, q_ids = side["q"], side["ids"]
+        qprobe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vlist = np.argmax(emb_n @ centroids.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qn)):
+            sel = np.flatnonzero(np.isin(vlist, qprobe[qi]))
+            if len(sel) == 0:
+                continue
+            sim = emb_n[sel] @ qn[qi]
+            order = np.lexsort((vids[sel], -sim))[: min(k, len(sel))]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(vids[sel][order].tolist())
+            out_s.extend(sim[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return topk
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 
 N_PLANES = 8  # sign-random-projection bits → 256 buckets
