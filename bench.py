@@ -41,7 +41,10 @@ def _prepare_amplified(sf_dir: str, amplify: int, n_docs: int) -> str:
     import pyarrow as pa
 
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = f"/tmp/graft_bench/{name}_x{amplify}"
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"  # invalidates on source change
+    out = f"/tmp/graft_bench/{name}_x{amplify}_{fingerprint}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
@@ -74,10 +77,11 @@ def _amplified_pages(sf_dir: str, amplify: int, n_docs: int):
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     else:
         ds = ray.data.read_parquet(_prepare_amplified(sf_dir, amplify, n_docs))
-    ds = ds.map_batches(synth_pages, batch_format="pyarrow")
-    ds = ds.map_batches(geocode, batch_format="pyarrow")
-    ds = ds.map_batches(extract_text, batch_format="pyarrow")
-    return ds.map_batches(index_cells, batch_format="pyarrow")
+    # same stage config as pipelines/flagship.joined_pages
+    ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=8192)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(index_cells, batch_format="pyarrow", batch_size=8192)
 
 
 def run_headline(sf_dir: str, amplify: int, num_cpus: int = 32) -> dict:
@@ -109,7 +113,6 @@ def run_secondary(sf_dir: str) -> dict:
     """Per-query wall times for the broader operator surface."""
     from prclz_ray.queries import QUERIES
 
-    import pandas as pd
     import ray.data
 
     picks = [
@@ -157,7 +160,7 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dic
     if secondary:
         queries.update(run_secondary(sf_dir))
     result = {
-        "metric": "spatial-join+tiling throughput (joined rows/sec)",
+        "metric": "spatial-join+tiling flagship wall seconds (throughput in rows_per_s)",
         "value": round(head["wall_s"], 3),
         "unit": "sec",
         "rows": head["rows"],
@@ -174,7 +177,8 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dic
 def scaling_run(sf_dir: str, amplify: int) -> dict:
     """Same job at 8 and 32 CPUs in fresh processes; efficiency =
     rows/s(32) / (4 * rows/s(8))."""
-    amplify = int(os.environ.get("GRAFT_SCALE_AMPLIFY", str(max(amplify, 2000))))
+    if "--amplify" not in sys.argv:  # explicit flag wins; else scale up
+        amplify = int(os.environ.get("GRAFT_SCALE_AMPLIFY", str(max(amplify, 2000))))
     results = {}
     for cpus in (8, 32):
         time.sleep(5)  # let the previous Ray session finish teardown
@@ -184,8 +188,13 @@ def scaling_run(sf_dir: str, amplify: int) -> dict:
             env={**os.environ, "GRAFT_SF_DIR": sf_dir},
             capture_output=True, text=True, timeout=1800,
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling subprocess (num_cpus={cpus}) failed rc={proc.returncode}"
+            )
+        results[cpus] = json.loads(lines[-1])
     r8, r32 = results[8]["rows_per_s"], results[32]["rows_per_s"]
     eff = r32 / (4 * r8)
     return {

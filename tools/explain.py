@@ -12,10 +12,17 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from prclz_ray.queries import QUERIES as _Q
+
+    if len(sys.argv) < 2 or sys.argv[1] not in _Q:
+        print("usage: python tools/explain.py <query> [sf_dir]")
+        print("queries:", ", ".join(sorted(_Q)))
+        return 2
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
 
@@ -38,4 +45,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -14,7 +14,8 @@ import time
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -59,6 +60,12 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
 
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR unknown query name(s): {sorted(unknown)}")
+        print(f"valid: {sorted(qs)}")
+        return 2
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -78,7 +85,12 @@ def main():
         if name not in oracles:
             print(f"ROWS   {name}: {len(got)} rows ({wall:.1f}s, rows-only: no oracle)")
             continue
-        want = con.execute(oracles[name]).df()
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"ERROR  {name} (oracle): {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
