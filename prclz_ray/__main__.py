@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     f.add_argument("--no-resume", action="store_true")
     f.add_argument("--num-cpus", type=int, default=None)
 
+    t = sub.add_parser("tiles", help="run the raster-heatmap tiling job to parquet")
+    t.add_argument("--input", required=True)
+    t.add_argument("--output", required=True)
+    t.add_argument("--num-cpus", type=int, default=None)
+
     q = sub.add_parser("query", help="run a named query and print row count + head")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -59,6 +64,10 @@ def main(argv=None) -> int:
 
             stats = run_flagship(args.input, args.output, resume=not args.no_resume)
             print(json.dumps(stats))
+        elif args.cmd == "tiles":
+            from .pipelines.flagship import run_tiles
+
+            print(json.dumps(run_tiles(args.input, args.output)))
         elif args.cmd == "query":
             import pandas as pd
 

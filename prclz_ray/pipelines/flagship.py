@@ -96,6 +96,29 @@ def joined_pages(
     return ds
 
 
+def run_tiles(input_dir: str, out_dir: str) -> dict:
+    """The raster-heatmap tiling job: flagship join → tile rollup →
+    partitioned parquet (one directory per tile_x stripe) + manifest.
+    The rollup result is small (one row per 1° tile), so lineage here
+    is one manifest row per tile-x stripe."""
+    from ..stages.rollup import tile_rollup
+
+    t0 = time.time()
+    manifest = Manifest(out_dir)
+    ds = tile_rollup(joined_pages(input_dir))
+    ds.write_parquet(out_dir, partition_cols=["tile_x"])
+    written = ray.data.read_parquet(out_dir).groupby("tile_x").count().to_pandas()
+    wall = time.time() - t0
+    for _, row in written.iterrows():
+        manifest.mark(f"x{int(row['tile_x'])}", int(row["count()"]),
+                      fingerprint=input_dir, wall_s=wall)
+    return {
+        "tiles": int(written["count()"].sum()),
+        "stripes": len(written),
+        "wall_s": wall,
+    }
+
+
 def run_flagship(
     input_dir: str,
     out_dir: str,
