@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..stages.pages import extract_text, geocode, index_cells, synth_pages
+from ..stages.pages import pages_dataset
 from ..stages.spatial import (
     KNNAnchorActor,
     PIPJoinActor,
@@ -64,11 +64,7 @@ def joined_pages(
     """
     if blocks_ref is None or anchors_ref is None:
         blocks_ref, anchors_ref = load_side_tables()
-    ds = ray.data.read_parquet(f"{input_dir}/documents.parquet")
-    ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(index_cells, batch_format="pyarrow", batch_size=batch_size)
+    ds = pages_dataset(input_dir, batch_size=batch_size)
     if mode == "task":
         ds = ds.map_batches(
             make_pip_fn(blocks_ref), batch_size=batch_size, batch_format="pyarrow"

@@ -20,9 +20,6 @@ import pyarrow.compute as pc
 from . import world
 from .geom.cells import RES_PARTITION, WORLD_SPAN_E6
 
-_SIDE_REFS = None
-
-
 def _ray_epoch() -> str:
     """Current Ray session marker — broadcast ObjectRefs die with the
     session, so every module-level ref cache is keyed by this."""
@@ -35,15 +32,18 @@ def _ray_epoch() -> str:
         try:
             return ray.get_runtime_context().get_node_id()
         except Exception:
-            return "no-session"
+            return None  # unknown session → never cache (see _epoch_cached)
 
 
 _EPOCHED: dict = {}
 
 
 def _epoch_cached(name: str, build):
-    """Session-aware singleton: rebuilt if Ray was restarted."""
+    """Session-aware singleton: rebuilt if Ray was restarted; never
+    cached when the session identity is unknown (stale-ref safety)."""
     epoch = _ray_epoch()
+    if epoch is None:
+        return build()
     hit = _EPOCHED.get(name)
     if hit is None or hit[0] != epoch:
         _EPOCHED[name] = (epoch, build())
@@ -51,10 +51,12 @@ def _epoch_cached(name: str, build):
 
 
 def _cents(col) -> pa.Array:
-    """value*100 rounded half-away-from-zero (DuckDB ROUND semantics;
-    values are non-negative here) and cast to exact int64."""
+    """value*100 rounded half-away-from-zero (DuckDB ROUND semantics),
+    sign-correct for negative values, cast to exact int64."""
     v = pc.multiply(pc.cast(col, pa.float64()), 100.0)
-    return pc.cast(pc.floor(pc.add(v, 0.5)), pa.int64())
+    pos = pc.cast(pc.floor(pc.add(v, 0.5)), pa.int64())
+    neg = pc.cast(pc.ceil(pc.subtract(v, 0.5)), pa.int64())
+    return pc.if_else(pc.less(v, 0.0), neg, pos)
 
 
 def _side_refs():
@@ -73,15 +75,9 @@ def _joined(sf_dir: str):
 
 def _pages(sf_dir: str):
     """pages after synth+geocode+extract+index (no join)."""
-    import ray.data
+    from .stages.pages import pages_dataset
 
-    from .stages.pages import extract_text, geocode, index_cells, synth_pages
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    ds = ds.map_batches(synth_pages, batch_format="pyarrow")
-    ds = ds.map_batches(geocode, batch_format="pyarrow")
-    ds = ds.map_batches(extract_text, batch_format="pyarrow")
-    return ds.map_batches(index_cells, batch_format="pyarrow")
+    return pages_dataset(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +217,7 @@ SQL_QC = (
     _WITH_GEO
     + f""", keys AS (
       SELECT ('G' || gx || '_' || gy) AS gadm_key
-      FROM (SELECT unnest(range(10)) AS gx), (SELECT unnest(range(10)) AS gy)
+      FROM (SELECT unnest(range({world.N_GADM_AXIS})) AS gx), (SELECT unnest(range({world.N_GADM_AXIS})) AS gy)
       UNION ALL SELECT '{world.SENTINEL_GADM}'
     ),
     counted AS (
@@ -281,14 +277,16 @@ def q_semi_join_aoi(sf_dir: str):
     """Semi-join (J7): pages inside the AoI block set (urban core of
     admin cell G1_1: bx, by ∈ [11, 19])."""
     ds = _joined(sf_dir).filter(expr="has_geo")
-    aoi = {
-        world.block_id_str(bx, by)
-        for bx in range(11, 20)
-        for by in range(11, 20)
-    }
+    aoi_arr = pa.array(
+        sorted(
+            world.block_id_str(bx, by)
+            for bx in range(11, 20)
+            for by in range(11, 20)
+        )
+    )
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("block_id"), value_set=pa.array(sorted(aoi)))
+        mask = pc.is_in(batch.column("block_id"), value_set=aoi_arr)
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow").select_columns(["url", "block_id"])
@@ -317,7 +315,7 @@ SQL_ANTI_JOIN = (
     _WITH_GEO
     + f""", keys AS (
       SELECT ('G' || gx || '_' || gy) AS gadm_key
-      FROM (SELECT unnest(range(10)) AS gx), (SELECT unnest(range(10)) AS gy)
+      FROM (SELECT unnest(range({world.N_GADM_AXIS})) AS gx), (SELECT unnest(range({world.N_GADM_AXIS})) AS gy)
     )
     SELECT gadm_key FROM keys
     WHERE gadm_key NOT IN (
@@ -408,26 +406,21 @@ def q_segment_revenue(sf_dir: str):
     """Multi-way hash join (J6 pattern): lineitem ⋈ orders ⋈ customer →
     revenue cents per market segment. Small dims are joined via
     broadcast lookup inside map_batches (no shuffle join needed)."""
-    import ray.data
+    import pyarrow.parquet as pq
     import ray
+    import ray.data
 
-    orders = pa.table(
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-        ).to_pandas()
-    )
-    cust = pa.table(
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-        ).to_pandas()
-    )
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     okey = orders.column("o_orderkey").to_numpy()
     ocust = orders.column("o_custkey").to_numpy()
     ckey = cust.column("c_custkey").to_numpy()
     cseg = np.asarray(cust.column("c_mktsegment").to_pylist())
-    o2c = np.full(int(okey.max()) + 1, -1, dtype=np.int64)
+    # dense lookups; -1 / "" sentinels mark dangling keys, which the
+    # join DROPS (inner-join semantics, matching the SQL oracle)
+    o2c = np.full(int(okey.max()) + 1 if len(okey) else 1, -1, dtype=np.int64)
     o2c[okey] = ocust
-    c2s = np.full(int(ckey.max()) + 1, "", dtype=object)
+    c2s = np.full(int(ckey.max()) + 1 if len(ckey) else 1, "", dtype=object)
     c2s[ckey] = cseg
     lookup_ref = ray.put((o2c, c2s))
 
@@ -439,7 +432,12 @@ def q_segment_revenue(sf_dir: str):
     def join_batch(batch: pa.Table) -> pa.Table:
         o2c_, c2s_ = ray.get(lookup_ref)
         ok = batch.column("l_orderkey").to_numpy()
-        seg = c2s_[o2c_[ok]]
+        custk = o2c_[np.clip(ok, 0, len(o2c_) - 1)]
+        custk[(ok < 0) | (ok >= len(o2c_))] = -1
+        seg = np.where(custk >= 0, c2s_[np.clip(custk, 0, None)], "")
+        matched = (custk >= 0) & (seg != "")
+        batch = batch.filter(pa.array(matched))  # inner-join drop
+        seg = seg[matched]
         price = batch.column("l_extendedprice").to_numpy()
         disc = batch.column("l_discount").to_numpy()
         # revenue in exact integer: cents(price) * (100 - cents(disc*100))
@@ -793,15 +791,12 @@ def q_dedup_corpus(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids[1:], pa.int64())})
 
     dropped = sig.groupby("bucket").map_groups(drop_candidates, batch_format="pyarrow")
-    drop_set = set(dropped.to_pandas()["doc_id"])  # tiny: only dup-cluster members
+    drop_arr = pa.array(
+        sorted(set(dropped.to_pandas()["doc_id"])), pa.int64()
+    )  # tiny: only dup-cluster members
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(
-            pc.is_in(
-                batch.column("doc_id"),
-                value_set=pa.array(sorted(drop_set), pa.int64()),
-            )
-        )
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop_arr))
         return pa.table({"doc_id": batch.column("doc_id")}).filter(mask)
 
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
@@ -819,21 +814,27 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 # ---------------------------------------------------------------------------
 # similarity search (ANN top-k)
 
+def _load_query_vectors(sf_dir: str):
+    """(query ObjectRef, full embedding matrix) — queries are the
+    vec_id % 100 == 0 rows; loaded once per call via pq.read_table."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import put_queries
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qsel = ids % 100 == 0
+    return put_queries(emb[qsel], ids[qsel]), emb
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10: per-batch local top-k vs broadcast
     queries (vec_id % 100 == 0), then a small per-query merge."""
     import ray.data
 
-    from .stages.similarity import make_topk_fn, merge_topk, put_queries
+    from .stages.similarity import make_topk_fn, merge_topk
 
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    qsel = ids % 100 == 0
-    emb_q = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[qsel]
-    qref = put_queries(emb_q, ids[qsel])
-
+    qref, _ = _load_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     local = ds.map_batches(make_topk_fn(qref, k=10), batch_format="pyarrow")
     return local.groupby("query_id").map_groups(
@@ -860,20 +861,9 @@ def q_ann_topk_lsh(sf_dir: str):
     No SQL oracle — approximate recall by design; rows-only check."""
     import ray.data
 
-    from .stages.similarity import (
-        make_bucketed_topk_fn,
-        merge_topk,
-        put_queries,
-        srp_planes,
-    )
+    from .stages.similarity import make_bucketed_topk_fn, merge_topk, srp_planes
 
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    qsel = ids % 100 == 0
-    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    qref = put_queries(emb[qsel], ids[qsel])
+    qref, emb = _load_query_vectors(sf_dir)
     planes = srp_planes(emb.shape[1])
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -889,21 +879,11 @@ def q_ann_topk_ivf(sf_dir: str):
     """IVF-bucketed approximate top-k (scale path 2, beside SRP-LSH):
     k-means coarse quantizer trained once, queries probe top-4 lists.
     Approximate by design → rows-only check."""
-    import pyarrow.parquet as pq
     import ray.data
 
-    from .stages.similarity import (
-        ivf_centroids,
-        make_ivf_topk_fn,
-        merge_topk,
-        put_queries,
-    )
+    from .stages.similarity import ivf_centroids, make_ivf_topk_fn, merge_topk
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    qsel = ids % 100 == 0
-    qref = put_queries(emb[qsel], ids[qsel])
+    qref, emb = _load_query_vectors(sf_dir)
     cents = ivf_centroids(emb)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1364,12 +1344,12 @@ def q_aoi_polygon_filter(sf_dir: str):
     from .geom.cells import RES_PARTITION, polygon_covering_cells
 
     tri = np.asarray(_AOI_TRI, dtype=np.float64) / 1e6
-    cover = set(int(c) for c in polygon_covering_cells(tri, RES_PARTITION))
+    cover = np.unique(polygon_covering_cells(tri, RES_PARTITION)).astype(np.int64)
     (ax, ay), (bx_, by_), (cx, cy) = _AOI_TRI
 
     def keep(batch: pa.Table) -> pa.Table:
         cells = batch.column("cell_r5").to_numpy(zero_copy_only=False)
-        pre = np.isin(cells, np.fromiter(cover, dtype=np.int64))
+        pre = np.isin(cells, cover)
         t = batch.filter(pa.array(pre))
         if t.num_rows == 0:
             return pa.table({"url": pa.array([], pa.string())})

@@ -147,3 +147,16 @@ def index_cells(batch: pa.Table) -> pa.Table:
     out["cell_r5"] = pa.array(r5)
     out["cell_r7"] = pa.array(r7)
     return pa.table(out)
+
+
+def pages_dataset(input_dir: str, batch_size: int = 8192):
+    """The canonical pages stage chain (synth → geocode → extract →
+    cell index) — single definition shared by the flagship pipeline and
+    the query surface so the two can never diverge."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{input_dir}/documents.parquet")
+    ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(index_cells, batch_format="pyarrow", batch_size=batch_size)

@@ -86,12 +86,6 @@ def geocode_from_doc_id(doc_id: np.ndarray):
     return has_geo, lat_e6, lon_e6
 
 
-def block_xy_from_e6(lat_e6, lon_e6):
-    bx = np.asarray(lon_e6, dtype=np.int64) // BLOCK_E6
-    by = np.asarray(lat_e6, dtype=np.int64) // BLOCK_E6
-    return bx, by
-
-
 def block_id_str(bx: int, by: int) -> str:
     return f"B{bx:02d}_{by:02d}"
 
@@ -102,15 +96,6 @@ def gadm_id_str(gx: int, gy: int) -> str:
 
 def parcel_id_str(bx: int, by: int, p: int) -> str:
     return f"B{bx:02d}_{by:02d}_P{p}"
-
-
-def block_polygon_deg(bx: int, by: int) -> np.ndarray:
-    """Inset block square (exterior ring, open, CCW) in degrees."""
-    x0 = (bx * BLOCK_E6 + STREET_EPS_E6) / 1e6
-    x1 = ((bx + 1) * BLOCK_E6 - STREET_EPS_E6) / 1e6
-    y0 = (by * BLOCK_E6 + STREET_EPS_E6) / 1e6
-    y1 = ((by + 1) * BLOCK_E6 - STREET_EPS_E6) / 1e6
-    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
 
 
 def parcel_anchor_e6(bx: int, by: int, p: int):
@@ -145,13 +130,6 @@ def building_centroids_e6(bx: int, by: int) -> np.ndarray:
     lon = bx * BLOCK_E6 + 15_000 + s % 70_000
     lat = by * BLOCK_E6 + 15_000 + (s // 70_000) % 70_000
     return np.stack([lon, lat], axis=1)
-
-
-def all_block_xy() -> np.ndarray:
-    """(N_BLOCKS², 2) int64 array of every (bx, by)."""
-    g = np.arange(N_BLOCKS, dtype=np.int64)
-    gx, gy = np.meshgrid(g, g, indexing="ij")
-    return np.stack([gx.ravel(), gy.ravel()], axis=1)
 
 
 # --- SQL fragments (DuckDB side) ------------------------------------------
@@ -198,5 +176,11 @@ pages AS (
 )
 """
 
+_BLOCKS_PER_GADM = GADM_E6 // BLOCK_E6  # 10
+N_GADM_AXIS = N_BLOCKS * BLOCK_E6 // GADM_E6  # 10
+
 BLOCK_ID_SQL = "('B' || printf('%02d', bx) || '_' || printf('%02d', by))"
-GADM_ID_SQL = "('G' || CAST(bx // 10 AS VARCHAR) || '_' || CAST(by // 10 AS VARCHAR))"
+GADM_ID_SQL = (
+    f"('G' || CAST(bx // {_BLOCKS_PER_GADM} AS VARCHAR)"
+    f" || '_' || CAST(by // {_BLOCKS_PER_GADM} AS VARCHAR))"
+)
