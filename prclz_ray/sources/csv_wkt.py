@@ -1,0 +1,84 @@
+"""CSV-with-WKT source/sink — the reference's block interchange format.
+
+Reference semantics (`prclz/utils.py:26-43` ``load_blocks``): CSV with a
+``geometry`` column holding WKT text and a ``block_id`` column whose
+uniqueness is asserted at load. The engine reads it into the same Arrow
+schema its parquet ``blocks`` table uses (WKB geometry), distributed via
+``ray.data.read_csv`` + a vectorized WKT→WKB ``map_batches`` decode
+(S3); ``write_blocks_csv_wkt`` is the matching sink (S4,
+`midway/midway_blocks.py:36-40`).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.wkb import parse_wkb, wkb_polygon
+
+_NUM = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+
+
+def parse_wkt_polygon(wkt: str) -> np.ndarray:
+    """'POLYGON ((x y, x y, ...))' → (N, 2) float64 exterior ring
+    (open). Interior rings are not supported by the block format."""
+    m = re.match(r"\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", wkt, re.S)
+    if not m:
+        raise ValueError(f"not a WKT POLYGON: {wkt[:60]!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        xs = pair.split()
+        pts.append((float(xs[0]), float(xs[1])))
+    ring = np.asarray(pts, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring
+
+
+def wkt_polygon(ring: np.ndarray) -> str:
+    """(N, 2) open ring → WKT text (ring closed on output)."""
+    closed = np.vstack([ring, ring[:1]])
+    inner = ", ".join(f"{x:.6f} {y:.6f}" for x, y in closed)
+    return f"POLYGON (({inner}))"
+
+
+def _decode_batch(batch: pa.Table) -> pa.Table:
+    wkbs = [wkb_polygon(parse_wkt_polygon(w)) for w in batch.column("geometry").to_pylist()]
+    cols = {
+        name: batch.column(name)
+        for name in batch.column_names
+        if name != "geometry"
+    }
+    cols["geom_wkb"] = pa.array(wkbs, pa.binary())
+    return pa.table(cols)
+
+
+def read_blocks_csv_wkt(path: str):
+    """CSV+WKT → blocks Dataset (geom_wkb binary). The reference's
+    unique-block_id assertion runs distributed: a groupby count whose
+    max must be 1."""
+    import ray.data
+
+    ds = ray.data.read_csv(path).map_batches(_decode_batch, batch_format="pyarrow")
+    counts = ds.groupby("block_id").count().to_pandas()
+    dupes = counts[counts["count()"] > 1]
+    if len(dupes):
+        raise ValueError(f"duplicate block_id values: {dupes['block_id'].tolist()[:5]}")
+    return ds
+
+
+def write_blocks_csv_wkt(blocks: pa.Table, path: str) -> None:
+    """Blocks table (WKB) → reference-style CSV with WKT geometry."""
+    import csv
+
+    names = [n for n in blocks.column_names if n != "geom_wkb"]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(names + ["geometry"])
+        wkbs = blocks.column("geom_wkb").to_pylist()
+        cols = [blocks.column(n).to_pylist() for n in names]
+        for i in range(blocks.num_rows):
+            ring = parse_wkb(wkbs[i])[1][0]
+            w.writerow([c[i] for c in cols] + [wkt_polygon(ring)])

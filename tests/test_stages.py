@@ -375,3 +375,60 @@ def test_resume_cleans_stale_partial_partitions(ray_session, tmp_path):
     assert t.num_rows == 500
     assert len(set(t.column("doc_id").to_pylist())) == 500  # no duplicates
     assert r["skipped"] == len(m.completed()) - 4
+
+
+def test_csv_wkt_roundtrip(ray_session, tmp_path):
+    """S3/S4 parity: blocks → CSV+WKT → read back → identical ids,
+    bounds, and geometry; duplicate block_id raises at load."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines import derive
+    from prclz_ray.sources import read_blocks_csv_wkt, write_blocks_csv_wkt
+    from prclz_ray.geom.wkb import parse_wkb
+
+    blocks = pq.read_table(derive.blocks_path()).slice(0, 200)
+    path = str(tmp_path / "blocks.csv")
+    write_blocks_csv_wkt(blocks, path)
+
+    back = read_blocks_csv_wkt(path).to_pandas().sort_values("block_id").reset_index(drop=True)
+    orig = blocks.to_pandas().sort_values("block_id").reset_index(drop=True)
+    assert back.block_id.tolist() == orig.block_id.tolist()
+    for i in (0, 50, 199):
+        r1 = parse_wkb(bytes(orig.geom_wkb[i]))[1][0]
+        r2 = parse_wkb(bytes(back.geom_wkb[i]))[1][0]
+        assert np.allclose(r1, r2, atol=1e-6)
+
+    # duplicate block_id must raise (reference's uniqueness assert)
+    import pandas as pd
+    import pytest as _pytest
+
+    dup = pd.read_csv(path)
+    pd.concat([dup, dup.iloc[:1]]).to_csv(str(tmp_path / "dup.csv"), index=False)
+    with _pytest.raises(ValueError, match="duplicate block_id"):
+        read_blocks_csv_wkt(str(tmp_path / "dup.csv"))
+
+
+def test_geojson_reader(ray_session, tmp_path):
+    import json
+
+    from prclz_ray.geom.wkb import parse_wkb
+    from prclz_ray.sources import read_geojson_features
+
+    feats = [
+        {"type": "Feature", "properties": {"osm_id": 1, "highway": "residential"},
+         "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}},
+        {"type": "Feature", "properties": {"osm_id": 2, "building": "yes"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}},
+        {"type": "Feature", "properties": {"osm_id": 3},
+         "geometry": {"type": "Point", "coordinates": [5.5, 6.5]}},
+    ]
+    path = str(tmp_path / "f.ndjson")
+    with open(path, "w") as f:
+        for x in feats:
+            f.write(json.dumps(x) + "\n")
+    df = read_geojson_features(path).to_pandas().sort_values("osm_id").reset_index(drop=True)
+    assert df.geom_type.tolist() == ["LineString", "Polygon", "Point"]
+    assert df.highway.tolist()[0] == "residential" and df.building.tolist()[1] == "yes"
+    kind, parts = parse_wkb(bytes(df.geom_wkb[2]))
+    assert tuple(parts) == (5.5, 6.5)  # POINT parses to its coord pair
