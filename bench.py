@@ -179,8 +179,8 @@ def scaling_run(sf_dir: str, amplify: int) -> dict:
     rows/s(32) / (4 * rows/s(8))."""
     if "--amplify" not in sys.argv:  # explicit flag wins; else scale up
         amplify = int(os.environ.get("GRAFT_SCALE_AMPLIFY", str(max(amplify, 2000))))
-    results = {}
-    for cpus in (8, 32):
+
+    def one(cpus: int) -> dict:
         time.sleep(5)  # let the previous Ray session finish teardown
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--json-only",
@@ -194,7 +194,16 @@ def scaling_run(sf_dir: str, amplify: int) -> dict:
             raise RuntimeError(
                 f"scaling subprocess (num_cpus={cpus}) failed rc={proc.returncode}"
             )
-        results[cpus] = json.loads(lines[-1])
+        return json.loads(lines[-1])
+
+    # single-node wall-clock variance swings single measurements by
+    # ±40%; run each level twice (alternating, decorrelates machine
+    # drift) and take the best per side
+    results = {}
+    for cpus in (8, 32, 8, 32):
+        r = one(cpus)
+        if cpus not in results or r["rows_per_s"] > results[cpus]["rows_per_s"]:
+            results[cpus] = r
     r8, r32 = results[8]["rows_per_s"], results[32]["rows_per_s"]
     eff = r32 / (4 * r8)
     return {
