@@ -233,8 +233,18 @@ class PlanarGraph:
             self.add_node(p)
             return
         self.remove_edge(a, b)
-        self.add_edge(a, p, road=flags["road"])
-        self.add_edge(p, b, road=flags["road"])
+        w = flags.get("weight")
+        if w is None:
+            wa = wb = None
+        else:
+            # explicit weight splits in proportion to length so total
+            # path cost through p equals the original edge cost (keeps
+            # G16 road weights ≈ 0 on both halves)
+            total = math.hypot(b[0] - a[0], b[1] - a[1])
+            fa = math.hypot(p[0] - a[0], p[1] - a[1]) / total if total > 0 else 0.5
+            wa, wb = w * fa, w * (1.0 - fa)
+        self.add_edge(a, p, road=flags["road"], weight=wa)
+        self.add_edge(p, b, road=flags["road"], weight=wb)
 
     def add_node_to_closest_edge(self, p: Coord, terminal: bool = False) -> Coord:
         """Insert the closest point on the closest edge to ``p`` and split

@@ -69,11 +69,48 @@ def streets_table() -> pa.Table:
 
 
 def N_GADM_AXIS() -> int:
-    return world.N_BLOCKS * world.BLOCK_E6 // world.GADM_E6
+    return world.N_GADM_AXIS
 
 
 # ---------------------------------------------------------------------------
 # block extraction (map_groups per gadm)
+
+_BLOCK_COLS = (
+    "block_id", "gadm", "bx", "by",
+    "xmin_e6", "ymin_e6", "xmax_e6", "ymax_e6", "cell_r5", "geom_wkb",
+)
+
+
+def _new_block_rows() -> dict:
+    return {k: [] for k in _BLOCK_COLS}
+
+
+def _emit_block(out: dict, gadm: str, ring: np.ndarray) -> None:
+    """Append one block row derived from its ring — the single id/bounds
+    derivation shared by every extraction method (plugin parity by
+    construction)."""
+    cx, cy = polygon_centroid(ring)
+    bx = int(cx * 1e6) // world.BLOCK_E6
+    by = int(cy * 1e6) // world.BLOCK_E6
+    out["block_id"].append(world.block_id_str(bx, by))
+    out["gadm"].append(gadm)
+    out["bx"].append(bx)
+    out["by"].append(by)
+    out["xmin_e6"].append(int(round(ring[:, 0].min() * 1e6)))
+    out["ymin_e6"].append(int(round(ring[:, 1].min() * 1e6)))
+    out["xmax_e6"].append(int(round(ring[:, 0].max() * 1e6)))
+    out["ymax_e6"].append(int(round(ring[:, 1].max() * 1e6)))
+    ctr_lat = by * world.BLOCK_E6 + world.BLOCK_E6 // 2
+    ctr_lon = bx * world.BLOCK_E6 + world.BLOCK_E6 // 2
+    out["cell_r5"].append(int(cell_id_e6(ctr_lat, ctr_lon, RES_PARTITION)))
+    out["geom_wkb"].append(wkb_polygon(ring))
+
+
+def _block_rows_table(out: dict) -> pa.Table:
+    t = pa.table(out)
+    return t.set_column(
+        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
+    )
 
 def extract_blocks_group(group: pa.Table) -> pa.Table:
     """One admin cell's streets → its block polygons.
@@ -107,35 +144,14 @@ def extract_blocks_group(group: pa.Table) -> pa.Table:
             for x_a, x_b in zip(xs, xs[1:]):
                 g.add_edge((x_a, ay), (x_b, ay))
 
-    out = {
-        "block_id": [], "gadm": [], "bx": [], "by": [],
-        "xmin_e6": [], "ymin_e6": [], "xmax_e6": [], "ymax_e6": [],
-        "cell_r5": [], "geom_wkb": [],
-    }
+    out = _new_block_rows()
     for face in g.inner_faces():
         ring = np.array([e[0] for e in face], dtype=np.float64)
         inset = inset_convex(ring, eps_deg)
         if len(inset) < 3:
             continue
-        cx, cy = polygon_centroid(inset)
-        bx = int(cx * 1e6) // world.BLOCK_E6
-        by = int(cy * 1e6) // world.BLOCK_E6
-        out["block_id"].append(world.block_id_str(bx, by))
-        out["gadm"].append(gadm)
-        out["bx"].append(bx)
-        out["by"].append(by)
-        out["xmin_e6"].append(int(round(inset[:, 0].min() * 1e6)))
-        out["ymin_e6"].append(int(round(inset[:, 1].min() * 1e6)))
-        out["xmax_e6"].append(int(round(inset[:, 0].max() * 1e6)))
-        out["ymax_e6"].append(int(round(inset[:, 1].max() * 1e6)))
-        ctr_lat = by * world.BLOCK_E6 + world.BLOCK_E6 // 2
-        ctr_lon = bx * world.BLOCK_E6 + world.BLOCK_E6 // 2
-        out["cell_r5"].append(int(cell_id_e6(ctr_lat, ctr_lon, RES_PARTITION)))
-        out["geom_wkb"].append(wkb_polygon(inset))
-    t = pa.table(out)
-    return t.set_column(
-        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
-    )
+        _emit_block(out, gadm, inset)
+    return _block_rows_table(out)
 
 
 def extract_blocks_buffered_group(group: pa.Table) -> pa.Table:
@@ -160,11 +176,7 @@ def extract_blocks_buffered_group(group: pa.Table) -> pa.Table:
     vxs = sorted({x0s[i] for i in range(len(x0s)) if x0s[i] == x1s[i]})
     hys = sorted({y0s[i] for i in range(len(y0s)) if y0s[i] == y1s[i]})
 
-    out = {
-        "block_id": [], "gadm": [], "bx": [], "by": [],
-        "xmin_e6": [], "ymin_e6": [], "xmax_e6": [], "ymax_e6": [],
-        "cell_r5": [], "geom_wkb": [],
-    }
+    out = _new_block_rows()
     for xa, xb in zip(vxs, vxs[1:]):
         for ya, yb in zip(hys, hys[1:]):
             lo_x, hi_x = xa + eps_deg, xb - eps_deg
@@ -174,25 +186,8 @@ def extract_blocks_buffered_group(group: pa.Table) -> pa.Table:
             ring = np.array(
                 [[lo_x, lo_y], [hi_x, lo_y], [hi_x, hi_y], [lo_x, hi_y]]
             )
-            cx, cy = polygon_centroid(ring)
-            bx = int(cx * 1e6) // world.BLOCK_E6
-            by = int(cy * 1e6) // world.BLOCK_E6
-            out["block_id"].append(world.block_id_str(bx, by))
-            out["gadm"].append(gadm)
-            out["bx"].append(bx)
-            out["by"].append(by)
-            out["xmin_e6"].append(int(round(lo_x * 1e6)))
-            out["ymin_e6"].append(int(round(lo_y * 1e6)))
-            out["xmax_e6"].append(int(round(hi_x * 1e6)))
-            out["ymax_e6"].append(int(round(hi_y * 1e6)))
-            ctr_lat = by * world.BLOCK_E6 + world.BLOCK_E6 // 2
-            ctr_lon = bx * world.BLOCK_E6 + world.BLOCK_E6 // 2
-            out["cell_r5"].append(int(cell_id_e6(ctr_lat, ctr_lon, RES_PARTITION)))
-            out["geom_wkb"].append(wkb_polygon(ring))
-    t = pa.table(out)
-    return t.set_column(
-        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
-    )
+            _emit_block(out, gadm, ring)
+    return _block_rows_table(out)
 
 
 # the reference's BlockExtractionMethod plugin registry

@@ -155,9 +155,14 @@ def approx_quantiles_int(
 
 def exact_quantiles_int(ds, col: str, qs: Sequence[float], n_buckets: int = 4096) -> List[int]:
     """Exact discrete quantiles of an int64 column in two passes + one
-    small filter, without a global sort."""
+    small filter, without a global sort.
+
+    The upstream pipeline runs ONCE: the single int64 column is
+    materialized first (8 B/row — bounded even at bench scale) and all
+    passes (stats, histogram, in-bucket selects) reuse it."""
     import ray.data
 
+    ds = ds.select_columns([col]).materialize()
     stats = ds.aggregate(
         ray.data.aggregate.Min(col), ray.data.aggregate.Max(col), ray.data.aggregate.Count(col)
     )

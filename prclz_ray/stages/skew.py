@@ -49,22 +49,22 @@ def hot_keys(counts_df, key: str, hot_threshold: int) -> dict:
 
 def make_salter(key: str, hot: dict, salt_col: str = "_salt"):
     """map_batches fn: attach salt column — 0 for cold keys, row-index
-    hash % fanout for hot ones. Broadcast the (small) hot map once."""
-    hot_ref = ray.put(hot)
+    % fanout for hot ones. Fully vectorized: sorted hot-key array +
+    searchsorted lookup, broadcast once; no Python loop over rows."""
+    hot_keys_arr = np.array(sorted(hot), dtype=np.int64)
+    hot_fanout = np.array([hot[k] for k in sorted(hot)], dtype=np.int64)
+    hot_ref = ray.put((hot_keys_arr, hot_fanout))
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        h = ray.get(hot_ref)
-        keys = batch.column(key).to_pylist()
+        hk, hf = ray.get(hot_ref)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
         salts = np.zeros(len(keys), dtype=np.int64)
-        if h:
-            # deterministic per-row salt: position-independent hash of a
-            # stable row attribute is ideal; fall back to arange within
-            # batch (balances within every batch)
-            idx = np.arange(len(keys))
-            for i, k in enumerate(keys):
-                f = h.get(k)
-                if f:
-                    salts[i] = idx[i] % f
+        if len(hk):
+            pos = np.searchsorted(hk, keys)
+            pos_c = np.clip(pos, 0, len(hk) - 1)
+            is_hot = hk[pos_c] == keys
+            idx = np.arange(len(keys), dtype=np.int64)
+            salts[is_hot] = idx[is_hot] % hf[pos_c[is_hot]]
         out = dict(zip(batch.column_names, batch.columns))
         out[salt_col] = pa.array(salts)
         return pa.table(out)

@@ -30,7 +30,7 @@ class Manifest:
         return {
             f[: -len(".json")]
             for f in os.listdir(self.dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.endswith(".tmp")
         }
 
     def plan(self, partitions: Iterable[str]) -> Set[str]:
@@ -45,8 +45,12 @@ class Manifest:
             "wall_s": round(wall_s, 3),
             "ts": time.time(),
         }
-        tmp = self._path(partition) + ".tmp"
-        with open(tmp, "w") as f:
+        import tempfile
+
+        # unique tmp per writer → os.replace is atomic even when two
+        # runs race to mark the same partition
+        fd, tmp = tempfile.mkstemp(prefix=f"{partition}.", suffix=".tmp", dir=self.dir)
+        with os.fdopen(fd, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, self._path(partition))
 

@@ -52,13 +52,31 @@ def test_strtree_query_points_matches_bruteforce(bb, pts):
 
 @st.composite
 def convex_polys(draw):
-    """Random convex polygon: hull of random points around a center."""
-    n = draw(st.integers(3, 10))
-    angles = np.sort(np.array([draw(st.floats(0, 2 * np.pi)) for _ in range(n)]))
-    if len(np.unique(angles)) < 3:
-        angles = np.linspace(0, 2 * np.pi, 5)[:-1]
-    r = np.array([draw(st.floats(0.5, 5)) for _ in range(len(angles))])
-    return np.stack([r * np.cos(angles), r * np.sin(angles)], axis=1)
+    """Random GENUINELY convex polygon: convex hull (monotone chain) of
+    random points — clip-area invariants only hold for convex inputs."""
+    n = draw(st.integers(4, 12))
+    pts = np.array(
+        [[draw(st.floats(-5, 5)), draw(st.floats(-5, 5))] for _ in range(n)]
+    )
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 3:
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]])
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        h = []
+        for p in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 3:  # collinear inputs
+        hull = np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]])
+    return hull
 
 
 @given(convex_polys(), st.lists(st.tuples(coord, coord), min_size=1, max_size=30))

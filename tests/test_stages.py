@@ -185,9 +185,9 @@ def test_reblock_goldens(ray_session):
     )
     assert df.block_id.tolist() == ["B00_00", "B00_01", "B00_02", "B00_03"]
     assert df.n_terminals.tolist() == [4, 5, 6, 7]
-    assert df.n_steiner_edges.tolist() == [4, 11, 13, 14]
+    assert df.n_steiner_edges.tolist() == [4, 5, 7, 8]
     assert df.n_new_edges.tolist() == [1, 2, 4, 6]
-    assert df.total_len_e6.tolist() == [88484, 396848, 426601, 416506]
+    assert df.total_len_e6.tolist() == [88484, 82726, 111470, 112479]
     assert df.new_len_e6.tolist() == [27484, 34726, 63470, 64479]
     # every block's terminals = its buildings + 1 road-access point
     from prclz_ray import world
