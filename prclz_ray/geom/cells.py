@@ -33,7 +33,6 @@ _X_SHIFT = 28
 
 
 def cell_width_e6(res: int) -> int:
-    w, r = WORLD_SPAN_E6, res
     # span must stay integral; world span 10^7 µdeg is divisible by 2^7
     assert WORLD_SPAN_E6 % (1 << res) == 0, f"resolution {res} not integral"
     return WORLD_SPAN_E6 >> res
@@ -100,9 +99,12 @@ def polygon_covering_cells(exterior: np.ndarray, res: int = RES_PARTITION) -> np
     ymax_e6 = int(np.ceil(exterior[:, 1].max() * 1e6))
     nmax = (1 << res) - 1
     x0 = min(max((xmin_e6 - WORLD_LON0_E6) // w, 0), nmax)
-    x1 = min(max((xmax_e6 - 1 - WORLD_LON0_E6) // w, 0), nmax)
+    x1 = min(max((max(xmax_e6 - 1, xmin_e6) - WORLD_LON0_E6) // w, 0), nmax)
     y0 = min(max((ymin_e6 - WORLD_LAT0_E6) // w, 0), nmax)
-    y1 = min(max((ymax_e6 - 1 - WORLD_LAT0_E6) // w, 0), nmax)
+    y1 = min(max((max(ymax_e6 - 1, ymin_e6) - WORLD_LAT0_E6) // w, 0), nmax)
+    # degenerate bboxes (zero width/height) still cover >= 1 cell
+    x1 = max(x1, x0)
+    y1 = max(y1, y0)
     xs = np.arange(x0, x1 + 1, dtype=np.int64)
     ys = np.arange(y0, y1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")

@@ -35,17 +35,32 @@ def haversine_m(lon1, lat1, lon2, lat2):
 # segment predicates (planar, float64)
 
 def segment_min_distance(ax, ay, bx, by, px, py):
-    """Distance from point p to the infinite LINE through segment (a, b)."""
+    """Distance from point p to the infinite LINE through segment (a, b);
+    degenerate (zero-length) segments fall back to point distance."""
     num = np.abs((by - ay) * px - (bx - ax) * py + bx * ay - by * ax)
     den = np.hypot(by - ay, bx - ax)
-    return num / den
+    if np.isscalar(den) or den.ndim == 0:
+        if den == 0:
+            return np.hypot(px - ax, py - ay)
+        return num / den
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = num / den
+    return np.where(den == 0, np.hypot(px - ax, py - ay), d)
 
 
 def project_point_to_segment(ax, ay, bx, by, px, py):
-    """Orthogonal projection of p onto the line through (a, b) → (x, y)."""
+    """Orthogonal projection of p onto the line through (a, b) → (x, y);
+    a degenerate segment projects to its (single) endpoint."""
     dx, dy = bx - ax, by - ay
     L2 = dx * dx + dy * dy
-    t = ((px - ax) * dx + (py - ay) * dy) / L2
+    if np.isscalar(L2) or getattr(L2, "ndim", 0) == 0:
+        if L2 == 0:
+            return ax, ay
+        t = ((px - ax) * dx + (py - ay) * dy) / L2
+        return ax + t * dx, ay + t * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / L2
+    t = np.where(L2 == 0, 0.0, t)
     return ax + t * dx, ay + t * dy
 
 

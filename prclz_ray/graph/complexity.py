@@ -53,17 +53,27 @@ def get_s0_approximation(block_ring: np.ndarray, centroids: Sequence[Tuple[float
         # edge when the anchor sits on the block boundary).
         ax, ay = pts[site_idx]
         if not point_in_polygon(clipped, ax, ay):
-            # boundary tolerance: accept if anchor is within eps of bbox
-            if not _near_ring(clipped, ax, ay):
+            # boundary tolerance: the clip can leave the anchor exactly
+            # ON an edge of its own cell (anchor on the block boundary)
+            # — accept only true boundary proximity, not bbox proximity
+            if not _on_ring_boundary(clipped, ax, ay):
                 continue
         rings.append(clipped)
     return PlanarGraph.from_polygons(rings)
 
 
-def _near_ring(ring: np.ndarray, x: float, y: float, eps: float = 1e-9) -> bool:
-    mn = ring.min(axis=0) - eps
-    mx = ring.max(axis=0) + eps
-    return bool(mn[0] <= x <= mx[0] and mn[1] <= y <= mx[1])
+def _on_ring_boundary(ring: np.ndarray, x: float, y: float, eps: float = 1e-9) -> bool:
+    """True iff (x, y) is within ``eps`` of some edge of ``ring``."""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    dx, dy = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((x - a[:, 0]) * dx + (y - a[:, 1]) * dy) / L2
+    t = np.clip(np.nan_to_num(t), 0.0, 1.0)
+    qx = a[:, 0] + t * dx
+    qy = a[:, 1] + t * dy
+    return bool(np.min(np.hypot(x - qx, y - qy)) <= eps)
 
 
 def weak_dual_sequence(s0: PlanarGraph) -> List[PlanarGraph]:

@@ -131,8 +131,8 @@ class PlanarGraph:
 
         Deterministic: the directed edge set is consumed in sorted order.
         """
-        if self.number_of_nodes() < 2:
-            return []
+        if self.number_of_nodes() < 2 or self.number_of_edges() == 0:
+            return []  # isolated nodes have no faces
         embedding = self.get_embedding()
         directed = set()
         for a, b in self.edge_flags:
@@ -316,12 +316,18 @@ class PlanarGraph:
                 u, v = sorted(g.adj[node])
                 w = g.edge_weight(u, node) + g.edge_weight(node, v)
                 road = g.is_road(u, node) and g.is_road(node, v)
-                existing = g.edge_weight(u, v) if v in g.adj[u] else None
+                if v in g.adj[u]:
+                    # parallel edge: keep the CHEAPER alternative's
+                    # (weight, road) pair together — mixing the min
+                    # weight with the other edge's flag would let the
+                    # new-line filter misclassify steiner edges
+                    ew = g.edge_weight(u, v)
+                    if ew <= w:
+                        w, road = ew, g.is_road(u, v)
+                    g.remove_edge(u, v)  # re-added below with the chosen pair
                 g.remove_edge(u, node)
                 g.remove_edge(node, v)
                 del g.adj[node]
-                if existing is not None:
-                    w = min(w, existing)
                 g.add_edge(u, v, road=road, weight=w)
                 changed = True
                 break
