@@ -18,15 +18,17 @@ import pyarrow as pa
 
 from ..geom.wkb import parse_wkb, wkb_polygon
 
-_NUM = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
-
-
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
     """'POLYGON ((x y, x y, ...))' → (N, 2) float64 exterior ring
     (open). Interior rings are not supported by the block format."""
     m = re.match(r"\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", wkt, re.S)
     if not m:
         raise ValueError(f"not a WKT POLYGON: {wkt[:60]!r}")
+    if ")" in m.group(1):
+        raise ValueError(
+            "WKT POLYGON with interior rings is not supported by the "
+            f"block format: {wkt[:60]!r}"
+        )
     pts = []
     for pair in m.group(1).split(","):
         xs = pair.split()
@@ -61,12 +63,14 @@ def read_blocks_csv_wkt(path: str):
     max must be 1."""
     import ray.data
 
-    ds = ray.data.read_csv(path).map_batches(_decode_batch, batch_format="pyarrow")
-    counts = ds.groupby("block_id").count().to_pandas()
+    raw = ray.data.read_csv(path)
+    # uniqueness check on the RAW read (block_id only) so consumers do
+    # not pay the WKT decode twice
+    counts = raw.groupby("block_id").count().to_pandas()
     dupes = counts[counts["count()"] > 1]
     if len(dupes):
         raise ValueError(f"duplicate block_id values: {dupes['block_id'].tolist()[:5]}")
-    return ds
+    return raw.map_batches(_decode_batch, batch_format="pyarrow")
 
 
 def write_blocks_csv_wkt(blocks: pa.Table, path: str) -> None:

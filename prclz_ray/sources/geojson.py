@@ -31,28 +31,53 @@ def _geom_to_wkb(geom: dict) -> bytes:
     raise ValueError(f"unsupported geometry type {t}")
 
 
-def _decode_lines(batch: pa.Table) -> pa.Table:
-    feats = [json.loads(s) for s in batch.column("text").to_pylist() if s.strip()]
-    props: dict[str, list] = {}
-    wkbs, types = [], []
-    keys: set = set()
-    for f in feats:
-        keys |= set((f.get("properties") or {}).keys())
-    for f in feats:
-        g = f["geometry"]
-        wkbs.append(_geom_to_wkb(g))
-        types.append(g["type"])
-        p = f.get("properties") or {}
-        for k in keys:
-            props.setdefault(k, []).append(p.get(k))
-    cols = {k: pa.array(v) for k, v in sorted(props.items())}
-    cols["geom_type"] = pa.array(types, pa.string())
-    cols["geom_wkb"] = pa.array(wkbs, pa.binary())
-    return pa.table(cols)
+def _make_decoder(keys: tuple):
+    """Decoder with a FIXED property-column set so every batch emits the
+    same schema (per-batch key inference would let two batches of one
+    file produce different column sets). Null geometry (valid GeoJSON)
+    yields null geom columns."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        feats = [json.loads(s) for s in batch.column("text").to_pylist() if s.strip()]
+        props: dict[str, list] = {k: [] for k in keys}
+        wkbs, types = [], []
+        for f in feats:
+            geom = f.get("geometry")
+            if geom is None:
+                wkbs.append(None)
+                types.append(None)
+            else:
+                wkbs.append(_geom_to_wkb(geom))
+                types.append(geom["type"])
+            p = f.get("properties") or {}
+            for k in keys:
+                props[k].append(p.get(k))
+        cols = {k: pa.array(v) for k, v in sorted(props.items())}
+        cols["geom_type"] = pa.array(types, pa.string())
+        cols["geom_wkb"] = pa.array(wkbs, pa.binary())
+        return pa.table(cols)
+
+    return decode
 
 
-def read_geojson_features(path: str):
-    """NDJSON GeoJSON features → Dataset (properties + geom_wkb)."""
+def read_geojson_features(path: str, properties: list[str] | None = None):
+    """NDJSON GeoJSON features → Dataset (properties + geom_wkb).
+
+    ``properties`` fixes the property-column set; when omitted it is
+    inferred from a driver-side sample of the first 1000 lines (good
+    enough for homogeneous feature files; pass it explicitly when late
+    lines may introduce new keys)."""
     import ray.data
 
-    return ray.data.read_text(path).map_batches(_decode_lines, batch_format="pyarrow")
+    if properties is None:
+        keys: set = set()
+        with open(path) as f:
+            for i, line in enumerate(f):
+                if i >= 1000:
+                    break
+                if line.strip():
+                    keys |= set((json.loads(line).get("properties") or {}).keys())
+        properties = sorted(keys)
+    return ray.data.read_text(path).map_batches(
+        _make_decoder(tuple(properties)), batch_format="pyarrow"
+    )

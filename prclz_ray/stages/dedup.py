@@ -153,7 +153,9 @@ def embedding_near_dups(
     """Pairs (a < b) with cosine ≥ threshold. Dense normalized matmul —
     at test scale over the whole matrix; at 100 TB the same kernel runs
     per LSH/IVF bucket with the bucket's matrix broadcast."""
-    x = emb_matrix.astype(np.float64)
+    order0 = np.argsort(np.asarray(vec_ids, dtype=np.int64), kind="stable")
+    vec_ids = np.asarray(vec_ids, dtype=np.int64)[order0]
+    x = emb_matrix.astype(np.float64)[order0]  # id-sorted → i<j ⇒ id_i<id_j
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     sim = x @ x.T
     iu = np.triu_indices(len(x), k=1)

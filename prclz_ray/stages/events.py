@@ -55,6 +55,14 @@ def sliding_window_counts(batch: pa.Table) -> pa.Table:
     ×4 into (type, window_start) rows pre-aggregated map-side — an
     order-independent formulation (no sort, late data lands in the
     right windows by construction). Empty windows are not emitted."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "window_us": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     types = batch.column("event_type").to_pylist()
     k = SLIDE_WIDTH_US // SLIDE_STEP_US

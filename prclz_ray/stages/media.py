@@ -65,7 +65,8 @@ def media_meta(batch: pa.Table) -> pa.Table:
     n_payload = np.empty(n, dtype=np.int64)
     checksum = np.empty(n, dtype=np.int64)
     for i, b in enumerate(blobs):
-        assert b[:4] == MAGIC, "bad media magic"
+        if len(b) < 8 or b[:4] != MAGIC:
+            raise ValueError(f"bad media blob at row {i}: magic/length invalid")
         width[i] = int.from_bytes(b[4:6], "big")
         height[i] = int.from_bytes(b[6:8], "big")
         payload = np.frombuffer(b, dtype=np.uint8, offset=8)
@@ -105,6 +106,8 @@ def frame_sample_plan(batch: pa.Table, every_n: int = 10) -> pa.Table:
     media = batch.column("media").to_pylist()
     out_doc, out_frame, out_off = [], [], []
     for i, b in enumerate(media):
+        if len(b) < 8 or b[:4] != MAGIC:
+            raise ValueError(f"bad media blob at row {i}: magic/length invalid")
         width = int.from_bytes(b[4:6], "big")
         n_frames = max(0, (len(b) - 8)) // max(width, 1)
         for f in range(0, n_frames, every_n):

@@ -22,6 +22,16 @@ import pyarrow as pa
 import ray
 
 
+def _empty_topk() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+
 def put_queries(q_matrix: np.ndarray, q_ids: np.ndarray) -> "ray.ObjectRef":
     qn = q_matrix.astype(np.float64)
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
@@ -33,6 +43,8 @@ def make_topk_fn(queries_ref, k: int = 10):
     rows, ≤ k per query per batch."""
 
     def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
         side = ray.get(queries_ref)
         qn, q_ids = side["q"], side["ids"]
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -99,10 +111,16 @@ def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
     """IVF ANN: each batch scores only vectors whose nearest centroid is
     among each query's top-``nprobe`` centroids — at 100 TB the vector
     table is Hive-partitioned by list id and the probe prunes the read."""
+    cache: dict = {}  # per-worker: query-side precompute done once
+
     def topk(batch: pa.Table) -> pa.Table:
-        side = ray.get(queries_ref)
-        qn, q_ids = side["q"], side["ids"]
-        qprobe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+        if batch.num_rows == 0:
+            return _empty_topk()
+        if "q" not in cache:
+            side = ray.get(queries_ref)
+            cache["q"], cache["ids"] = side["q"], side["ids"]
+            cache["probe"] = np.argsort(-(cache["q"] @ centroids.T), axis=1)[:, :nprobe]
+        qn, q_ids, qprobe = cache["q"], cache["ids"], cache["probe"]
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
@@ -149,10 +167,16 @@ def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
     """Like make_topk_fn but each batch only scores vectors whose SRP
     bucket matches some query's bucket — the partition-pruned scan."""
 
+    cache: dict = {}
+
     def topk(batch: pa.Table) -> pa.Table:
-        side = ray.get(queries_ref)
-        qn, q_ids = side["q"], side["ids"]
-        qbuck = bucket_of(qn, planes)
+        if batch.num_rows == 0:
+            return _empty_topk()
+        if "q" not in cache:
+            side = ray.get(queries_ref)
+            cache["q"], cache["ids"] = side["q"], side["ids"]
+            cache["buck"] = bucket_of(cache["q"], planes)
+        qn, q_ids, qbuck = cache["q"], cache["ids"], cache["buck"]
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
