@@ -123,6 +123,8 @@ def run_secondary(sf_dir: str) -> dict:
         "dedup_minhash",
         "ann_topk",
         "sessionize",
+        "events_sliding",
+        "lang_id_trigram",
         "zonal_raster",
         "lineitem_pricing",
         "segment_revenue",

@@ -181,3 +181,40 @@ def test_mercator_tile_roundtrip():
             lo0, la0, lo1, la1 = mercator_tile_bounds(int(x[i]), int(y[i]), z)
             assert lo0 - 1e-9 <= lon[i] <= lo1 + 1e-9
             assert la0 - 1e-6 <= lat[i] <= la1 + 1e-6
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_steiner_tree_is_acyclic_and_spanning(seed):
+    """Random planar-ish graphs: the 2-approx output is a tree (acyclic)
+    spanning all terminals of its component."""
+    from prclz_ray.graph.planar import PlanarGraph
+    from prclz_ray.graph.steiner import steiner_tree_approx
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 10, (10, 2))
+    g = PlanarGraph()
+    for i in range(10):
+        for j in range(i + 1, 10):
+            if rng.random() < 0.35:
+                g.add_edge(tuple(pts[i]), tuple(pts[j]))
+    g = g.largest_component()
+    terms = [t for t in (tuple(p) for p in pts[:5]) if t in g.adj]
+    if len(terms) < 2:
+        return
+    edges = steiner_tree_approx(g, terms)
+    nodes = set()
+    adj = {}
+    for a, b in edges:
+        nodes |= {a, b}
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert len(edges) <= max(len(nodes) - 1, 0)  # acyclic
+    stack, seen = [terms[0]], {terms[0]}
+    while stack:
+        u = stack.pop()
+        for v in adj.get(u, ()):
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    assert set(terms) <= seen

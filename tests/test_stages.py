@@ -432,3 +432,19 @@ def test_geojson_reader(ray_session, tmp_path):
     assert df.highway.tolist()[0] == "residential" and df.building.tolist()[1] == "yes"
     kind, parts = parse_wkb(bytes(df.geom_wkb[2]))
     assert tuple(parts) == (5.5, 6.5)  # POINT parses to its coord pair
+
+
+def test_run_tiles_job(ray_session, tmp_path):
+    """The raster-heatmap tiling job end-to-end: partitioned output +
+    manifest, totals consistent with the flagship join."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines.flagship import run_tiles
+    from prclz_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "tiles")
+    stats = run_tiles(SF, out)
+    t = pq.read_table(out)
+    assert stats["tiles"] == t.num_rows > 0
+    assert t.column("n_pages").to_pandas().sum() == 486  # all geo pages
+    assert len(Manifest(out).completed()) == stats["stripes"]
