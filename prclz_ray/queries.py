@@ -756,15 +756,27 @@ FROM pairs WHERE inter > 0 AND 1000 * inter // uni >= 200
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4 — the synthetic
     embeddings have no true dups; threshold set to exercise the pair
-    path), normalized matmul."""
+    path). STREAMING: batches matmul against the broadcast normalized
+    matrix; each pair is emitted by the batch owning its smaller id
+    (at 100 TB the broadcast side becomes per-IVF-bucket slices)."""
     import pyarrow.parquet as pq
+    import ray
+    import ray.data
 
-    from .stages.dedup import embedding_near_dups
+    from .stages.dedup import make_embedding_pairs_fn
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    return embedding_near_dups(emb, ids, threshold=0.4)
+    def build_side():
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return ray.put({"ids": ids, "x": x})
+
+    side_ref = _epoch_cached(f"emb_side:{sf_dir}", build_side)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ds.map_batches(
+        make_embedding_pairs_fn(side_ref, threshold=0.4), batch_format="pyarrow"
+    )
 
 
 SQL_DEDUP_EMBEDDING = """

@@ -147,6 +147,39 @@ def jaccard_pairs(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
+def make_embedding_pairs_fn(side_ref, threshold: float = 0.9):
+    """Streaming near-dup pairs: each batch's rows matmul against the
+    broadcast normalized matrix; a pair (a < b) is emitted by the batch
+    that owns its SMALLER id, so the full-pairs set is produced exactly
+    once with no driver-side compute. Use:
+    ``ds.map_batches(make_embedding_pairs_fn(ray.put(side)), ...)``
+    where side = {"ids": sorted int64 ids, "x": normalized matrix}."""
+    import ray as _ray
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        side = _ray.get(side_ref)
+        all_ids, all_x = side["ids"], side["x"]
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        sim = emb @ all_x.T  # (B, N)
+        hit = (sim >= threshold) & (all_ids[None, :] > vids[:, None])
+        bi, oj = np.nonzero(hit)
+        order = np.lexsort((all_ids[oj], vids[bi]))
+        return pa.table(
+            {
+                "vec_a": pa.array(vids[bi][order], pa.int64()),
+                "vec_b": pa.array(all_ids[oj][order], pa.int64()),
+            }
+        )
+
+    return pairs
+
+
 def embedding_near_dups(
     emb_matrix: np.ndarray, vec_ids: np.ndarray, threshold: float = 0.9
 ) -> pa.Table:
