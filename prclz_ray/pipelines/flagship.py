@@ -92,6 +92,18 @@ def joined_pages(
     return ds
 
 
+def _write_run_metrics(out_dir: str, job: str, input_dir: str, stats: dict) -> None:
+    """Append one JSON line per run to <out>/_manifest/_runs.jsonl —
+    run-level metrics beside the per-partition lineage rows."""
+    import json
+    import time as _time
+
+    path = os.path.join(out_dir, "_manifest", "_runs.jsonl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as fh:
+        fh.write(json.dumps({"job": job, "input": input_dir, "ts": _time.time(), **stats}) + "\n")
+
+
 def run_tiles(input_dir: str, out_dir: str) -> dict:
     """The raster-heatmap tiling job: flagship join → tile rollup →
     partitioned parquet (one directory per tile_x stripe) + manifest.
@@ -108,11 +120,13 @@ def run_tiles(input_dir: str, out_dir: str) -> dict:
     for _, row in written.iterrows():
         manifest.mark(f"x{int(row['tile_x'])}", int(row["count()"]),
                       fingerprint=input_dir, wall_s=wall)
-    return {
+    stats = {
         "tiles": int(written["count()"].sum()),
         "stripes": len(written),
         "wall_s": wall,
     }
+    _write_run_metrics(out_dir, "tiles", input_dir, stats)
+    return stats
 
 
 def run_flagship(
@@ -176,10 +190,12 @@ def run_flagship(
         if key not in done:
             manifest.mark(key, int(row["count()"]), fingerprint=input_dir, wall_s=wall)
             new_rows += int(row["count()"])
-    return {
+    stats = {
         "partitions": len(written),
         "rows": int(written["count()"].sum()),
         "new_rows": new_rows,
         "skipped": len(done),
         "wall_s": wall,
     }
+    _write_run_metrics(out_dir, "flagship", input_dir, stats)
+    return stats
