@@ -729,14 +729,27 @@ FROM h GROUP BY doc_id
 
 
 def q_dedup_jaccard(sf_dir: str):
-    """Exact 3-shingle Jaccard ≥ 0.2 over all pairs. At test scale the
-    corpus fits one batch; at 100 TB this kernel runs per LSH bucket
-    (map_groups after q_dedup_minhash's band shuffle)."""
-    from .stages.dedup import jaccard_pairs
+    """Exact 3-shingle Jaccard ≥ 0.2 over all pairs, STREAMING: batches
+    compare against the broadcast shingle-set table, each pair emitted
+    once by its smaller-id owner. At 100 TB the broadcast side becomes
+    the per-LSH-bucket candidate slice (q_dedup_minhash's shuffle)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
 
-    return _docs(sf_dir).repartition(1).map_batches(
-        jaccard_pairs, batch_format="pyarrow", batch_size=1 << 20
-    )
+    from .stages.dedup import _shingles, make_jaccard_pairs_fn
+
+    def build_side():
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        texts = [t.column("text").to_pylist()[i] for i in order]
+        return ray.put({"ids": ids, "sets": [frozenset(_shingles(x)) for x in texts]})
+
+    side_ref = _epoch_cached(f"jac_side:{sf_dir}", build_side)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(make_jaccard_pairs_fn(side_ref), batch_format="pyarrow")
 
 
 SQL_DEDUP_JACCARD = f"""

@@ -144,6 +144,51 @@ def jaccard_pairs(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
     )
 
 
+def make_jaccard_pairs_fn(side_ref, threshold_x1000: int = 200):
+    """Streaming all-pairs exact Jaccard: batch docs compare against the
+    broadcast shingle-set table; a pair (a < b) is emitted by the batch
+    owning its smaller id. At 100 TB the broadcast side becomes the
+    per-LSH-bucket slice (candidates only)."""
+    import ray as _ray
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_x1000": pa.array([], pa.int64()),
+                }
+            )
+        side = _ray.get(side_ref)
+        all_ids, all_sets = side["ids"], side["sets"]
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for d, t in sorted(zip(doc_ids, texts)):
+            s = frozenset(_shingles(t))
+            for j in range(np.searchsorted(all_ids, d) + 1, len(all_ids)):
+                other = all_sets[j]
+                inter = len(s & other)
+                if inter == 0:
+                    continue
+                union = len(s | other)
+                jx = 1000 * inter // union
+                if jx >= threshold_x1000:
+                    out_a.append(d)
+                    out_b.append(int(all_ids[j]))
+                    out_j.append(jx)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_x1000": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
