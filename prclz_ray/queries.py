@@ -10,7 +10,6 @@ aliases exactly (driver compares after sorting columns by name).
 
 from __future__ import annotations
 
-import hashlib
 from typing import Callable, Dict
 
 import numpy as np
@@ -328,23 +327,30 @@ SQL_ANTI_JOIN = (
 # dedup
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup (D6): md5 hash-partition, keep the smallest doc_id."""
+    """Exact dedup (D6): 62-bit text digest hash-partition, keep the
+    smallest doc_id. The digest is the vectorized two-modulus
+    polynomial hash (`stages/hashing.py::hash_strings62`) — no per-row
+    Python in the map stage."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from .stages.hashing import hash_strings62
 
-    def add_md5(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-        return pa.table({"text_md5": pa.array(md5s, pa.string()), "doc_id": batch.column("doc_id")})
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    return ds.map_batches(add_md5, batch_format="pyarrow").groupby("text_md5").min("doc_id").map_batches(
-        lambda b: pa.table({"text_md5": b.column("text_md5"), "doc_id": b.column("min(doc_id)")}),
+    def add_h62(batch: pa.Table) -> pa.Table:
+        h = hash_strings62(batch.column("text"))
+        return pa.table({"text_h62": pa.array(h, pa.int64()), "doc_id": batch.column("doc_id")})
+
+    return ds.map_batches(add_h62, batch_format="pyarrow").groupby("text_h62").min("doc_id").map_batches(
+        lambda b: pa.table({"text_h62": b.column("text_h62"), "doc_id": b.column("min(doc_id)")}),
         batch_format="pyarrow",
     )
 
 
-SQL_DEDUP_EXACT = "SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+def _sql_dedup_exact() -> str:
+    from .stages.hashing import sql_h62
+
+    return f"SELECT {sql_h62('text')} AS text_h62, MIN(doc_id) AS doc_id FROM documents GROUP BY 1"
 
 
 # ---------------------------------------------------------------------------
@@ -634,16 +640,21 @@ def q_fingerprint(sf_dir: str):
 
 
 def _sql_fingerprint() -> str:
+    from .stages.hashing import A_CHAR, P31, sql_h31
     from .stages.textops import FP_GRAM
 
     g = FP_GRAM
+    gram_h = (
+        f"list_reduce(list_transform(range(0, {g}), "
+        f"j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) + 1 AS BIGINT)), "
+        f"(h, c) -> (h * {A_CHAR} + c) % {P31})"
+    )
     return f"""
 WITH grams AS (
   SELECT doc_id,
     CASE WHEN strlen(text) < {g}
-      THEN [CAST(('0x' || substr(md5('0:' || text), 1, 15)) AS BIGINT)]
-      ELSE list_transform(range(1, strlen(text) - {g} + 2),
-             i -> CAST(('0x' || substr(md5('0:' || substr(text, CAST(i AS INT), {g})), 1, 15)) AS BIGINT))
+      THEN [{sql_h31('text')}]
+      ELSE list_transform(range(1, strlen(text) - {g} + 2), i -> {gram_h})
     END AS hs
   FROM documents
 )
@@ -686,15 +697,16 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def _sql_dedup_minhash() -> str:
-    from .stages.dedup import BAND, N_HASHES
+    from .stages.dedup import BAND
+    from .stages.hashing import P31, sql_h31, sql_salt_table
 
     return f"""
 WITH {_SQL_SHINGLES},
 shu AS (SELECT doc_id, unnest(sh_list) AS s FROM sh),
+shh AS (SELECT doc_id, {sql_h31('s')} AS hs FROM shu),
 sig AS (
-  SELECT doc_id, salt,
-         min(CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS h
-  FROM shu, (SELECT unnest(range({N_HASHES})) AS salt)
+  SELECT doc_id, salt, min((a * hs + b) % {P31}) AS h
+  FROM shh, ({sql_salt_table()})
   GROUP BY 1, 2
 ),
 band AS (
@@ -720,9 +732,11 @@ def _sql_dedup_simhash() -> str:
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
+    from .stages.hashing import sql_h31
+
     return f"""
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-h AS (SELECT doc_id, CAST(('0x' || substr(md5('0:' || word), 1, 15)) AS BIGINT) AS h FROM w)
+h AS (SELECT doc_id, {sql_h31('word')} AS h FROM w)
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
 FROM h GROUP BY doc_id
 """
@@ -1611,7 +1625,7 @@ ORACLES: Dict[str, str] = {
     "top_blocks": SQL_TOP_BLOCKS,
     "semi_join_aoi": SQL_SEMI_JOIN,
     "anti_join_empty_gadm": SQL_ANTI_JOIN,
-    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact": _sql_dedup_exact(),
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,

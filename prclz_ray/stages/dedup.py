@@ -14,29 +14,25 @@ each expressed Ray-Data-first:
 - embedding cosine near-dup: normalized matmul per batch against the
   broadcast matrix (IVF-bucketed at scale)
 
-Hash family: md5 (oracle parity with DuckDB). Swap ``_h64`` for a
-vectorized 64-bit xxhash/polynomial family at 100 TB — the pipeline
-shapes are unchanged.
+Hash family: the vectorized polynomial family in ``hashing.py``
+(DuckDB-expressible, so oracles hash bit-for-bit) — no per-row Python
+hashing anywhere in the hot path.
 """
 
 from __future__ import annotations
 
-import hashlib
 from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .hashing import P31, SALT_A, SALT_B, hash_strings
+
 SHINGLE = 3       # words per shingle
 N_HASHES = 8      # minhash signature length
 BAND = 2          # rows per LSH band → N_HASHES // BAND bands
 SIMHASH_BITS = 16
-
-
-def _h64(s: str, salt: int = 0) -> int:
-    """int64 hash = first 15 hex chars of md5('{salt}:{s}')."""
-    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
 
 
 def _shingles(text: str) -> list[str]:
@@ -46,8 +42,56 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(w[i : i + SHINGLE]) for i in range(len(w) - SHINGLE + 1)]
 
 
+def shingle_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, shingle_hash) for every 3-word shingle in the batch,
+    fully vectorized: flat word array → three shifted slices joined
+    element-wise → one flat-buffer polynomial hash pass. Docs with
+    < SHINGLE words contribute their whole text (split/join identity)."""
+    text = batch.column("text")
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words).combine_chunks()
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    parts: list[np.ndarray] = []
+    docs: list[np.ndarray] = []
+    m = len(flat)
+    if m >= SHINGLE:
+        valid = par[: m - 2] == par[2:]
+        if valid.any():
+            vmask = pa.array(valid)
+            sh_str = pc.binary_join_element_wise(
+                flat.slice(0, m - 2).filter(vmask),
+                flat.slice(1, m - 2).filter(vmask),
+                flat.slice(2, m - 2).filter(vmask),
+                " ",
+            )
+            parts.append(hash_strings(sh_str))
+            docs.append(par[: m - 2][valid])
+    fb = np.flatnonzero(nw < SHINGLE)
+    if len(fb):
+        parts.append(hash_strings(text.take(pa.array(fb))))
+        docs.append(fb)
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(docs), np.concatenate(parts)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
+
+def minhash_matrix(batch: pa.Table) -> np.ndarray:
+    """(n_docs, N_HASHES) minhash signature matrix, vectorized: salted
+    universal hashes of the shingle hashes, per-doc min via reduceat."""
+    n = len(batch)
+    sh_doc, sh_h = shingle_hashes(batch)
+    order = np.argsort(sh_doc, kind="stable")
+    doc_s, h_s = sh_doc[order], sh_h[order]
+    starts = np.searchsorted(doc_s, np.arange(n))
+    sig = np.empty((n, N_HASHES), dtype=np.int64)
+    for k in range(N_HASHES):
+        sig[:, k] = np.minimum.reduceat((SALT_A[k] * h_s + SALT_B[k]) % P31, starts)
+    return sig
+
 
 def minhash_signatures(batch: pa.Table) -> pa.Table:
     """documents → one row per (doc, band) with the band's bucket key.
@@ -55,22 +99,43 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     Emitting band rows (flat_map shape) lets the downstream groupby on
     ``bucket`` do ALL the pair-finding work in one shuffle.
     """
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    out_doc, out_band, out_bucket = [], [], []
-    for d, t in zip(doc_ids, texts):
-        sh = _shingles(t)
-        sig = [min(_h64(s, salt) for s in sh) for salt in range(N_HASHES)]
-        for b in range(N_HASHES // BAND):
-            key = ":".join(str(sig[b * BAND + r]) for r in range(BAND))
-            out_doc.append(d)
-            out_band.append(b)
-            out_bucket.append(f"{b}|{key}")
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.string()),
+            }
+        )
+    sig = minhash_matrix(batch)
+    n_bands = N_HASHES // BAND
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket_cols = []
+    for b in range(n_bands):
+        key = pc.cast(pa.array(sig[:, b * BAND]), pa.string())
+        for r in range(1, BAND):
+            key = pc.binary_join_element_wise(
+                key, pc.cast(pa.array(sig[:, b * BAND + r]), pa.string()), ":"
+            )
+        bucket_cols.append(
+            pc.binary_join_element_wise(pa.array([str(b)] * n, pa.string()), key, "|")
+        )
+    out_doc = np.repeat(doc_ids, n_bands)
+    out_band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+    bucket = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in bucket_cols]
+    ).take(
+        pa.array(
+            (np.arange(n)[:, None] + np.arange(n_bands)[None, :] * n).ravel(),
+            pa.int64(),
+        )
+    )
     return pa.table(
         {
             "doc_id": pa.array(out_doc, pa.int64()),
             "band": pa.array(out_band, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.string()),
+            "bucket": bucket,
         }
     )
 
@@ -91,14 +156,14 @@ def bucket_pairs(group: pa.Table) -> pa.Table:
 # SimHash
 
 def simhash(batch: pa.Table) -> pa.Table:
-    """SIMHASH_BITS-bit signature: per word w, h = _h64(w); bit b
+    """SIMHASH_BITS-bit signature: per word w, h = H31(w); bit b
     contributes +1 if set else -1; signature bit b = (sum > 0)."""
     doc_ids = batch.column("doc_id")
     words = pc.split_pattern(batch.column("text"), " ")
-    flat = pc.list_flatten(words).to_pylist()
+    flat = pc.list_flatten(words)
     par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
     n = len(batch)
-    h = np.array([_h64(w) for w in flat], dtype=np.int64)
+    h = hash_strings(flat)
     bits = (h[:, None] >> np.arange(SIMHASH_BITS)[None, :]) & 1  # (W, B)
     votes = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
     for b in range(SIMHASH_BITS):

@@ -41,9 +41,6 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
 FP_GRAM = 8  # character n-gram width for the winnow-lite fingerprint
 
 
-def _h64(s: str, salt: int = 0) -> int:
-    """First 15 hex chars of md5 → int64 (SQL: CAST('0x'||substr(md5(..),1,15) AS BIGINT))."""
-    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
 
 
 def token_counts(batch: pa.Table) -> pa.Table:
@@ -172,15 +169,45 @@ def lang_id_trigram(batch: pa.Table) -> pa.Table:
 
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Document fingerprints: whole-text md5 + winnow-lite (min over
-    character FP_GRAM-gram hashes — the rolling-hash fingerprint)."""
-    texts = batch.column("text").to_pylist()
+    character FP_GRAM-gram polynomial hashes — the rolling-hash
+    fingerprint). The gram pass is vectorized over the flat Arrow byte
+    buffer: FP_GRAM shifted adds produce every gram hash at once, then
+    a per-document ``minimum.reduceat`` (only the whole-text md5 column
+    remains per-row — one digest per document)."""
+    from .hashing import A_CHAR, P31, _powers, _string_view, hash_strings
+
+    texts_col = batch.column("text")
+    texts = texts_col.to_pylist()
     full = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-    mins: list[int] = []
-    for t in texts:
-        if len(t) < FP_GRAM:
-            mins.append(_h64(t))
-        else:
-            mins.append(min(_h64(t[i : i + FP_GRAM]) for i in range(len(t) - FP_GRAM + 1)))
+    n = len(batch)
+    mins = np.zeros(n, dtype=np.int64)
+    if n:
+        data, offsets = _string_view(texts_col)
+        starts, ends = offsets[:-1], offsets[1:]
+        lens = ends - starts
+        lo, hi = int(starts[0]), int(ends[-1])
+        g = FP_GRAM
+        big = np.flatnonzero(lens >= g)
+        if len(big) and hi - lo >= g:
+            b = data[lo:hi].astype(np.int64) + 1
+            pw = _powers(g, A_CHAR, P31)
+            m = hi - lo - g + 1
+            roll = np.zeros(m, dtype=np.int64)
+            for j in range(g):
+                roll += b[j : m + j] * pw[g - 1 - j]  # < 257·2^31·g, int64-safe
+            roll %= P31
+            # per-doc min over its gram window [start, end-g+1), via
+            # interleaved reduceat (segments are non-contiguous in roll)
+            seg_a = starts[big] - lo
+            seg_b = ends[big] - lo - g + 1
+            roll2 = np.concatenate([roll, np.array([np.iinfo(np.int64).max], np.int64)])
+            idx = np.empty(2 * len(big), dtype=np.int64)
+            idx[0::2], idx[1::2] = seg_a, seg_b
+            red = np.minimum.reduceat(roll2, idx)[0::2]
+            mins[big] = red
+        small = np.flatnonzero(lens < g)
+        if len(small):
+            mins[small] = hash_strings(texts_col.take(pa.array(small)))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
