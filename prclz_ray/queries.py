@@ -743,27 +743,38 @@ FROM h GROUP BY doc_id
 
 
 def q_dedup_jaccard(sf_dir: str):
-    """Exact 3-shingle Jaccard ≥ 0.2 over all pairs, STREAMING: batches
-    compare against the broadcast shingle-set table, each pair emitted
-    once by its smaller-id owner. At 100 TB the broadcast side becomes
-    the per-LSH-bucket candidate slice (q_dedup_minhash's shuffle)."""
-    import pyarrow.parquet as pq
-    import ray
+    """Exact 3-shingle Jaccard ≥ 0.2 similarity join — the scale-safe
+    shape: PREFIX-FILTER candidate generation (one groupby shuffle on
+    the shingle key; exact by the SSJoin/PPJoin prefix theorem) →
+    distinct candidate pairs → two hash joins to attach both texts →
+    exact-verify map. No broadcast corpus, no all-pairs scan, no
+    driver-side compute; equals the all-pairs oracle exactly."""
     import ray.data
 
-    from .stages.dedup import _shingles, make_jaccard_pairs_fn
+    from .stages.dedup import jaccard_verify, prefix_shingle_rows, shingle_bucket_pairs
 
-    def build_side():
-        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        texts = [t.column("text").to_pylist()[i] for i in order]
-        return ray.put({"ids": ids, "sets": [frozenset(_shingles(x)) for x in texts]})
-
-    side_ref = _epoch_cached(f"jac_side:{sf_dir}", build_side)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(make_jaccard_pairs_fn(side_ref), batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = docs.map_batches(prefix_shingle_rows, batch_format="pyarrow")
+    pairs = cand.groupby("sb").map_groups(shingle_bucket_pairs, batch_format="pyarrow")
+    pairs = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .count()
+        .map_batches(
+            lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
+            batch_format="pyarrow",
+        )
+    )
+    docs_a = docs.map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_id"), "text_a": b.column("text")}),
+        batch_format="pyarrow",
+    )
+    docs_b = docs.map_batches(
+        lambda b: pa.table({"doc_b": b.column("doc_id"), "text_b": b.column("text")}),
+        batch_format="pyarrow",
+    )
+    j = pairs.join(docs_a, join_type="inner", num_partitions=8, on=("doc_a",))
+    j = j.join(docs_b, join_type="inner", num_partitions=8, on=("doc_b",))
+    return j.map_batches(jaccard_verify, batch_format="pyarrow")
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -783,26 +794,29 @@ FROM pairs WHERE inter > 0 AND 1000 * inter // uni >= 200
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4 — the synthetic
     embeddings have no true dups; threshold set to exercise the pair
-    path). STREAMING: batches matmul against the broadcast normalized
-    matrix; each pair is emitted by the batch owning its smaller id
-    (at 100 TB the broadcast side becomes per-IVF-bucket slices)."""
+    path). Exact BLOCK similarity join: the corpus is split into row
+    chunks; one task per unordered chunk pair loads only its two
+    chunks (row-group-pruned read, worker-cached) and matmuls them.
+    Worker memory = 2 chunks, never the corpus; no broadcast, no
+    driver compute. Sub-quadratic web-scale alternative: the IVF/SRP
+    bucketed ANN path (`stages/similarity.py`)."""
     import pyarrow.parquet as pq
-    import ray
     import ray.data
 
-    from .stages.dedup import make_embedding_pairs_fn
+    from .stages.dedup import make_chunk_pair_fn
 
-    def build_side():
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        return ray.put({"ids": ids, "x": x})
-
-    side_ref = _epoch_cached(f"emb_side:{sf_dir}", build_side)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    n = pq.read_metadata(path).num_rows
+    ch = 1024
+    bounds = [(s, min(s + ch, n)) for s in range(0, n, ch)]
+    items = [
+        {"a_start": a0, "a_end": a1, "b_start": b0, "b_end": b1}
+        for i, (a0, a1) in enumerate(bounds)
+        for (b0, b1) in bounds[i:]
+    ]
+    ds = ray.data.from_items(items)
     return ds.map_batches(
-        make_embedding_pairs_fn(side_ref, threshold=0.4), batch_format="pyarrow"
+        make_chunk_pair_fn(path, threshold=0.4), batch_format="pyarrow", batch_size=1
     )
 
 
@@ -820,25 +834,46 @@ def q_dedup_corpus(sf_dir: str):
     """The deduplicated corpus: drop every doc that shares an LSH
     bucket with a smaller doc_id (deterministic keep-bucket-minimum
     policy — the per-group-first of D1/D6 applied to near-dup
-    clusters). Output: kept doc ids."""
+    clusters). Output: kept doc ids.
+
+    Scale shape: a pure shuffle anti-join — drop flags from the bucket
+    groups union the full id set, then one ``groupby(doc_id).max``
+    keeps rows never flagged. Nothing materializes on the driver (at
+    web scale the drop set is 30-50% of the corpus)."""
+    import ray.data
+
     from .stages.dedup import minhash_signatures
 
     sig = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
 
     def drop_candidates(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        return pa.table({"doc_id": pa.array(ids[1:], pa.int64())})
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[1:], pa.int64()),
+                "dropped": pa.array(np.ones(max(len(ids) - 1, 0), np.int64)),
+            }
+        )
 
-    dropped = sig.groupby("bucket").map_groups(drop_candidates, batch_format="pyarrow")
-    drop_arr = pa.array(
-        sorted(set(dropped.to_pandas()["doc_id"])), pa.int64()
-    )  # tiny: only dup-cluster members
-
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop_arr))
-        return pa.table({"doc_id": batch.column("doc_id")}).filter(mask)
-
-    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+    flagged = sig.groupby("bucket").map_groups(drop_candidates, batch_format="pyarrow")
+    everyone = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dropped": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kept = everyone.union(flagged).groupby("doc_id").max("dropped")
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}).filter(
+            pc.equal(b.column("max(dropped)"), 0)
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _sql_dedup_corpus() -> str:

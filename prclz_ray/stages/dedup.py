@@ -33,6 +33,7 @@ SHINGLE = 3       # words per shingle
 N_HASHES = 8      # minhash signature length
 BAND = 2          # rows per LSH band → N_HASHES // BAND bands
 SIMHASH_BITS = 16
+JACCARD_BUCKETS = 1024  # shuffle-key buckets for the prefix-filter join
 
 
 def _shingles(text: str) -> list[str]:
@@ -42,17 +43,17 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(w[i : i + SHINGLE]) for i in range(len(w) - SHINGLE + 1)]
 
 
-def shingle_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_index, shingle_hash) for every 3-word shingle in the batch,
-    fully vectorized: flat word array → three shifted slices joined
-    element-wise → one flat-buffer polynomial hash pass. Docs with
-    < SHINGLE words contribute their whole text (split/join identity)."""
+def _shingle_arrays(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """(doc_index, shingle_string) for every 3-word shingle in the
+    batch, fully vectorized: flat word array → three shifted slices
+    joined element-wise. Docs with < SHINGLE words contribute their
+    whole text (split(' ')/join(' ') identity)."""
     text = batch.column("text")
     words = pc.split_pattern(text, " ")
     flat = pc.list_flatten(words).combine_chunks()
     par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False).astype(np.int64)
     nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-    parts: list[np.ndarray] = []
+    parts: list[pa.Array] = []
     docs: list[np.ndarray] = []
     m = len(flat)
     if m >= SHINGLE:
@@ -65,15 +66,26 @@ def shingle_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
                 flat.slice(2, m - 2).filter(vmask),
                 " ",
             )
-            parts.append(hash_strings(sh_str))
+            if isinstance(sh_str, pa.ChunkedArray):
+                sh_str = sh_str.combine_chunks()
+            parts.append(sh_str)
             docs.append(par[: m - 2][valid])
     fb = np.flatnonzero(nw < SHINGLE)
     if len(fb):
-        parts.append(hash_strings(text.take(pa.array(fb))))
+        fb_text = text.take(pa.array(fb))
+        if isinstance(fb_text, pa.ChunkedArray):
+            fb_text = fb_text.combine_chunks()
+        parts.append(fb_text)
         docs.append(fb)
     if not parts:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(docs), np.concatenate(parts)
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    return np.concatenate(docs), pa.concat_arrays([p.cast(pa.string()) for p in parts])
+
+
+def shingle_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, shingle_hash) per shingle — one flat hash pass."""
+    doc_idx, sh = _shingle_arrays(batch)
+    return doc_idx, hash_strings(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -173,32 +185,114 @@ def simhash(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# exact n-gram Jaccard (verify stage)
+# exact n-gram Jaccard via prefix filtering (candidates → verify)
 
-def jaccard_pairs(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
-    """All-pairs exact 3-shingle Jaccard within the batch ≥ threshold.
+def prefix_shingle_rows(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
+    """(shingle, doc_id) rows under PREFIX FILTERING — the exact
+    candidate generator for Jaccard ≥ t similarity join (SSJoin/PPJoin
+    principle): order each doc's DISTINCT shingle set by a global total
+    order (hash, then string) and emit only the first
+    ``L − ⌈t·L⌉ + 1`` shingles. Any pair with J ≥ t is guaranteed to
+    share at least one emitted prefix shingle, so a groupby on the
+    shingle key finds every qualifying pair with no all-pairs scan and
+    no broadcast corpus. Fully vectorized (arrow sort + run-length
+    prefix mask)."""
+    n = len(batch)
+    empty = pa.table(
+        {"shingle": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return empty
+    doc_idx, sh = _shingle_arrays(batch)
+    if len(sh) == 0:
+        return empty
+    h = hash_strings(sh)
+    tbl = pa.table({"d": pa.array(doc_idx), "h": pa.array(h), "s": sh})
+    order = pc.sort_indices(
+        tbl, sort_keys=[("d", "ascending"), ("h", "ascending"), ("s", "ascending")]
+    )
+    tbl = tbl.take(order)
+    d_s = tbl.column("d").to_numpy(zero_copy_only=False)
+    h_s = tbl.column("h").to_numpy(zero_copy_only=False)
+    s_s = tbl.column("s")
+    # distinct within doc: first of each (d, h, s) run
+    neq_s = pc.not_equal(s_s.slice(1), s_s.slice(0, len(s_s) - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    first = np.concatenate(
+        [[True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]) | neq_s]
+    )
+    d_u = d_s[first]
+    s_u = s_s.filter(pa.array(first))
+    # per-doc prefix length k = L - ceil(t·L) + 1
+    run_start = np.concatenate([[True], d_u[1:] != d_u[:-1]])
+    starts = np.flatnonzero(run_start)
+    sizes = np.diff(np.concatenate([starts, [len(d_u)]]))
+    k = sizes - (threshold_x1000 * sizes + 999) // 1000 + 1
+    pos = np.arange(len(d_u)) - np.repeat(starts, sizes)
+    sel = pos < np.repeat(k, sizes)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    h_u = h_s[first][sel]
+    return pa.table(
+        {
+            "sb": pa.array(h_u % JACCARD_BUCKETS, pa.int64()),
+            "sh31": pa.array(h_u, pa.int64()),
+            "doc_id": pa.array(doc_ids[d_u[sel]], pa.int64()),
+        }
+    )
 
-    Exact-integer output: jaccard_x1000 = floor(1000·|∩| / |∪|). At
-    scale this runs per LSH bucket (map_groups after the band shuffle),
-    never all-pairs; at test scale the batch IS the whole corpus.
-    """
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    sets = [frozenset(_shingles(t)) for t in texts]
-    order = np.argsort(doc_ids, kind="stable")
+
+def shingle_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One shingle-hash bucket → candidate pairs: regroup exactly by
+    the full shingle hash inside the bucket (vectorized run-length
+    pass), emit C(run, 2) pairs per shared shingle. Hash collisions
+    only ADD candidates — the exact-verify stage removes them — so
+    grouping by hash (not string) is safe and avoids shipping shingle
+    strings through the shuffle. The bucket key keeps the group count
+    bounded (JACCARD_BUCKETS) so per-group overhead stays constant;
+    at web scale raise JACCARD_BUCKETS ∝ corpus shingle count."""
+    h = group.column("sh31").to_numpy(zero_copy_only=False)
+    d = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    out_a, out_b = [], []
+    run_start = np.concatenate([[0], np.flatnonzero(h[1:] != h[:-1]) + 1, [len(h)]])
+    for i in range(len(run_start) - 1):
+        lo, hi = run_start[i], run_start[i + 1]
+        if hi - lo < 2:
+            continue
+        ids = np.unique(d[lo:hi])
+        for a, b in combinations(ids.tolist(), 2):
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+        }
+    )
+
+
+def jaccard_verify(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
+    """Exact-verify stage over candidate pairs carrying both texts:
+    jaccard_x1000 = floor(1000·|∩|/|∪|) over distinct 3-shingle sets,
+    keep rows ≥ threshold. Runs on candidates only (post prefix-filter
+    shuffle) — never all-pairs."""
     out_a, out_b, out_j = [], [], []
-    for ii in range(len(order)):
-        i = order[ii]
-        for jj in range(ii + 1, len(order)):
-            j = order[jj]
-            inter = len(sets[i] & sets[j])
+    if batch.num_rows:
+        das = batch.column("doc_a").to_pylist()
+        dbs = batch.column("doc_b").to_pylist()
+        tas = batch.column("text_a").to_pylist()
+        tbs = batch.column("text_b").to_pylist()
+        for da, db, ta, tb in zip(das, dbs, tas, tbs):
+            sa, sb = frozenset(_shingles(ta)), frozenset(_shingles(tb))
+            inter = len(sa & sb)
             if inter == 0:
                 continue
-            union = len(sets[i] | sets[j])
-            jx = 1000 * inter // union
+            jx = 1000 * inter // (len(sa) + len(sb) - inter)
             if jx >= threshold_x1000:
-                out_a.append(doc_ids[i])
-                out_b.append(doc_ids[j])
+                out_a.append(da)
+                out_b.append(db)
                 out_j.append(jx)
     return pa.table(
         {
@@ -209,105 +303,74 @@ def jaccard_pairs(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
     )
 
 
-def make_jaccard_pairs_fn(side_ref, threshold_x1000: int = 200):
-    """Streaming all-pairs exact Jaccard: batch docs compare against the
-    broadcast shingle-set table; a pair (a < b) is emitted by the batch
-    owning its smaller id. At 100 TB the broadcast side becomes the
-    per-LSH-bucket slice (candidates only)."""
-    import ray as _ray
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard_x1000": pa.array([], pa.int64()),
-                }
-            )
-        side = _ray.get(side_ref)
-        all_ids, all_sets = side["ids"], side["sets"]
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for d, t in sorted(zip(doc_ids, texts)):
-            s = frozenset(_shingles(t))
-            for j in range(np.searchsorted(all_ids, d) + 1, len(all_ids)):
-                other = all_sets[j]
-                inter = len(s & other)
-                if inter == 0:
-                    continue
-                union = len(s | other)
-                jx = 1000 * inter // union
-                if jx >= threshold_x1000:
-                    out_a.append(d)
-                    out_b.append(int(all_ids[j]))
-                    out_j.append(jx)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_x1000": pa.array(out_j, pa.int64()),
-            }
-        )
-
-    return pairs
-
-
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup
+# embedding cosine near-dup: exact block (chunk-pair) matmul
 
-def make_embedding_pairs_fn(side_ref, threshold: float = 0.9):
-    """Streaming near-dup pairs: each batch's rows matmul against the
-    broadcast normalized matrix; a pair (a < b) is emitted by the batch
-    that owns its SMALLER id, so the full-pairs set is produced exactly
-    once with no driver-side compute. Use:
-    ``ds.map_batches(make_embedding_pairs_fn(ray.put(side)), ...)``
-    where side = {"ids": sorted int64 ids, "x": normalized matrix}."""
-    import ray as _ray
+def make_chunk_pair_fn(path: str, threshold: float = 0.9):
+    """Exact cosine near-dup pairs as a BLOCK similarity join: each
+    input row describes one unordered chunk pair (row ranges of the
+    embeddings parquet); the task loads only its two chunks (pruned to
+    the overlapping row groups, worker-cached) and matmuls them,
+    emitting pairs with vec_a < vec_b exactly once. Worker memory is
+    two chunks — never the whole corpus — and no driver-side compute.
+    The total O(N²/2) flops of an exact all-pairs join are distributed
+    over C(K+1,2) tasks; at web scale the sub-quadratic route is the
+    IVF/SRP bucketed path in ``similarity.py``."""
+    import pyarrow.parquet as pq
+
+    cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def load(start: int, end: int) -> tuple[np.ndarray, np.ndarray]:
+        key = (start, end)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        pf = pq.ParquetFile(path)
+        groups, base, first_base = [], 0, None
+        for i in range(pf.metadata.num_row_groups):
+            nr = pf.metadata.row_group(i).num_rows
+            if base < end and base + nr > start:
+                if first_base is None:
+                    first_base = base
+                groups.append(i)
+            base += nr
+        t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
+        t = t.slice(start - first_base, end - start)
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        if len(cache) >= 6:
+            cache.clear()
+        cache[key] = (ids, x)
+        return ids, x
 
     def pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for row in batch.to_pylist():
+            ida, xa = load(row["a_start"], row["a_end"])
+            idb, xb = load(row["b_start"], row["b_end"])
+            sim = xa @ xb.T
+            hit = (sim >= threshold) & (ida[:, None] != idb[None, :])
+            ai, bj = np.nonzero(hit)
+            if len(ai) == 0:
+                continue
+            va, vb = ida[ai], idb[bj]
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+            if row["a_start"] == row["b_start"]:  # same chunk: dedup mirrored hits
+                keep = va < vb
+                lo, hi = lo[keep], hi[keep]
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
             return pa.table(
                 {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
             )
-        side = _ray.get(side_ref)
-        all_ids, all_x = side["ids"], side["x"]
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-        sim = emb @ all_x.T  # (B, N)
-        hit = (sim >= threshold) & (all_ids[None, :] > vids[:, None])
-        bi, oj = np.nonzero(hit)
-        order = np.lexsort((all_ids[oj], vids[bi]))
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        order = np.lexsort((b, a))
         return pa.table(
-            {
-                "vec_a": pa.array(vids[bi][order], pa.int64()),
-                "vec_b": pa.array(all_ids[oj][order], pa.int64()),
-            }
+            {"vec_a": pa.array(a[order], pa.int64()), "vec_b": pa.array(b[order], pa.int64())}
         )
 
     return pairs
-
-
-def embedding_near_dups(
-    emb_matrix: np.ndarray, vec_ids: np.ndarray, threshold: float = 0.9
-) -> pa.Table:
-    """Pairs (a < b) with cosine ≥ threshold. Dense normalized matmul —
-    at test scale over the whole matrix; at 100 TB the same kernel runs
-    per LSH/IVF bucket with the bucket's matrix broadcast."""
-    order0 = np.argsort(np.asarray(vec_ids, dtype=np.int64), kind="stable")
-    vec_ids = np.asarray(vec_ids, dtype=np.int64)[order0]
-    x = emb_matrix.astype(np.float64)[order0]  # id-sorted → i<j ⇒ id_i<id_j
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    sim = x @ x.T
-    iu = np.triu_indices(len(x), k=1)
-    mask = sim[iu] >= threshold
-    a, b = iu[0][mask], iu[1][mask]
-    order = np.lexsort((vec_ids[b], vec_ids[a]))
-    return pa.table(
-        {
-            "vec_a": pa.array(vec_ids[a][order], pa.int64()),
-            "vec_b": pa.array(vec_ids[b][order], pa.int64()),
-        }
-    )
