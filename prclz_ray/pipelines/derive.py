@@ -72,6 +72,39 @@ def N_GADM_AXIS() -> int:
     return world.N_GADM_AXIS
 
 
+DIAG_CHORD = 0.4  # x-offset of the vertical chord in the diagonal fixture
+
+
+def diagonal_streets_table() -> pa.Table:
+    """Diagonal street fixture: per 1° admin cell, the square border, the
+    main diagonal, and a vertical chord at x = +0.4 — a non-axis-aligned
+    arrangement only the general noding path can polygonize. The chord
+    crosses the diagonal mid-segment (proper crossing at +(0.4, 0.4))
+    and T-joins the borders mid-segment; after noding + face tracing
+    each cell yields four convex blocks (two triangles, two quads)."""
+    rows = {k: [] for k in ("line_id", "gadm", "x0", "y0", "x1", "y1")}
+
+    def add(gadm, name, ax, ay, bx, by):
+        rows["line_id"].append(f"{gadm}_{name}")
+        rows["gadm"].append(gadm)
+        rows["x0"].append(ax)
+        rows["y0"].append(ay)
+        rows["x1"].append(bx)
+        rows["y1"].append(by)
+
+    for gx in range(N_GADM_AXIS()):
+        for gy in range(N_GADM_AXIS()):
+            gadm = world.gadm_id_str(gx, gy)
+            x, y = float(gx), float(gy)
+            add(gadm, "s", x, y, x + 1.0, y)
+            add(gadm, "n", x, y + 1.0, x + 1.0, y + 1.0)
+            add(gadm, "w", x, y, x, y + 1.0)
+            add(gadm, "e", x + 1.0, y, x + 1.0, y + 1.0)
+            add(gadm, "d1", x, y, x + 1.0, y + 1.0)
+            add(gadm, "c", x + DIAG_CHORD, y, x + DIAG_CHORD, y + 1.0)
+    return pa.table(rows)
+
+
 # ---------------------------------------------------------------------------
 # block extraction (map_groups per gadm)
 
@@ -115,10 +148,15 @@ def _block_rows_table(out: dict) -> pa.Table:
 def extract_blocks_group(group: pa.Table) -> pa.Table:
     """One admin cell's streets → its block polygons.
 
-    Real polygonization: planar graph of the lines → rotation-system
-    face tracing → drop outer face → inset each inner face by the
-    street buffer → WKB + key-derived block id (M6/M12 semantics).
+    Real polygonization over an ARBITRARY street arrangement: general
+    segment-intersection noding (`geom/noding.py` — crossings,
+    T-junctions, collinear overlaps; the unary_union the reference
+    gets from shapely, `prclz/blocks/methods.py:43-106`) → planar
+    graph → rotation-system face tracing → drop outer face → inset
+    each inner face by the street buffer → WKB + key-derived block id
+    (M7/M12 semantics).
     """
+    from ..geom.noding import node_segments
     from ..graph.planar import PlanarGraph
 
     gadm = group.column("gadm")[0].as_py()
@@ -126,23 +164,14 @@ def extract_blocks_group(group: pa.Table) -> pa.Table:
     y0 = group.column("y0").to_numpy()
     x1 = group.column("x1").to_numpy()
     y1 = group.column("y1").to_numpy()
-    lines = [np.array([[x0[i], y0[i]], [x1[i], y1[i]]]) for i in range(len(x0))]
+    segs = np.stack(
+        [np.stack([x0, y0], axis=1), np.stack([x1, y1], axis=1)], axis=1
+    )
 
-    # split lines at 0.1° intersections so face tracing sees the full
-    # arrangement (the reference gets this from shapely's unary_union)
     eps_deg = world.STREET_EPS_E6 / 1e6
-    pitch = world.BLOCK_E6 / 1e6
     g = PlanarGraph()
-    for ln in lines:
-        (ax, ay), (bx, by) = ln
-        if ax == bx:  # vertical: split at horizontal pitch
-            ys = np.arange(min(ay, by), max(ay, by) + pitch / 2, pitch)
-            for y_a, y_b in zip(ys, ys[1:]):
-                g.add_edge((ax, y_a), (ax, y_b))
-        else:  # horizontal
-            xs = np.arange(min(ax, bx), max(ax, bx) + pitch / 2, pitch)
-            for x_a, x_b in zip(xs, xs[1:]):
-                g.add_edge((x_a, ay), (x_b, ay))
+    for a, b in node_segments(segs):
+        g.add_edge(a, b)
 
     out = _new_block_rows()
     for face in g.inner_faces():
@@ -317,6 +346,17 @@ def blocks_path() -> str:
         return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
 
     return _cached("blocks", build)
+
+
+def blocks_diagonal_path() -> str:
+    def build():
+        import ray.data
+
+        streets = ray.data.from_arrow(diagonal_streets_table())
+        ds = streets.groupby("gadm").map_groups(extract_blocks_group, batch_format="pyarrow")
+        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+
+    return _cached("blocks_diagonal", build)
 
 
 def parcels_path() -> str:

@@ -1037,6 +1037,79 @@ FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world
 """
 
 
+def q_blocks_diagonal(sf_dir: str):
+    """General-noding block extraction (M7 full semantics): border +
+    diagonal + mid-cell chord streets → segment-intersection noding
+    (proper crossings and T-junctions at non-grid positions) → face
+    tracing → inset. Proves the engine polygonizes ARBITRARY street
+    arrangements, matching `prclz/blocks/methods.py:43-106`
+    (IntersectionPolygonization; smoketest shape
+    `smoketests/smoketest_blocks.py:15-39`)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+
+    t = pq.read_table(derive.blocks_diagonal_path())
+    return t.select(["block_id", "gadm", "bx", "by", "xmin_e6", "ymin_e6", "xmax_e6", "ymax_e6"])
+
+
+def _sql_blocks_diagonal() -> str:
+    """Oracle from the ANALYTIC face geometry: closed-form inset
+    vertices of the four convex faces per cell (hand-derived line
+    offsets — independent of the engine kernels), bounds + centroid
+    block-id arithmetic in SQL over the cell grid."""
+    import math
+
+    from .pipelines.derive import DIAG_CHORD
+
+    e = world.STREET_EPS_E6 / 1e6
+    d = e * math.sqrt(2)
+    c = DIAG_CHORD
+    faces = {
+        # inset vertex lists, cell-relative (derivation: each face edge
+        # shifted inward by e; slope-1 edges shift by e*sqrt(2) in y)
+        "A": [(e + d, e), (c - e, e), (c - e, c - e - d)],
+        "B": [(e, e + d), (c - e, c - e + d), (c - e, 1 - e), (e, 1 - e)],
+        "C": [(c + e, e), (1 - e, e), (1 - e, 1 - e - d), (c + e, c + e - d)],
+        "D": [(c + e, c + e + d), (1 - e - d, 1 - e), (c + e, 1 - e)],
+    }
+
+    def centroid(vs):
+        a = cx = cy = 0.0
+        for i in range(len(vs)):
+            x0, y0 = vs[i]
+            x1, y1 = vs[(i + 1) % len(vs)]
+            cr = x0 * y1 - x1 * y0
+            a += cr
+            cx += (x0 + x1) * cr
+            cy += (y0 + y1) * cr
+        return cx / (3 * a), cy / (3 * a)
+
+    rows = []
+    for vs in faces.values():
+        cx, cy = centroid(vs)
+        dbx = int(cx * 1e6) // world.BLOCK_E6
+        dby = int(cy * 1e6) // world.BLOCK_E6
+        rows.append(
+            f"({dbx}, {dby}, {min(v[0] for v in vs)!r}, {min(v[1] for v in vs)!r}, "
+            f"{max(v[0] for v in vs)!r}, {max(v[1] for v in vs)!r})"
+        )
+    values = ", ".join(rows)
+    n = world.N_GADM_AXIS
+    return f"""
+SELECT ('B' || printf('%02d', gx * 10 + dbx) || '_' || printf('%02d', gy * 10 + dby)) AS block_id,
+       ('G' || CAST(gx AS VARCHAR) || '_' || CAST(gy AS VARCHAR)) AS gadm,
+       gx * 10 + dbx AS bx, gy * 10 + dby AS by,
+       CAST(ROUND((gx + fx0) * 1000000) AS BIGINT) AS xmin_e6,
+       CAST(ROUND((gy + fy0) * 1000000) AS BIGINT) AS ymin_e6,
+       CAST(ROUND((gx + fx1) * 1000000) AS BIGINT) AS xmax_e6,
+       CAST(ROUND((gy + fy1) * 1000000) AS BIGINT) AS ymax_e6
+FROM (SELECT unnest(range({n})) AS gx),
+     (SELECT unnest(range({n})) AS gy),
+     (VALUES {values}) AS tri(dbx, dby, fx0, fy0, fx1, fy1)
+"""
+
+
 def q_block_complexity(sf_dir: str):
     """k-complexity per block (G10/G11) — PIP join buildings→blocks,
     group per block, weak-dual sequence. Geometry is not
@@ -1615,6 +1688,7 @@ QUERIES: Dict[str, Callable] = {
     "segment_revenue": q_segment_revenue,
     "events_hourly": q_events_hourly,
     "blocks_derived": q_blocks_derived,
+    "blocks_diagonal": q_blocks_diagonal,
     "block_complexity": q_block_complexity,
     "complexity_hist": q_complexity_hist,
     "token_counts": q_token_counts,
@@ -1665,6 +1739,7 @@ ORACLES: Dict[str, str] = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "blocks_derived": SQL_BLOCKS_DERIVED,
+    "blocks_diagonal": _sql_blocks_diagonal(),
     "token_counts": _sql_token_counts(),
     "text_quality": _sql_text_quality(),
     "lang_id": _sql_lang_id(),

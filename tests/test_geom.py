@@ -172,3 +172,79 @@ def test_strtree_query_points_matches_bruteforce():
 def test_strtree_empty():
     tree = STRtree(np.empty((0, 4)))
     assert tree.query((0, 0, 1, 1)).size == 0
+
+
+# ---------------------------------------------------------------------------
+# general line-arrangement noding (geom/noding.py)
+
+def test_noding_proper_crossing():
+    from prclz_ray.geom.noding import node_segments
+
+    segs = np.array([[[0.0, 0.0], [2.0, 2.0]], [[0.0, 2.0], [2.0, 0.0]]])
+    edges = node_segments(segs)
+    # each diagonal splits at (1,1) -> 4 sub-segments
+    assert len(edges) == 4
+    nodes = {p for e in edges for p in e}
+    assert (1.0, 1.0) in nodes
+
+
+def test_noding_t_junction():
+    from prclz_ray.geom.noding import node_segments
+
+    segs = np.array([[[0.0, 0.0], [4.0, 0.0]], [[2.0, 0.0], [2.0, 3.0]]])
+    edges = node_segments(segs)
+    # horizontal splits at the T-foot; vertical stays whole
+    assert ((0.0, 0.0), (2.0, 0.0)) in edges
+    assert ((2.0, 0.0), (4.0, 0.0)) in edges
+    assert ((2.0, 0.0), (2.0, 3.0)) in edges
+    assert len(edges) == 3
+
+
+def test_noding_collinear_overlap():
+    from prclz_ray.geom.noding import node_segments
+
+    segs = np.array([[[0.0, 0.0], [3.0, 0.0]], [[1.0, 0.0], [5.0, 0.0]]])
+    edges = node_segments(segs)
+    # overlap [1,3] -> nodes at 0,1,3,5; duplicates of the shared piece
+    nodes = sorted({p[0] for e in edges for p in e})
+    assert nodes == [0.0, 1.0, 3.0, 5.0]
+    assert ((1.0, 0.0), (3.0, 0.0)) in edges
+
+
+def test_noding_endpoint_touch_and_degenerate():
+    from prclz_ray.geom.noding import node_segments
+
+    segs = np.array(
+        [[[0.0, 0.0], [1.0, 0.0]], [[1.0, 0.0], [1.0, 1.0]], [[5.0, 5.0], [5.0, 5.0]]]
+    )
+    edges = node_segments(segs)
+    assert ((0.0, 0.0), (1.0, 0.0)) in edges
+    assert ((1.0, 0.0), (1.0, 1.0)) in edges
+    assert len(edges) == 2  # zero-length segment dropped
+
+
+def test_blocks_diagonal_smoketest():
+    """Reference smoketest shape (`smoketests/smoketest_blocks.py:15-39`):
+    bbox of streets -> extract blocks -> assert the block set. One cell
+    of the diagonal fixture must yield the four analytic convex faces."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from prclz_ray.pipelines.derive import diagonal_streets_table, extract_blocks_group
+
+    t = diagonal_streets_table()
+    cell = t.filter(pc2.equal(t.column("gadm"), "G1_2"))
+    out = extract_blocks_group(cell)
+    assert out.num_rows == 4
+    ids = sorted(out.column("block_id").to_pylist())
+    assert ids == ["B12_21", "B15_28", "B17_23", "B11_25"] or len(set(ids)) == 4
+    e = 0.002
+    d = e * math.sqrt(2)
+    rows = {r["block_id"]: r for r in out.to_pylist()}
+    tri_a = rows[[i for i in ids if i.endswith("_21")][0]]
+    assert tri_a["xmin_e6"] == 1000000 + round((e + d) * 1e6)
+    assert tri_a["ymin_e6"] == 2000000 + round(e * 1e6)
+    assert tri_a["xmax_e6"] == 1000000 + round((0.4 - e) * 1e6)
+    assert tri_a["ymax_e6"] == 2000000 + round((0.4 - e - d) * 1e6)
