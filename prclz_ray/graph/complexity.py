@@ -33,32 +33,39 @@ def get_s0_approximation(block_ring: np.ndarray, centroids: Sequence[Tuple[float
     """Planar graph of the Voronoi decomposition of ``centroids`` clipped
     to ``block_ring`` (an (N, 2) exterior ring, open or closed).
 
-    The engine clips with Sutherland–Hodgman, which is exact for convex
-    blocks (all fixture blocks are rectangles); non-convex blocks get
-    the convex-clip approximation, documented engine behavior.
+    Convex blocks (every fixture block) take the exact
+    Sutherland–Hodgman path; non-convex blocks use the general
+    arrangement boolean (`geom/boolean.py::polygon_intersection`) with
+    the reference's multi-part resolution — keep the part containing
+    the cell's anchor (`prclz/complexity.py:35-37`).
     """
+    from ..geom.boolean import is_convex, polygon_intersection
+
     block_ring = np.asarray(block_ring, dtype=np.float64)
     pts = np.asarray(list(centroids), dtype=np.float64).reshape(-1, 2)
     if len(pts) == 0:
         return PlanarGraph()
 
+    convex_block = is_convex(block_ring)
     rings: List[np.ndarray] = []
     for site_idx, cell_ring in voronoi_cells(pts):
-        clipped = clip_polygon_convex(cell_ring, block_ring)
-        if len(clipped) < 3 or polygon_area(clipped) < _MIN_CELL_AREA:
-            continue
-        # anchor-containment guard (multi-part resolution analogue):
-        # keep the cell only if its anchor falls inside the clipped ring
-        # or exactly on its boundary (clip can place the anchor on an
-        # edge when the anchor sits on the block boundary).
         ax, ay = pts[site_idx]
-        if not point_in_polygon(clipped, ax, ay):
-            # boundary tolerance: the clip can leave the anchor exactly
-            # ON an edge of its own cell (anchor on the block boundary)
-            # — accept only true boundary proximity, not bbox proximity
-            if not _on_ring_boundary(clipped, ax, ay):
+        if convex_block:
+            parts = [clip_polygon_convex(cell_ring, block_ring)]
+        else:
+            parts = polygon_intersection(cell_ring, block_ring)
+        for clipped in parts:
+            if len(clipped) < 3 or polygon_area(clipped) < _MIN_CELL_AREA:
                 continue
-        rings.append(clipped)
+            # anchor-containment (multi-part resolution): keep the part
+            # whose ring contains the anchor, or — clip can leave the
+            # anchor exactly ON an edge of its own cell when it sits on
+            # the block boundary — within boundary tolerance of it.
+            if not point_in_polygon(clipped, ax, ay):
+                if not _on_ring_boundary(clipped, ax, ay):
+                    continue
+            rings.append(clipped)
+            break  # at most one part contains the anchor
     return PlanarGraph.from_polygons(rings)
 
 

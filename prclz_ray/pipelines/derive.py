@@ -30,7 +30,8 @@ import pyarrow as pa
 
 from .. import world
 from ..geom.cells import RES_PARTITION, cell_id_e6
-from ..geom.core import inset_convex, polygon_centroid
+from ..geom.boolean import inset_polygon
+from ..geom.core import polygon_centroid
 from ..geom.wkb import wkb_multipoint, wkb_polygon
 from ..graph.complexity import block_complexity
 from ..graph.voronoi import voronoi_cells
@@ -176,10 +177,10 @@ def extract_blocks_group(group: pa.Table) -> pa.Table:
     out = _new_block_rows()
     for face in g.inner_faces():
         ring = np.array([e[0] for e in face], dtype=np.float64)
-        inset = inset_convex(ring, eps_deg)
-        if len(inset) < 3:
-            continue
-        _emit_block(out, gadm, inset)
+        for inset in inset_polygon(ring, eps_deg):
+            if len(inset) < 3:
+                continue
+            _emit_block(out, gadm, inset)
     return _block_rows_table(out)
 
 

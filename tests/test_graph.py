@@ -200,3 +200,66 @@ def test_s0_skips_degenerate_cells():
     # collinear sites exercise the perturbation path
     s0 = get_s0_approximation(block, [(0.2, 0.5), (0.5, 0.5), (0.8, 0.5)])
     assert s0.number_of_nodes() > 0
+
+
+# ---------------------------------------------------------------------------
+# non-convex blocks (geom/boolean.py: arrangement-based clip + inset)
+
+L_RING = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], float)
+
+
+def test_voronoi_cells_partition_nonconvex_block():
+    """Property: Voronoi cells clipped to an L-shaped block still
+    partition its area (the convex-only caveat is gone)."""
+    from prclz_ray.geom.boolean import polygon_intersection
+    from prclz_ray.geom.core import polygon_area
+
+    pts = np.array(
+        [(0.5, 0.5), (1.5, 0.5), (2.5, 0.5), (0.5, 1.5), (0.5, 2.5),
+         (0.75, 0.75), (0.25, 0.25), (2.0, 0.6), (0.6, 2.0)]
+    )
+    total = 0.0
+    for _, cell in voronoi_cells(pts):
+        for part in polygon_intersection(cell, L_RING):
+            total += polygon_area(part)
+    assert abs(total - polygon_area(L_RING)) < 1e-9
+
+
+def test_polygon_intersection_multipart():
+    """A band crossing the L notch: clean parts, exact area, no
+    Sutherland-Hodgman bridge artifacts."""
+    from prclz_ray.geom.boolean import polygon_intersection
+    from prclz_ray.geom.core import polygon_area
+
+    band = np.array([[0.5, 0.5], [2.5, 0.5], [2.5, 2.5], [0.5, 2.5]], float)
+    parts = polygon_intersection(L_RING, band)
+    assert abs(sum(polygon_area(p) for p in parts) - 1.75) < 1e-9
+
+
+def test_inset_nonconvex_mitre():
+    """Mitre erosion of the L: exact analytic area; a U whose bar is
+    thinner than 2*eps splits into two parts."""
+    from prclz_ray.geom.boolean import inset_polygon
+    from prclz_ray.geom.core import polygon_area
+
+    parts = inset_polygon(L_RING, 0.2)
+    assert abs(sum(polygon_area(p) for p in parts) - 2.76) < 1e-9
+    u = np.array(
+        [[0, 0], [3, 0], [3, 2], [2.2, 2], [2.2, 0.4], [0.8, 0.4], [0.8, 2], [0, 2]],
+        float,
+    )
+    parts = inset_polygon(u, 0.25)
+    areas = sorted(round(polygon_area(p), 6) for p in parts)
+    assert areas == [0.45, 0.45]
+
+
+def test_block_complexity_nonconvex_golden():
+    """k-complexity goldens on a non-convex block (the sgp smoketest
+    shape, `smoketests/smoketest_sgp.py:36-129`: real block polygon ->
+    S0 -> weak-dual depth)."""
+    arms = [(0.5, 0.5), (1.5, 0.5), (2.5, 0.5), (0.5, 1.5), (0.5, 2.5)]
+    assert block_complexity(L_RING, arms) == 1
+    nested = arms + [(0.75, 0.75), (0.25, 0.25), (2.0, 0.6), (0.6, 2.0)]
+    assert block_complexity(L_RING, nested) == 2
+    assert block_complexity(L_RING, [(0.5, 0.5)]) == 1
+    assert block_complexity(L_RING, []) == 0
