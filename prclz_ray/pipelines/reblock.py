@@ -3,23 +3,37 @@
 Reference semantics (NOT code) from `reblock/i_reblock.py::reblock_gadm`
 (:240-319) and `reblock/i_topology.py::get_optimal_path` (:56-101):
 
-1. per block, build the planar graph of parcel boundaries; edges lying
-   on the block boundary are ROADS (weight ≈ 0, the edge-type weighting
-   of `reblock/i_topology_utils.py:197-252` G16);
+1. per block, build the planar graph of parcel boundaries; the edges
+   along the block boundary become ROADS via the reference's
+   ``update_edge_types`` mechanism — shortest path between consecutive
+   block-ring coords relabeled 'highway' (weight ≈ 0), waterway /
+   natural barrier edges weighted 1e5
+   (`reblock/i_topology_utils.py:197-252`, G16 FULL);
 2. snap each building centroid onto its closest graph edge as a
    terminal (`add_node_to_closest_edge`, G6), plus one road-access
-   terminal on the block boundary (the reference's dummy outside
-   terminal, `reblock/i_reblock.py:285-291` G17);
-3. reduce to the largest connected component (G14), then the Steiner
-   2-approximation (G13) connects the terminals;
+   terminal — the representative point of ``min_rotated_rect −
+   convex_hull`` (`reblock/i_reblock.py:285-291`, G17), falling back
+   to the SW boundary corner for convex blocks (empty difference);
+3. reduce to the largest connected component (G14), optional degree-2
+   contraction (``simplify``, G15), then the Steiner 2-approximation
+   (G13) connects the terminals;
 4. emit per-block summary + the new (non-road) steiner lines as WKB.
 
-Execution shape: ONE ``groupby('block_id').map_groups`` over the
-parcels table — the group is the whole per-block state, transient
-inside the UDF exactly as the reference's per-task graphs are.
-Building centroids are recomputed from the deterministic world
-arithmetic inside the UDF (identical to the `buildings` table rows;
-avoids a second shuffle of the tiny building set).
+The INTERIOR variant additionally applies the reference's
+``drop_buildings_intersecting_block`` rule (`i_reblock.py:168-210`,
+G17): parcels here are the building-centroid Voronoi fan (the
+reference's cadastral parcels); buildings whose parcel touches the
+block boundary already have road access and are dropped; blocks left
+with no interior building are skipped (status row, not silence).
+
+Execution shape (O1 cost-based priority ordering,
+`reblock/i_reblock.py:247-248`): parcels → ONE ``groupby(block_id)``
+pack into one row per block → ``sort(cost DESC)`` so the heaviest
+blocks start first (no straggler tail) → ``map_batches`` runs the
+per-block solver over the packed rows. Building centroids are
+recomputed from the deterministic world arithmetic inside the UDF
+(identical to the `buildings` table rows; avoids a second shuffle of
+the tiny building set).
 """
 
 from __future__ import annotations
@@ -29,16 +43,61 @@ import pyarrow as pa
 
 from .. import world
 from ..geom.wkb import parse_wkb, wkb_multilinestring
-from ..graph.planar import PlanarGraph
-from ..graph.steiner import steiner_tree_approx
+from ..graph.planar import PlanarGraph, _q
+from ..graph.steiner import _path, dijkstra, steiner_tree_approx
 
 ROAD_WEIGHT = 1e-9  # roads are free to traverse (G16 highway→0)
+BARRIER_WEIGHT = 1e5  # waterway/natural (G16 WATERWAY_WEIGHT/NATURAL_WEIGHT)
 
 
 MAX_GRAPH_EDGES = 50_000  # straggler bail-out (O4): the engine's
 # compute-budget replacement for the reference's wall-clock
 # `mins_threshold` abort (`reblock/i_reblock.py:268-273`) — deterministic
 # (same block always gets the same verdict) unlike a timer.
+
+
+def update_edge_types(g: PlanarGraph, boundary_coords, barriers=None) -> tuple[int, int]:
+    """The reference's ``update_edge_types``
+    (`reblock/i_topology_utils.py:197-252`, G16 FULL): for each
+    consecutive pair of block-boundary coords present in the parcel
+    graph, relabel the shortest (length-weighted) path between them as
+    road (weight → ROAD_WEIGHT); then apply barrier weights —
+    ``barriers`` maps an undirected quantized edge key to a feature
+    type ('waterway' / 'natural' → weight 1e5). Returns
+    ``(missing, total)``: how many boundary coords are absent from the
+    parcel graph (the reference's ``check=True`` diagnostic)."""
+    coords = [(_q(float(c[0])), _q(float(c[1]))) for c in boundary_coords]
+    if len(coords) > 1 and coords[0] == coords[-1]:
+        coords = coords[:-1]
+    total = len(coords)
+    missing = sum(1 for c in set(coords) if c not in g.adj)
+    # phase 1: find all relabel paths with ORIGINAL length weights (the
+    # reference applies the highway weight only after the loop,
+    # `i_topology_utils.py:248` — relabeled roads must not shortcut the
+    # later corner pairs' shortest paths)
+    road_edges = []
+    for i in range(len(coords)):
+        n0, n1 = coords[i], coords[(i + 1) % len(coords)]
+        if n0 not in g.adj or n1 not in g.adj:
+            continue
+        _, prev = dijkstra(g, n0)
+        if n1 not in prev and n1 != n0:
+            continue  # disconnected
+        path = _path(prev, n0, n1)
+        road_edges.extend(zip(path, path[1:]))
+    # phase 2: relabel + weight
+    for a, b in road_edges:
+        g.add_edge(a, b, road=True, weight=ROAD_WEIGHT)
+    if barriers:
+        for key, ftype in barriers.items():
+            a, b = key
+            ka = (_q(float(a[0])), _q(float(a[1])))
+            kb = (_q(float(b[0])), _q(float(b[1])))
+            k = (ka, kb) if ka <= kb else (kb, ka)
+            flags = g.edge_flags.get(k)
+            if flags is not None and not flags["road"] and ftype in ("waterway", "natural"):
+                flags["weight"] = BARRIER_WEIGHT
+    return missing, total
 
 
 def _dead_letter(block_id: str, status: str) -> pa.Table:
@@ -56,60 +115,15 @@ def _dead_letter(block_id: str, status: str) -> pa.Table:
     )
 
 
-def reblock_group(group: pa.Table) -> pa.Table:
-    """One block's parcels → steiner summary row (status='ok'), or a
-    dead-letter row: poison-pill rows become data, never lost tasks
-    (the Ray-native `error_{index}` file, `midway_blocks.py:45-48`)."""
-    block_id = group.column("block_id")[0].as_py()
-    try:
-        return _reblock_group(group)
-    except Exception as ex:  # pragma: no cover - defensive
-        return _dead_letter(block_id, f"error:{type(ex).__name__}")
-
-
-def _reblock_group(group: pa.Table) -> pa.Table:
-    block_id = group.column("block_id")[0].as_py()
-    bx = int(group.column("bx")[0].as_py())
-    by = int(group.column("by")[0].as_py())
-
-    # block boundary (for road-typing): the inset block square
+def _block_bounds(bx: int, by: int) -> tuple[float, float, float, float]:
     x0 = (bx * world.BLOCK_E6 + world.STREET_EPS_E6) / 1e6
     x1 = ((bx + 1) * world.BLOCK_E6 - world.STREET_EPS_E6) / 1e6
     y0 = (by * world.BLOCK_E6 + world.STREET_EPS_E6) / 1e6
     y1 = ((by + 1) * world.BLOCK_E6 - world.STREET_EPS_E6) / 1e6
+    return x0, y0, x1, y1
 
-    def on_boundary(a, b) -> bool:
-        for coord, lo, hi in ((0, x0, x1), (1, y0, y1)):
-            for edge_val in (lo, hi):
-                if abs(a[coord] - edge_val) < 1e-9 and abs(b[coord] - edge_val) < 1e-9:
-                    return True
-        return False
 
-    g = PlanarGraph()
-    for wkb in group.column("geom_wkb").to_pylist():
-        _, rings = parse_wkb(wkb)
-        ring = rings[0]
-        for i in range(len(ring)):
-            a = (float(ring[i][0]), float(ring[i][1]))
-            b = (float(ring[(i + 1) % len(ring)][0]), float(ring[(i + 1) % len(ring)][1]))
-            if a == b:
-                continue
-            road = on_boundary(a, b)
-            g.add_edge(a, b, road=road, weight=ROAD_WEIGHT if road else None)
-            if g.number_of_edges() > MAX_GRAPH_EDGES:
-                return _dead_letter(block_id, "dead_letter:graph_too_large")
-
-    # terminals: building centroids snapped to closest edges + one
-    # road-access point (SW corner of the block boundary)
-    cents = world.building_centroids_e6(bx, by) / 1e6
-    terminals = [g.add_node_to_closest_edge((float(cx), float(cy)), terminal=True)
-                 for cx, cy in cents]
-    terminals.append(g.add_node_to_closest_edge((x0, y0), terminal=True))
-
-    g = g.largest_component()
-    terms = [t for t in terminals if t in g.adj]
-    edges = steiner_tree_approx(g, terms)
-
+def _summary_row(block_id, g, terms, edges) -> pa.Table:
     new_lines = [np.array([a, b]) for a, b in edges if not g.is_road(a, b)]
     total_len_e6 = sum(
         int(round(np.hypot(b[0] - a[0], b[1] - a[1]) * 1e6)) for a, b in edges
@@ -134,19 +148,235 @@ def _reblock_group(group: pa.Table) -> pa.Table:
     )
 
 
-def reblock_dataset(limit_blocks: int | None = None):
-    """parcels → per-block steiner summaries (lazy Dataset)."""
+def _run_block(
+    block_id: str,
+    bx: int,
+    by: int,
+    wkbs: list,
+    *,
+    simplify: bool = False,
+    barriers=None,
+) -> pa.Table:
+    """One block's parcel rings → steiner summary row."""
+    x0, y0, x1, y1 = _block_bounds(bx, by)
+
+    g = PlanarGraph()
+    for wkb in wkbs:
+        _, rings = parse_wkb(wkb)
+        ring = rings[0]
+        for i in range(len(ring)):
+            a = (float(ring[i][0]), float(ring[i][1]))
+            b = (float(ring[(i + 1) % len(ring)][0]), float(ring[(i + 1) % len(ring)][1]))
+            if a == b:
+                continue
+            g.add_edge(a, b)
+            if g.number_of_edges() > MAX_GRAPH_EDGES:
+                return _dead_letter(block_id, "dead_letter:graph_too_large")
+
+    # G16: road-relabel along the block ring + barrier weights
+    block_ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    update_edge_types(g, block_ring, barriers=barriers)
+
+    # terminals: building centroids snapped to closest edges + one
+    # road-access point (G17 outside terminal; SW corner fallback for
+    # convex blocks — the fixture block square is always convex)
+    from ..geom.hull import outside_terminal
+
+    cents = world.building_centroids_e6(bx, by) / 1e6
+    terminals = [g.add_node_to_closest_edge((float(cx), float(cy)), terminal=True)
+                 for cx, cy in cents]
+    block_arr = np.array(block_ring[:-1], dtype=np.float64)
+    outside = outside_terminal(block_arr)
+    terminals.append(
+        g.add_node_to_closest_edge(outside if outside is not None else (x0, y0), terminal=True)
+    )
+
+    g = g.largest_component()
+    if simplify:
+        g = g.contract_degree2()
+    terms = [t for t in terminals if t in g.adj]
+    edges = steiner_tree_approx(g, terms)
+    return _summary_row(block_id, g, terms, edges)
+
+
+def reblock_group(group: pa.Table, **opts) -> pa.Table:
+    """One block's parcels → steiner summary row (status='ok'), or a
+    dead-letter row: poison-pill rows become data, never lost tasks
+    (the Ray-native `error_{index}` file, `midway_blocks.py:45-48`)."""
+    block_id = group.column("block_id")[0].as_py()
+    try:
+        return _run_block(
+            block_id,
+            int(group.column("bx")[0].as_py()),
+            int(group.column("by")[0].as_py()),
+            group.column("geom_wkb").to_pylist(),
+            **opts,
+        )
+    except Exception as ex:  # pragma: no cover - defensive
+        return _dead_letter(block_id, f"error:{type(ex).__name__}")
+
+
+def _limit_filter(ds, limit_blocks):
+    if limit_blocks is None:
+        return ds
+
+    def keep(b: pa.Table) -> pa.Table:
+        bxv = b.column("bx").to_numpy(zero_copy_only=False)
+        byv = b.column("by").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(bxv * world.N_BLOCKS + byv < limit_blocks))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def packed_blocks_dataset(limit_blocks: int | None = None):
+    """parcels → ONE ROW PER BLOCK (wkb list + cost), sorted by cost
+    DESC — the reference's sort-by-building-count work ordering (O1,
+    `reblock/i_reblock.py:247-248`): heaviest solver tasks start first
+    so no straggler finishes last."""
     import ray.data
 
     from . import derive
 
-    ds = ray.data.read_parquet(derive.parcels_path())
-    if limit_blocks is not None:
+    ds = _limit_filter(ray.data.read_parquet(derive.parcels_path()), limit_blocks)
 
-        def keep(b: pa.Table) -> pa.Table:
-            bxv = b.column("bx").to_numpy(zero_copy_only=False)
-            byv = b.column("by").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(bxv * world.N_BLOCKS + byv < limit_blocks))
+    def pack(group: pa.Table) -> pa.Table:
+        bx = int(group.column("bx")[0].as_py())
+        by = int(group.column("by")[0].as_py())
+        return pa.table(
+            {
+                "block_id": [group.column("block_id")[0].as_py()],
+                "bx": pa.array([bx], pa.int64()),
+                "by": pa.array([by], pa.int64()),
+                "cost": pa.array([int(world.n_buildings_for_block(bx, by))], pa.int64()),
+                "wkbs": pa.array(
+                    [group.column("geom_wkb").to_pylist()], pa.list_(pa.binary())
+                ),
+            }
+        )
 
-        ds = ds.map_batches(keep, batch_format="pyarrow")
-    return ds.groupby("block_id").map_groups(reblock_group, batch_format="pyarrow")
+    packed = ds.groupby("block_id").map_groups(pack, batch_format="pyarrow")
+    return packed.sort("cost", descending=True)
+
+
+def reblock_dataset(limit_blocks: int | None = None, simplify: bool = False):
+    """parcels → per-block steiner summaries (lazy Dataset), cost-ordered."""
+    packed = packed_blocks_dataset(limit_blocks)
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            try:
+                out.append(
+                    _run_block(
+                        row["block_id"], int(row["bx"]), int(row["by"]), row["wkbs"],
+                        simplify=simplify,
+                    )
+                )
+            except Exception as ex:  # pragma: no cover - defensive
+                out.append(_dead_letter(row["block_id"], f"error:{type(ex).__name__}"))
+        if not out:
+            return _dead_letter("", "empty").slice(0, 0)
+        return pa.concat_tables(out)
+
+    return packed.map_batches(run, batch_format="pyarrow", batch_size=8)
+
+
+# ---------------------------------------------------------------------------
+# interior variant: building-Voronoi parcels + the G17 drop rule
+
+def reblock_interior_block(bx: int, by: int) -> pa.Table:
+    """One block, the reference's FULL G17 flow: parcels are the
+    building-centroid Voronoi fan clipped to the block (the cadastral
+    parcels of `midway_parcelization.R`); buildings whose parcel
+    touches the block boundary are dropped
+    (`i_reblock.py:168-210` — they already have road access); blocks
+    with ≤1 building, or none left interior, are skipped with an
+    explicit status row (the reference's bare ``continue``)."""
+    from ..geom.core import clip_polygon_convex
+    from ..graph.voronoi import voronoi_cells
+
+    block_id = world.block_id_str(bx, by)
+    x0, y0, x1, y1 = _block_bounds(bx, by)
+    block_arr = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    cents = world.building_centroids_e6(bx, by) / 1e6
+    if len(cents) <= 1:
+        return _dead_letter(block_id, "skipped:le_one_building")
+
+    cells = {}
+    for i, cell in voronoi_cells(cents):
+        c = clip_polygon_convex(cell, block_arr)
+        if len(c) >= 3:
+            cells[i] = c
+
+    def touches_boundary(ring: np.ndarray) -> bool:
+        return bool(
+            (np.abs(ring[:, 0] - x0) < 1e-9).any()
+            or (np.abs(ring[:, 0] - x1) < 1e-9).any()
+            or (np.abs(ring[:, 1] - y0) < 1e-9).any()
+            or (np.abs(ring[:, 1] - y1) < 1e-9).any()
+        )
+
+    interior = [i for i, c in cells.items() if not touches_boundary(c)]
+    if not interior:
+        return _dead_letter(block_id, "skipped:boundary_access")
+
+    g = PlanarGraph()
+    for c in cells.values():
+        for i in range(len(c)):
+            a = (float(c[i][0]), float(c[i][1]))
+            b = (float(c[(i + 1) % len(c)][0]), float(c[(i + 1) % len(c)][1]))
+            if a != b:
+                g.add_edge(a, b)
+
+    update_edge_types(g, [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
+
+    from ..geom.hull import outside_terminal
+
+    terminals = [
+        g.add_node_to_closest_edge((float(cents[i][0]), float(cents[i][1])), terminal=True)
+        for i in interior
+    ]
+    outside = outside_terminal(block_arr)
+    terminals.append(
+        g.add_node_to_closest_edge(outside if outside is not None else (x0, y0), terminal=True)
+    )
+
+    g = g.largest_component()
+    terms = [t for t in terminals if t in g.adj]
+    edges = steiner_tree_approx(g, terms)
+    return _summary_row(block_id, g, terms, edges)
+
+
+def reblock_interior_dataset(limit_blocks: int | None = None):
+    """Cost-ordered interior-reblock over the block grid."""
+    import ray.data
+
+    n = world.N_BLOCKS
+    ids = np.arange(n * n) if limit_blocks is None else np.arange(min(limit_blocks, n * n))
+    items = [{"bx": int(i // n), "by": int(i % n)} for i in ids]
+    ds = ray.data.from_items(items)
+
+    def add_cost(b: pa.Table) -> pa.Table:
+        bxv = b.column("bx").to_numpy(zero_copy_only=False)
+        byv = b.column("by").to_numpy(zero_copy_only=False)
+        cost = np.array(
+            [int(world.n_buildings_for_block(int(x), int(y))) for x, y in zip(bxv, byv)],
+            dtype=np.int64,
+        )
+        return b.append_column("cost", pa.array(cost))
+
+    ds = ds.map_batches(add_cost, batch_format="pyarrow").sort("cost", descending=True)
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            bx, by = int(row["bx"]), int(row["by"])
+            try:
+                out.append(reblock_interior_block(bx, by))
+            except Exception as ex:  # pragma: no cover - defensive
+                out.append(_dead_letter(world.block_id_str(bx, by), f"error:{type(ex).__name__}"))
+        if not out:
+            return _dead_letter("", "empty").slice(0, 0)
+        return pa.concat_tables(out)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=8)

@@ -1628,6 +1628,21 @@ def q_reblock_terminals(sf_dir: str):
     )
 
 
+def q_reblock_interior(sf_dir: str):
+    """The reference's FULL G17 reblock flow over building-Voronoi
+    parcels: boundary-access buildings dropped
+    (`reblock/i_reblock.py:168-210`), outside terminal from
+    min-rotated-rect − hull (`:285-291`), access-less blocks skipped
+    with explicit status rows. Interior-ness of a Voronoi cell is not
+    SQL-expressible → rows-only driver check; exact outputs are
+    pytest-golden-checked."""
+    from .pipelines.reblock import reblock_interior_dataset
+
+    return reblock_interior_dataset(limit_blocks=REBLOCK_LIMIT).drop_columns(
+        ["new_lines_wkb"]
+    )
+
+
 SQL_REBLOCK_TERMINALS = f"""
 SELECT ('B' || printf('%02d', bx) || '_' || printf('%02d', by)) AS block_id,
        CAST(3 + (bx * 7 + by * 13) % 6 + 1 AS BIGINT) AS n_terminals
@@ -1707,6 +1722,7 @@ QUERIES: Dict[str, Callable] = {
     "frame_sample": q_frame_sample,
     "reblock": q_reblock,
     "reblock_terminals": q_reblock_terminals,
+    "reblock_interior": q_reblock_interior,
     "sessionize": q_sessionize,
     "event_props": q_event_props,
     "points_union": q_points_union,

@@ -448,3 +448,77 @@ def test_run_tiles_job(ray_session, tmp_path):
     assert stats["tiles"] == t.num_rows > 0
     assert t.column("n_pages").to_pandas().sum() == 486  # all geo pages
     assert len(Manifest(out).completed()) == stats["stripes"]
+
+
+def test_reblock_interior_goldens(ray_session):
+    """G17 full semantics: boundary-access buildings dropped, interior
+    blocks reblocked, access-less blocks skipped with status rows."""
+    from prclz_ray.pipelines.reblock import reblock_interior_dataset
+
+    df = reblock_interior_dataset(limit_blocks=100).to_pandas()
+    counts = df.status.value_counts().to_dict()
+    assert counts == {"skipped:boundary_access": 75, "ok": 25}
+    ok = df[df.status == "ok"].sort_values("block_id").reset_index(drop=True)
+    first = ok.iloc[0]
+    assert first.block_id == "B00_11"
+    assert first.n_terminals == 3  # 2 interior buildings + outside terminal
+    assert first.new_len_e6 == 46347
+
+
+def test_update_edge_types_barriers_and_relabel():
+    """G16 full: corner-path relabel marks the whole boundary as road
+    (original-length paths, not shortcut by earlier relabels); a
+    waterway barrier edge gets weight 1e5 and the Steiner tree routes
+    around it."""
+    import numpy as np
+
+    from prclz_ray.graph.planar import PlanarGraph
+    from prclz_ray.graph.steiner import steiner_tree_approx
+    from prclz_ray.pipelines.reblock import BARRIER_WEIGHT, update_edge_types
+
+    def grid_graph():
+        g = PlanarGraph()
+        # 3x3 lattice, unit pitch
+        for i in range(3):
+            for j in range(3):
+                if i < 2:
+                    g.add_edge((float(i), float(j)), (float(i + 1), float(j)))
+                if j < 2:
+                    g.add_edge((float(i), float(j)), (float(i), float(j + 1)))
+        return g
+
+    g = grid_graph()
+    missing, total = update_edge_types(g, [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)])
+    assert (missing, total) == (0, 4)
+    # every border edge is road, no interior edge is
+    border = {((0.0, 0.0), (1.0, 0.0)), ((1.0, 0.0), (2.0, 0.0)),
+              ((2.0, 0.0), (2.0, 1.0)), ((2.0, 1.0), (2.0, 2.0)),
+              ((1.0, 2.0), (2.0, 2.0)), ((0.0, 2.0), (1.0, 2.0)),
+              ((0.0, 1.0), (0.0, 2.0)), ((0.0, 0.0), (0.0, 1.0))}
+    roads = {k for k, f in g.edge_flags.items() if f["road"]}
+    assert roads == border
+
+    # barrier: block the straight center route between two terminals
+    g2 = grid_graph()
+    update_edge_types(
+        g2,
+        [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)],
+        barriers={((1.0, 0.0), (1.0, 1.0)): "waterway", ((1.0, 1.0), (1.0, 2.0)): "natural"},
+    )
+    key = ((1.0, 0.0), (1.0, 1.0))
+    assert g2.edge_flags[key]["weight"] == BARRIER_WEIGHT
+    g2.terminal = set()
+    t1 = g2.add_node_to_closest_edge((1.0, 0.0), terminal=True)
+    t2 = g2.add_node_to_closest_edge((1.0, 2.0), terminal=True)
+    edges = steiner_tree_approx(g2, [t1, t2])
+    assert key not in edges  # tree detours around the waterway
+
+
+def test_reblock_simplify_variant(ray_session):
+    """G15 wiring: degree-2 contraction before Steiner keeps terminal
+    counts and produces a connected proposal."""
+    from prclz_ray.pipelines.reblock import reblock_dataset
+
+    df = reblock_dataset(limit_blocks=3, simplify=True).to_pandas().sort_values("block_id")
+    assert df.status.tolist() == ["ok"] * 3
+    assert df.n_terminals.tolist() == [4, 5, 6]
