@@ -889,8 +889,10 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 # similarity search (ANN top-k)
 
 def _load_query_vectors(sf_dir: str):
-    """(query ObjectRef, full embedding matrix) — queries are the
-    vec_id % 100 == 0 rows; loaded once per call via pq.read_table."""
+    """(query ObjectRef, full matrix, query matrix, query ids) —
+    queries are the vec_id % 100 == 0 rows; loaded once per call via
+    pq.read_table (at 100 TB: a sampled read for quantizer training +
+    the query-set table)."""
     import pyarrow.parquet as pq
 
     from .stages.similarity import put_queries
@@ -899,7 +901,7 @@ def _load_query_vectors(sf_dir: str):
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     qsel = ids % 100 == 0
-    return put_queries(emb[qsel], ids[qsel]), emb
+    return put_queries(emb[qsel], ids[qsel]), emb, emb[qsel], ids[qsel]
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10: per-batch local top-k vs broadcast
@@ -908,7 +910,7 @@ def q_ann_topk(sf_dir: str):
 
     from .stages.similarity import make_topk_fn, merge_topk
 
-    qref, _ = _load_query_vectors(sf_dir)
+    qref, _, _, _ = _load_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     local = ds.map_batches(make_topk_fn(qref, k=10), batch_format="pyarrow")
     return local.groupby("query_id").map_groups(
@@ -931,16 +933,30 @@ QUALIFY rank <= 10
 
 
 def q_ann_topk_lsh(sf_dir: str):
-    """SRP-bucketed approximate top-k (the partition-pruned scale path).
-    No SQL oracle — approximate recall by design; rows-only check."""
+    """SRP-bucketed approximate top-k with a PARTITION-PRUNED read:
+    the embeddings are Hive-partitioned by SRP bucket (built once);
+    the scan reads only the queries' multi-probe partitions
+    (own + Hamming-1 buckets). No SQL oracle — approximate recall by
+    design; rows-only check + pruning pytest."""
     import ray.data
 
-    from .stages.similarity import make_bucketed_topk_fn, merge_topk, srp_planes
+    from .stages.similarity import (
+        build_srp_partitions,
+        bucket_of,
+        make_bucketed_topk_fn,
+        merge_topk,
+        probed_paths,
+        srp_planes,
+        srp_probe_set,
+    )
 
-    qref, emb = _load_query_vectors(sf_dir)
+    qref, emb, qmat, _ = _load_query_vectors(sf_dir)
     planes = srp_planes(emb.shape[1])
+    root = build_srp_partitions(sf_dir, planes)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    paths = probed_paths(root, srp_probe_set(bucket_of(qn, planes)))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(paths)
     local = ds.map_batches(
         make_bucketed_topk_fn(qref, planes, k=10), batch_format="pyarrow"
     )
@@ -950,17 +966,29 @@ def q_ann_topk_lsh(sf_dir: str):
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-k (scale path 2, beside SRP-LSH):
-    k-means coarse quantizer trained once, queries probe top-4 lists.
-    Approximate by design → rows-only check."""
+    """IVF-bucketed approximate top-k with a PARTITION-PRUNED read
+    (scale path 2, beside SRP-LSH): k-means coarse quantizer trained
+    once, embeddings Hive-partitioned by nearest-list id, queries read
+    only their top-4 probed list partitions. Approximate by design →
+    rows-only check + pruning pytest."""
     import ray.data
 
-    from .stages.similarity import ivf_centroids, make_ivf_topk_fn, merge_topk
+    from .stages.similarity import (
+        build_ivf_partitions,
+        ivf_centroids,
+        make_ivf_topk_fn,
+        merge_topk,
+        probed_paths,
+    )
 
-    qref, emb = _load_query_vectors(sf_dir)
+    qref, emb, qmat, _ = _load_query_vectors(sf_dir)
     cents = ivf_centroids(emb)
+    root = build_ivf_partitions(sf_dir, cents)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :4]
+    paths = probed_paths(root, probe.ravel())
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(paths)
     local = ds.map_batches(make_ivf_topk_fn(qref, cents, k=10), batch_format="pyarrow")
     return local.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"

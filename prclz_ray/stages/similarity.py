@@ -163,6 +163,87 @@ def bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.int64) << np.arange(N_PLANES)[None, :]).sum(axis=1)
 
 
+def _partition_root(sf_dir: str, kind: str) -> str:
+    import os
+
+    from ..pipelines.derive import CACHE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(CACHE_DIR, f"emb_{kind}_{tag}")
+
+
+def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
+    """Hive-partition the embeddings table by an integer bucket column
+    (``bucket=<b>/`` dirs) — built ONCE per corpus with a Ray write
+    (atomic dir rename), then every probe reads only its partitions.
+    ``assign_fn(normalized_matrix) -> int64 bucket per row``."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..pipelines.derive import CACHE_DIR
+
+    root = _partition_root(sf_dir, kind)
+    if os.path.isdir(root):
+        return root
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"emb_{kind}.", dir=CACHE_DIR)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        return batch.append_column("bucket", pa.array(assign_fn(emb), type=pa.int64()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # raced: another build won
+    return root
+
+
+def build_srp_partitions(sf_dir: str, planes: np.ndarray) -> str:
+    return _build_partitions(sf_dir, "srp", lambda x: bucket_of(x, planes))
+
+
+def build_ivf_partitions(sf_dir: str, centroids: np.ndarray) -> str:
+    return _build_partitions(
+        sf_dir, "ivf", lambda x: np.argmax(x @ centroids.T, axis=1).astype(np.int64)
+    )
+
+
+def probed_paths(root: str, buckets) -> list[str]:
+    """Parquet files under the ``bucket=<b>`` partition dirs of the
+    probe set — the pruned read: only these leave storage (a list of
+    leaf FILES, since ``read_parquet`` treats list entries as files)."""
+    import os
+
+    out = []
+    for b in sorted(set(int(x) for x in buckets)):
+        p = os.path.join(root, f"bucket={b}")
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def srp_probe_set(qbuckets: np.ndarray) -> set[int]:
+    """Multi-probe set: each query's bucket plus all Hamming-1 buckets
+    (must mirror the popcount≤1 candidate rule in the scorer)."""
+    probe: set[int] = set()
+    for b in qbuckets.tolist():
+        probe.add(int(b))
+        for j in range(N_PLANES):
+            probe.add(int(b) ^ (1 << j))
+    return probe
+
+
 def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
     """Like make_topk_fn but each batch only scores vectors whose SRP
     bucket matches some query's bucket — the partition-pruned scan."""

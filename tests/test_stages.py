@@ -522,3 +522,31 @@ def test_reblock_simplify_variant(ray_session):
     df = reblock_dataset(limit_blocks=3, simplify=True).to_pandas().sort_values("block_id")
     assert df.status.tolist() == ["ok"] * 3
     assert df.n_terminals.tolist() == [4, 5, 6]
+
+
+def test_ann_partition_pruned_reads(ray_session):
+    """The Hive-partitioned ANN indexes read FEWER partitions than the
+    full scan, and the pruned query output is unchanged."""
+    import os
+
+    import numpy as np
+
+    from prclz_ray.queries import QUERIES, _load_query_vectors
+    from prclz_ray.stages.similarity import (
+        bucket_of, build_srp_partitions, probed_paths, srp_planes, srp_probe_set,
+    )
+
+    sf = SF
+    _, emb, qmat, _ = _load_query_vectors(sf)
+    planes = srp_planes(emb.shape[1])
+    root = build_srp_partitions(sf, planes)
+    all_parts = [d for d in os.listdir(root) if d.startswith("bucket=")]
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    paths = probed_paths(root, srp_probe_set(bucket_of(qn, planes)))
+    probed_dirs = {os.path.basename(os.path.dirname(p)) for p in paths}
+    assert 0 < len(probed_dirs) < len(all_parts)
+
+    out = QUERIES["ann_topk_lsh"](sf).to_pandas()
+    assert len(out) == out.query_id.nunique() * 10
+    out_ivf = QUERIES["ann_topk_ivf"](sf).to_pandas()
+    assert len(out_ivf) == out_ivf.query_id.nunique() * 10
