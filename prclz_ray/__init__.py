@@ -14,7 +14,7 @@ Layout:
     pipelines/  end-to-end pipelines (flagship, blocks, complexity, parcels)
     state/      per-partition lineage manifests + resume planner
     world.py    the deterministic synthetic geography all fixtures share
-    synth.py    pages-table derivation from the driver's documents table
+    stages/pages.py  pages-table derivation from the driver's documents table (synth_pages)
 
 No module in this package calls ``ray.init()``; sessions are owned by
 the caller (driver / tests / bench.py).

@@ -7,6 +7,13 @@ text/hash kernels), all pure numpy / stdlib — no Ray dependency, safe
 to import inside any worker.
 """
 
+from ..geom.boolean import (
+    inset_polygon,
+    is_convex,
+    polygon_intersection,
+    representative_point,
+    winding_number,
+)
 from ..geom.cells import cell_id, cell_id_e6, cell_parent, polygon_covering_cells
 from ..geom.core import (
     clip_polygon_convex,
@@ -21,6 +28,8 @@ from ..geom.core import (
     project_point_to_segment,
     segment_min_distance,
 )
+from ..geom.hull import convex_hull, minimum_rotated_rectangle, outside_terminal
+from ..geom.noding import node_segments
 from ..geom.tiles import lonlat_to_tile, mercator_tile
 from ..geom.wkb import (
     parse_wkb,
@@ -34,6 +43,8 @@ from ..geom.wkb import (
 from ..graph.complexity import block_complexity, get_complexity, weak_dual_sequence
 from ..graph.steiner import dijkstra, steiner_tree_approx
 from ..graph.voronoi import voronoi_cells
+from ..stages.hashing import hash_strings, hash_strings62, salted
+from .gadm import gadm_level_column
 
 REGISTRY = {
     name: obj

@@ -92,6 +92,46 @@ def joined_pages(
     return ds
 
 
+@ray.remote(num_cpus=0)
+class _PartitionCounter:
+    """Collects per-partition row counts from the write-side stream so
+    manifest rows need NO re-read of the written output (at 100 TB the
+    old read-back doubled output I/O). One tiny dict message per batch;
+    actor mailbox ordering makes `totals` a barrier."""
+
+    def __init__(self):
+        self.counts: dict = {}
+
+    def add(self, delta: dict) -> None:
+        for k, v in delta.items():
+            self.counts[k] = self.counts.get(k, 0) + int(v)
+
+    def totals(self) -> dict:
+        return dict(self.counts)
+
+
+def _count_by(counter, column: str):
+    """map_batches stage: pass rows through, side-channel per-partition
+    counts to the counter actor. The ``ray.get`` makes delivery happen
+    before the batch is handed downstream, so when the write op
+    finishes every count has landed (cross-caller actor ordering is
+    not guaranteed for fire-and-forget sends); sub-ms per 8k-row
+    batch against the zero-cpu actor."""
+    import pyarrow.compute as pc
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            vc = pc.value_counts(batch.column(column))
+            ray.get(
+                counter.add.remote(
+                    {str(f["values"]): int(f["counts"]) for f in vc.to_pylist()}
+                )
+            )
+        return batch
+
+    return stage
+
+
 def _write_run_metrics(out_dir: str, job: str, input_dir: str, stats: dict) -> None:
     """Append one JSON line per run to <out>/_manifest/_runs.jsonl —
     run-level metrics beside the per-partition lineage rows."""
@@ -104,25 +144,51 @@ def _write_run_metrics(out_dir: str, job: str, input_dir: str, stats: dict) -> N
         fh.write(json.dumps({"job": job, "input": input_dir, "ts": _time.time(), **stats}) + "\n")
 
 
-def run_tiles(input_dir: str, out_dir: str) -> dict:
+def run_tiles(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
     """The raster-heatmap tiling job: flagship join → tile rollup →
     partitioned parquet (one directory per tile_x stripe) + manifest.
     The rollup result is small (one row per 1° tile), so lineage here
-    is one manifest row per tile-x stripe."""
+    is one manifest row per tile-x stripe.
+
+    Idempotent and resumable like ``run_flagship``: stripe dirs absent
+    from the (fingerprint-matching) manifest are stale partial output
+    and are deleted; completed stripes are filtered out before the
+    write, so re-running with the same out_dir never duplicates rows.
+    """
+    import glob
+    import shutil
+
+    import pyarrow.compute as pc
+
     from ..stages.rollup import tile_rollup
 
     t0 = time.time()
     manifest = Manifest(out_dir)
+    done = manifest.completed(fingerprint=input_dir) if resume else set()
+    for d in glob.glob(os.path.join(out_dir, "tile_x=*")):
+        if f"x{d.rsplit('=', 1)[-1]}" not in done:
+            shutil.rmtree(d)
+
     ds = tile_rollup(joined_pages(input_dir))
+    if done:
+        done_arr = pa.array(sorted(int(k[1:]) for k in done), pa.int64())
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b.column("tile_x"), value_set=done_arr))
+            ),
+            batch_format="pyarrow",
+        )
+    counter = _PartitionCounter.remote()
+    ds = ds.map_batches(_count_by(counter, "tile_x"), batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["tile_x"])
-    written = ray.data.read_parquet(out_dir).groupby("tile_x").count().to_pandas()
+    counts = ray.get(counter.totals.remote())
     wall = time.time() - t0
-    for _, row in written.iterrows():
-        manifest.mark(f"x{int(row['tile_x'])}", int(row["count()"]),
-                      fingerprint=input_dir, wall_s=wall)
+    for key, n in counts.items():
+        manifest.mark(f"x{int(key)}", n, fingerprint=input_dir, wall_s=wall)
     stats = {
-        "tiles": int(written["count()"].sum()),
-        "stripes": len(written),
+        "tiles": int(sum(counts.values())),
+        "new_stripes": len(counts),
+        "skipped": len(done),
         "wall_s": wall,
     }
     _write_run_metrics(out_dir, "tiles", input_dir, stats)
@@ -152,10 +218,11 @@ def run_flagship(
 
     t0 = time.time()
     manifest = Manifest(out_dir)
-    done = manifest.completed() if resume else set()
+    done = manifest.completed(fingerprint=input_dir) if resume else set()
 
-    # crash cleanup: any partition dir without a manifest row is a
-    # partial write from a killed run — remove before recomputing
+    # crash cleanup: any partition dir without a (fingerprint-matching)
+    # manifest row is a partial write from a killed run — or a
+    # completed partition of a DIFFERENT input — remove and recompute
     for d in glob.glob(os.path.join(out_dir, "cell_r5=*")):
         key = d.rsplit("=", 1)[-1]
         if key not in done:
@@ -179,20 +246,25 @@ def run_flagship(
     # drop the heavy text column before the write shuffle: the joined
     # output is the assignment table, text lives in the source parquet
     ds = ds.drop_columns(["text"])
+    # per-partition counts stream to a side actor — NO read-back of the
+    # written output (the old full re-read doubles output I/O at scale)
+    counter = _PartitionCounter.remote()
+    ds = ds.map_batches(_count_by(counter, "cell_r5"), batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["cell_r5"])
 
-    # manifest rows: per-partition counts from the (small) written output
-    written = ray.data.read_parquet(out_dir).groupby("cell_r5").count().to_pandas()
+    counts = ray.get(counter.totals.remote())
     wall = time.time() - t0
     new_rows = 0
-    for _, row in written.iterrows():
-        key = str(int(row["cell_r5"]))
+    for key, n in counts.items():
         if key not in done:
-            manifest.mark(key, int(row["count()"]), fingerprint=input_dir, wall_s=wall)
-            new_rows += int(row["count()"])
+            manifest.mark(key, n, fingerprint=input_dir, wall_s=wall)
+            new_rows += n
+    total_rows = new_rows + sum(
+        manifest.read(k).get("rows", 0) for k in done
+    )
     stats = {
-        "partitions": len(written),
-        "rows": int(written["count()"].sum()),
+        "partitions": len(counts) + len(done),
+        "rows": total_rows,
         "new_rows": new_rows,
         "skipped": len(done),
         "wall_s": wall,

@@ -31,11 +31,47 @@ def _geom_to_wkb(geom: dict) -> bytes:
     raise ValueError(f"unsupported geometry type {t}")
 
 
-def _make_decoder(keys: tuple):
+def _explode_parts(geom: dict, promote_lines: bool) -> list[tuple[str, bytes]]:
+    """One geometry → its single-part pieces as (type, wkb) rows.
+
+    ``promote_lines`` is the reference's building consolidation
+    (`osm-etl/consolidate_buildings.py:11-28`, M10): buildings mapped
+    as (closed) ways arrive as LineStrings; any line with ≥ 3 distinct
+    coordinates is promoted to the Polygon over its ring (shapely
+    ``Polygon(linestring)`` semantics — auto-closing), shorter lines
+    are dropped. Multi* geometries explode to one row per part
+    (``.explode()``)."""
+    t = geom["type"]
+    c = geom["coordinates"]
+    parts: list[tuple[str, object]] = []
+    if t.startswith("Multi"):
+        parts = [(t[5:], part) for part in c]
+    else:
+        parts = [(t, c)]
+    out: list[tuple[str, bytes]] = []
+    for pt, pc in parts:
+        if promote_lines and pt == "LineString":
+            ring = np.asarray(pc, dtype=np.float64)
+            if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+                ring = ring[:-1]
+            if len(np.unique(ring, axis=0)) < 3:
+                continue  # reference's to_polygon ValueError → dropped
+            out.append(("Polygon", wkb_polygon(ring)))
+        elif pt == "Polygon":
+            ext = np.asarray(pc[0], dtype=np.float64)
+            holes = [np.asarray(h, dtype=np.float64) for h in pc[1:]]
+            out.append(("Polygon", wkb_polygon(ext, holes)))
+        else:
+            out.append((pt, _geom_to_wkb({"type": pt, "coordinates": pc})))
+    return out
+
+
+def _make_decoder(keys: tuple, promote_lines: bool = False, explode: bool = False):
     """Decoder with a FIXED property-column set so every batch emits the
     same schema (per-batch key inference would let two batches of one
     file produce different column sets). Null geometry (valid GeoJSON)
-    yields null geom columns."""
+    yields null geom columns. With ``explode`` / ``promote_lines`` a
+    feature may yield several rows (or none) — properties replicate."""
 
     def decode(batch: pa.Table) -> pa.Table:
         feats = [json.loads(s) for s in batch.column("text").to_pylist() if s.strip()]
@@ -43,15 +79,18 @@ def _make_decoder(keys: tuple):
         wkbs, types = [], []
         for f in feats:
             geom = f.get("geometry")
-            if geom is None:
-                wkbs.append(None)
-                types.append(None)
-            else:
-                wkbs.append(_geom_to_wkb(geom))
-                types.append(geom["type"])
             p = f.get("properties") or {}
-            for k in keys:
-                props[k].append(p.get(k))
+            if geom is None:
+                rows = [(None, None)]
+            elif explode or promote_lines:
+                rows = _explode_parts(geom, promote_lines)
+            else:
+                rows = [(geom["type"], _geom_to_wkb(geom))]
+            for gt, wkb in rows:
+                types.append(gt)
+                wkbs.append(wkb)
+                for k in keys:
+                    props[k].append(p.get(k))
         cols = {k: pa.array(v) for k, v in sorted(props.items())}
         cols["geom_type"] = pa.array(types, pa.string())
         cols["geom_wkb"] = pa.array(wkbs, pa.binary())
@@ -60,13 +99,20 @@ def _make_decoder(keys: tuple):
     return decode
 
 
-def read_geojson_features(path: str, properties: list[str] | None = None):
+def read_geojson_features(
+    path: str,
+    properties: list[str] | None = None,
+    promote_lines: bool = False,
+    explode: bool = False,
+):
     """NDJSON GeoJSON features → Dataset (properties + geom_wkb).
 
     ``properties`` fixes the property-column set; when omitted it is
     inferred from a driver-side sample of the first 1000 lines (good
     enough for homogeneous feature files; pass it explicitly when late
-    lines may introduce new keys)."""
+    lines may introduce new keys). ``promote_lines`` promotes (closed)
+    LineStrings to Polygons and ``explode`` splits Multi* geometries —
+    the reference's building consolidation (M10)."""
     import ray.data
 
     if properties is None:
@@ -79,5 +125,6 @@ def read_geojson_features(path: str, properties: list[str] | None = None):
                     keys |= set((json.loads(line).get("properties") or {}).keys())
         properties = sorted(keys)
     return ray.data.read_text(path).map_batches(
-        _make_decoder(tuple(properties)), batch_format="pyarrow"
+        _make_decoder(tuple(properties), promote_lines=promote_lines, explode=explode),
+        batch_format="pyarrow",
     )

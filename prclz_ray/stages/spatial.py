@@ -515,10 +515,12 @@ class KNNAnchorActor:
         sel = np.flatnonzero(has)
         if len(sel):
             a_idx, d2 = self._nearest_3x3(lon[sel], lat[sel])
-            # exactness guard: a 3×3 answer further than one bucket width
-            # could in principle be beaten from ring 2+; those (and empty
-            # neighborhoods) take the exact ring-expansion path
-            ok = (a_idx >= 0) & (d2 <= self.BUCKET_E6 * self.BUCKET_E6)
+            # exactness guard: a 3×3 answer at-or-beyond one bucket width
+            # could be beaten (or TIED with a smaller anchor id, which the
+            # (d2, id) tie-break must prefer) from ring 2+; those and
+            # empty neighborhoods take the exact ring-expansion path —
+            # strict < so exact ties fall through
+            ok = (a_idx >= 0) & (d2 < self.BUCKET_E6 * self.BUCKET_E6)
             best_id[sel[ok]] = self.ids[a_idx[ok]]
             best_d2[sel[ok]] = d2[ok]
             for i in sel[~ok] if (~ok).any() else []:

@@ -26,16 +26,31 @@ class Manifest:
     def _path(self, partition: str) -> str:
         return os.path.join(self.dir, f"{partition}.json")
 
-    def completed(self) -> Set[str]:
-        return {
+    def completed(self, fingerprint: str | None = None) -> Set[str]:
+        """Completed partition keys. With ``fingerprint`` given, a
+        partition only counts when its stored input_fingerprint
+        matches — resuming against a DIFFERENT input must not skip
+        partitions completed from the old one (they are recomputed and
+        their stale dirs removed by the caller's crash cleanup)."""
+        keys = {
             f[: -len(".json")]
             for f in os.listdir(self.dir)
             if f.endswith(".json") and not f.endswith(".tmp")
         }
+        if fingerprint is None:
+            return keys
+        out = set()
+        for k in keys:
+            try:
+                if self.read(k).get("input_fingerprint", "") == fingerprint:
+                    out.add(k)
+            except (OSError, json.JSONDecodeError):
+                pass  # unreadable row → treat as incomplete
+        return out
 
-    def plan(self, partitions: Iterable[str]) -> Set[str]:
+    def plan(self, partitions: Iterable[str], fingerprint: str | None = None) -> Set[str]:
         """Anti-join: planned partitions not yet completed."""
-        return set(partitions) - self.completed()
+        return set(partitions) - self.completed(fingerprint)
 
     def mark(self, partition: str, rows: int, fingerprint: str = "", wall_s: float = 0.0):
         rec = {

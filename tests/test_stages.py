@@ -447,7 +447,15 @@ def test_run_tiles_job(ray_session, tmp_path):
     t = pq.read_table(out)
     assert stats["tiles"] == t.num_rows > 0
     assert t.column("n_pages").to_pandas().sum() == 486  # all geo pages
-    assert len(Manifest(out).completed()) == stats["stripes"]
+    assert len(Manifest(out).completed()) == stats["new_stripes"]
+
+    # idempotency: a re-run with the same out_dir skips every completed
+    # stripe and appends NOTHING (write_parquet never overwrites)
+    stats2 = run_tiles(SF, out)
+    assert stats2["tiles"] == 0
+    assert stats2["skipped"] == stats["new_stripes"]
+    t2 = pq.read_table(out)
+    assert t2.num_rows == t.num_rows
 
 
 def test_reblock_interior_goldens(ray_session):
@@ -550,3 +558,67 @@ def test_ann_partition_pruned_reads(ray_session):
     assert len(out) == out.query_id.nunique() * 10
     out_ivf = QUERIES["ann_topk_ivf"](sf).to_pandas()
     assert len(out_ivf) == out_ivf.query_id.nunique() * 10
+
+
+def test_geojson_promote_and_explode(ray_session, tmp_path):
+    """M10: way-mapped buildings (closed LineStrings) promote to
+    Polygons; Multi* geometries explode; short lines drop
+    (`osm-etl/consolidate_buildings.py:11-28` semantics)."""
+    import json
+
+    from prclz_ray.geom.wkb import parse_wkb
+    from prclz_ray.sources.geojson import read_geojson_features
+
+    feats = [
+        {"type": "Feature", "properties": {"name": "way-closed"},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0, 0], [1, 0], [1, 1], [0, 0]]}},
+        {"type": "Feature", "properties": {"name": "way-open"},
+         "geometry": {"type": "LineString", "coordinates": [[0, 0], [2, 0], [2, 2]]}},
+        {"type": "Feature", "properties": {"name": "too-short"},
+         "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}},
+        {"type": "Feature", "properties": {"name": "multi"},
+         "geometry": {"type": "MultiPolygon",
+                      "coordinates": [[[[0, 0], [1, 0], [1, 1]]],
+                                      [[[5, 5], [6, 5], [6, 6]]]]}},
+    ]
+    p = tmp_path / "feats.ndjson"
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+    df = read_geojson_features(str(p), promote_lines=True, explode=True).to_pandas()
+    # closed way + open way promoted, short dropped, multi exploded -> 4 rows
+    assert df.geom_type.tolist() == ["Polygon"] * 4
+    assert sorted(df.name) == ["multi", "multi", "way-closed", "way-open"]
+    ring = parse_wkb(df[df.name == "way-closed"].geom_wkb.iloc[0])[1][0]
+    assert len(ring) >= 3
+
+
+def test_gadm_level_column():
+    """M14: deepest available GID_{level} column (`prclz/utils.py:17-24`)."""
+    from prclz_ray.functions import gadm_level_column
+
+    assert gadm_level_column(["GID_0", "GID_1", "GID_2"], 5) == ("GID_2", 2)
+    assert gadm_level_column(["GID_0", "GID_1", "GID_2"], 1) == ("GID_1", 1)
+    assert gadm_level_column(["name"], 3) == ("GID_0", 0)
+
+
+def test_resume_rejects_different_input(ray_session, tmp_path):
+    """Manifest rows carry the input fingerprint: resuming the same
+    out_dir against a DIFFERENT input must recompute everything (never
+    silently mix two corpora in one output)."""
+    from prclz_ray.pipelines.flagship import run_flagship
+    from prclz_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "mixed")
+    r1 = run_flagship(SF, out, resume=False)
+    assert r1["rows"] == 500
+    # same out_dir, different input (sf0.01 documents)
+    other = "/root/testdata/sf0.01"
+    m = Manifest(out)
+    assert m.completed(fingerprint=SF)  # old rows match old input
+    assert not m.completed(fingerprint=other)  # and are invisible to the new one
+    r2 = run_flagship(other, out, resume=True)
+    assert r2["skipped"] == 0  # nothing skipped: all partitions recomputed
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == r2["rows"]
