@@ -238,6 +238,13 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
     from . import derive
 
     ds = _limit_filter(ray.data.read_parquet(derive.parcels_path()), limit_blocks)
+    # coalesce before the group shuffle: far fewer shuffle partitions
+    # than groups means NO empty (schema-less) partitions out of
+    # map_groups — the source of Ray's RefBundle schema warnings —
+    # while per-group parallelism of the heavy run stage is governed
+    # by the downstream map_batches batch size, not this
+    parts = 8 if limit_blocks is None else max(1, min(8, limit_blocks // 2))
+    ds = ds.repartition(parts)
 
     def pack(group: pa.Table) -> pa.Table:
         bx = int(group.column("bx")[0].as_py())
@@ -255,7 +262,10 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
         )
 
     packed = ds.groupby("block_id").map_groups(pack, batch_format="pyarrow")
-    return packed.sort("cost", descending=True)
+    # block_id tie-break: distinct composite sort keys keep the range
+    # partitioner's boundaries distinct (duplicate-only keys collapse
+    # ranges into empty schema-less partitions) and make order stable
+    return packed.sort(["cost", "block_id"], descending=[True, False])
 
 
 def reblock_dataset(limit_blocks: int | None = None, simplify: bool = False):
@@ -353,8 +363,10 @@ def reblock_interior_dataset(limit_blocks: int | None = None):
 
     n = world.N_BLOCKS
     ids = np.arange(n * n) if limit_blocks is None else np.arange(min(limit_blocks, n * n))
-    items = [{"bx": int(i // n), "by": int(i % n)} for i in ids]
-    ds = ray.data.from_items(items)
+    # one Arrow block (from_items would make one tiny block per item)
+    ds = ray.data.from_arrow(
+        pa.table({"bx": pa.array(ids // n, pa.int64()), "by": pa.array(ids % n, pa.int64())})
+    )
 
     def add_cost(b: pa.Table) -> pa.Table:
         bxv = b.column("bx").to_numpy(zero_copy_only=False)
@@ -365,7 +377,9 @@ def reblock_interior_dataset(limit_blocks: int | None = None):
         )
         return b.append_column("cost", pa.array(cost))
 
-    ds = ds.map_batches(add_cost, batch_format="pyarrow").sort("cost", descending=True)
+    ds = ds.map_batches(add_cost, batch_format="pyarrow").sort(
+        ["cost", "bx", "by"], descending=[True, False, False]
+    )
 
     def run(batch: pa.Table) -> pa.Table:
         out = []

@@ -380,8 +380,12 @@ def q_lineitem_pricing(sf_dir: str):
             .rename_columns(["l_returnflag", "l_linestatus", "price_cents", "qty_cents", "n"])
         )
 
+    # the partial output is #blocks x #groups rows (tiny): collapse to
+    # one partition so the final groupby emits no empty (schema-less)
+    # shuffle partitions (source of Ray's RefBundle schema warnings)
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
         .groupby(["l_returnflag", "l_linestatus"])
         .sum(["price_cents", "qty_cents", "n"])
     )
@@ -455,7 +459,12 @@ def q_segment_revenue(sf_dir: str):
             ["c_mktsegment", "rev", "n"]
         )
 
-    agg = ds.map_batches(join_batch, batch_format="pyarrow").groupby("c_mktsegment").sum(["rev", "n"])
+    agg = (
+        ds.map_batches(join_batch, batch_format="pyarrow")
+        .repartition(1)  # tiny partial stream: no empty shuffle partitions
+        .groupby("c_mktsegment")
+        .sum(["rev", "n"])
+    )
     return agg.map_batches(
         lambda b: pa.table(
             {
@@ -913,9 +922,9 @@ def q_ann_topk(sf_dir: str):
     qref, _, _, _ = _load_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     local = ds.map_batches(make_topk_fn(qref, k=10), batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
+    return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
-    )
+    )  # candidate set is k x queries x batches rows - one partition
 
 
 SQL_ANN_TOPK = """
@@ -960,9 +969,9 @@ def q_ann_topk_lsh(sf_dir: str):
     local = ds.map_batches(
         make_bucketed_topk_fn(qref, planes, k=10), batch_format="pyarrow"
     )
-    return local.groupby("query_id").map_groups(
+    return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
-    )
+    )  # candidate set is k x queries x batches rows - one partition
 
 
 def q_ann_topk_ivf(sf_dir: str):
@@ -990,9 +999,9 @@ def q_ann_topk_ivf(sf_dir: str):
 
     ds = ray.data.read_parquet(paths)
     local = ds.map_batches(make_ivf_topk_fn(qref, cents, k=10), batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
+    return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
-    )
+    )  # candidate set is k x queries x batches rows - one partition
 
 
 # ---------------------------------------------------------------------------
