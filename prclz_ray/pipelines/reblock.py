@@ -110,6 +110,8 @@ def _dead_letter(block_id: str, status: str) -> pa.Table:
             "total_len_e6": pa.array([0], pa.int64()),
             "new_len_e6": pa.array([0], pa.int64()),
             "new_lines_wkb": pa.array([None], pa.binary()),
+            "existing_lines_wkb": pa.array([None], pa.binary()),
+            "terminals_wkb": pa.array([None], pa.binary()),
             "status": [status],
         }
     )
@@ -124,7 +126,13 @@ def _block_bounds(bx: int, by: int) -> tuple[float, float, float, float]:
 
 
 def _summary_row(block_id, g, terms, edges) -> pa.Table:
+    """The reference's per-block update triple
+    (`reblock/i_reblock.py:127-135`): summary stats + new_steiner +
+    existing_steiner MultiLineStrings + terminal MultiPoint, one row."""
+    from ..geom.wkb import wkb_multipoint
+
     new_lines = [np.array([a, b]) for a, b in edges if not g.is_road(a, b)]
+    existing_lines = [np.array([a, b]) for a, b in edges if g.is_road(a, b)]
     total_len_e6 = sum(
         int(round(np.hypot(b[0] - a[0], b[1] - a[1]) * 1e6)) for a, b in edges
     )
@@ -142,6 +150,13 @@ def _summary_row(block_id, g, terms, edges) -> pa.Table:
             "new_len_e6": pa.array([new_len_e6], pa.int64()),
             "new_lines_wkb": pa.array(
                 [wkb_multilinestring(new_lines) if new_lines else None], pa.binary()
+            ),
+            "existing_lines_wkb": pa.array(
+                [wkb_multilinestring(existing_lines) if existing_lines else None],
+                pa.binary(),
+            ),
+            "terminals_wkb": pa.array(
+                [wkb_multipoint(np.array(sorted(terms))) if terms else None], pa.binary()
             ),
             "status": ["ok"],
         }
@@ -394,3 +409,83 @@ def reblock_interior_dataset(limit_blocks: int | None = None):
         return pa.concat_tables(out)
 
     return ds.map_batches(run, batch_format="pyarrow", batch_size=8)
+
+
+# ---------------------------------------------------------------------------
+# three-sink writer (S6): summary / steiner lines / terminal points
+
+def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
+    """The reference's three-output reblock writer
+    (`reblock/i_reblock.py:151-166`): one job → three partitioned
+    parquet sinks under ``out_dir`` —
+
+    - ``summary/``          per-block stats row (CheckPointer summary)
+    - ``steiner_lines/``    TWO rows per ok block: the new_steiner and
+                            existing_steiner MultiLineStrings with
+                            columns (geometry, block, line_type,
+                            block_w_type) — the reference's exact
+                            steiner-frame schema
+    - ``terminal_points/``  (geometry MultiPoint, block)
+
+    The solved dataset is small (one row per block), so it is
+    materialized once and the three sinks are cheap projections — no
+    re-execution of the solver."""
+    import os
+
+    import ray
+
+    from ..state.manifest import Manifest
+
+    solved = reblock_dataset(limit_blocks=limit_blocks).materialize()
+
+    summary = solved.drop_columns(
+        ["new_lines_wkb", "existing_lines_wkb", "terminals_wkb"]
+    )
+    summary.write_parquet(os.path.join(out_dir, "summary"))
+
+    def steiner_rows(batch: pa.Table) -> pa.Table:
+        geoms, blocks, types, keys = [], [], [], []
+        for row in batch.to_pylist():
+            if row["status"] != "ok":
+                continue
+            for lt, col in (("new_steiner", "new_lines_wkb"),
+                            ("existing_steiner", "existing_lines_wkb")):
+                geoms.append(row[col])
+                blocks.append(row["block_id"])
+                types.append(lt)
+                keys.append(row["block_id"] + lt)
+        return pa.table(
+            {
+                "geometry": pa.array(geoms, pa.binary()),
+                "block": pa.array(blocks, pa.string()),
+                "line_type": pa.array(types, pa.string()),
+                "block_w_type": pa.array(keys, pa.string()),
+            }
+        )
+
+    solved.map_batches(steiner_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "steiner_lines")
+    )
+
+    def terminal_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            __import__("pyarrow.compute", fromlist=["equal"]).equal(
+                batch.column("status"), "ok"
+            )
+        )
+        return pa.table(
+            {
+                "geometry": t.column("terminals_wkb"),
+                "block": t.column("block_id"),
+            }
+        )
+
+    solved.map_batches(terminal_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "terminal_points")
+    )
+
+    n = solved.count()
+    manifest = Manifest(out_dir)
+    for sink in ("summary", "steiner_lines", "terminal_points"):
+        manifest.mark(sink, n, fingerprint=f"limit={limit_blocks}")
+    return {"blocks": n, "sinks": 3}

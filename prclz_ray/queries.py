@@ -1652,7 +1652,9 @@ def q_reblock(sf_dir: str):
     pytest-golden-checked (tests/test_stages.py)."""
     from .pipelines.reblock import reblock_dataset
 
-    return reblock_dataset(limit_blocks=REBLOCK_LIMIT).drop_columns(["new_lines_wkb"])
+    return reblock_dataset(limit_blocks=REBLOCK_LIMIT).drop_columns(
+        ["new_lines_wkb", "existing_lines_wkb", "terminals_wkb"]
+    )
 
 
 def q_reblock_terminals(sf_dir: str):

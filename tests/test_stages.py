@@ -622,3 +622,32 @@ def test_resume_rejects_different_input(ray_session, tmp_path):
 
     t = pq.read_table(out)
     assert t.num_rows == r2["rows"]
+
+
+def test_run_reblock_three_sinks(ray_session, tmp_path):
+    """S6: the reference's three-output writer — summary, steiner
+    lines (new/existing per block), terminal points."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines.reblock import run_reblock
+
+    out = str(tmp_path / "reblock_out")
+    stats = run_reblock(out, limit_blocks=4)
+    assert stats == {"blocks": 4, "sinks": 3}
+    summary = pq.read_table(f"{out}/summary")
+    lines = pq.read_table(f"{out}/steiner_lines")
+    terms = pq.read_table(f"{out}/terminal_points")
+    assert summary.num_rows == 4
+    assert lines.num_rows == 8  # new + existing per ok block
+    assert sorted(set(lines.column("line_type").to_pylist())) == [
+        "existing_steiner", "new_steiner",
+    ]
+    assert terms.num_rows == 4
+    # geometry parses back as multilinestrings / multipoints
+    from prclz_ray.geom.wkb import parse_wkb
+
+    for wkb in lines.column("geometry").to_pylist():
+        if wkb is not None:
+            parse_wkb(wkb)
+    for wkb in terms.column("geometry").to_pylist():
+        parse_wkb(wkb)
