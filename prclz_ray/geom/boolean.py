@@ -144,6 +144,54 @@ def polygon_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+def polygon_union(rings: list) -> list[np.ndarray]:
+    """Dissolve a set of simple rings into their union's outer rings.
+
+    Method: node every boundary edge, keep exactly the edges with one
+    side inside the union and one side outside (tested at ±δ along the
+    edge normal — δ scaled far below any cell width), then face-trace
+    the boundary-only graph; positive-area faces whose representative
+    point lies inside the union are the dissolved parts. Holes are not
+    returned (parcel dissolve unions are simply connected). Role of
+    the reference's ``raster::aggregate`` per-building cell dissolve
+    (`prclz/parcelization/midway_parcelization_digital_globe.R:76-78`).
+    """
+    rs = [_norm_ring(r) for r in rings]
+    rs = [r for r in rs if len(r) >= 3]
+    if not rs:
+        return []
+    if len(rs) == 1:
+        return [rs[0]]
+    segs = []
+    span = 0.0
+    for r in rs:
+        nxt = np.roll(r, -1, axis=0)
+        segs.append(np.stack([r, nxt], axis=1))
+        span = max(span, float(np.abs(r).max()))
+    noded = node_segments(np.concatenate(segs, axis=0))
+    delta = 1e-9 * (1.0 + span)
+
+    def inside(x: float, y: float) -> bool:
+        return any(winding_number(r, x, y) != 0 for r in rs)
+
+    boundary = []
+    for a, b in noded:
+        mx, my = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L = (dx * dx + dy * dy) ** 0.5
+        if L < 1e-30:
+            continue
+        nx, ny = -dy / L, dx / L
+        if inside(mx + delta * nx, my + delta * ny) != inside(mx - delta * nx, my - delta * ny):
+            boundary.append((a, b))
+    out = []
+    for face in _arrangement_faces(boundary):
+        x, y = representative_point(face)
+        if inside(x, y):
+            out.append(face)
+    return out
+
+
 def inset_polygon(ring: np.ndarray, eps: float) -> list[np.ndarray]:
     """Mitre-join erosion of a simple ring by ``eps`` → 0..k rings.
 

@@ -276,6 +276,114 @@ def parcelize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+FOOTPRINT_E6 = 8_000  # synthetic square building footprint side (µdeg)
+# the reference's 1 m → 100 m segmentize ladder
+# (`prclz/parcelization/midway_parcelization_digital_globe.R:124-137`),
+# scaled to the synthetic world's µdeg units
+PARCEL_PTDIST_LADDER_E6 = (4_000, 16_000)
+
+
+def segmentize_ring(ring: np.ndarray, spacing: float) -> np.ndarray:
+    """Points along the ring's edges at ≤ ``spacing`` intervals
+    (each edge's start vertex included; sf ``st_segmentize`` shape)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    out = []
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        length = float(np.hypot(*(b - a)))
+        k = max(1, int(np.ceil(length / spacing)))
+        t = np.arange(k, dtype=np.float64)[:, None] / k
+        out.append(a[None, :] + t * (b - a)[None, :])
+    return np.vstack(out)
+
+
+def _parcelize_footprints(block_ring: np.ndarray, cents: np.ndarray, ptdist: float):
+    """st_parcelize semantics (`midway_parcelization_digital_globe.R:46-93`):
+    per building, its footprint boundary segmentized at ``ptdist`` →
+    Voronoi over ALL boundary points → cells clipped to the block →
+    dissolved per building (`polygon_union`). Returns
+    {building_index: [rings]}; raises if any building ends up with no
+    territory (the ladder's retry trigger)."""
+    from ..geom.boolean import polygon_union
+    from ..geom.core import clip_polygon_convex
+
+    h = FOOTPRINT_E6 / 1e6 / 2.0
+    sites, owners = [], []
+    for i, (cx, cy) in enumerate(cents):
+        fp = np.array(
+            [[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h], [cx - h, cy + h]]
+        )
+        pts = segmentize_ring(fp, ptdist)
+        sites.append(pts)
+        owners.append(np.full(len(pts), i, dtype=np.int64))
+    sites = np.vstack(sites)
+    owners = np.concatenate(owners)
+    per_owner: dict[int, list] = {}
+    for site_idx, cell in voronoi_cells(sites):
+        clipped = clip_polygon_convex(cell, block_ring)
+        if len(clipped) >= 3:
+            per_owner.setdefault(int(owners[site_idx]), []).append(clipped)
+    out = {}
+    for i in range(len(cents)):
+        parts = polygon_union(per_owner.get(i, []))
+        if not parts:
+            raise ValueError(f"building {i} has no parcel territory at ptdist={ptdist}")
+        out[i] = parts
+    return out
+
+
+def parcelize_ladder_block(bx: int, by: int) -> pa.Table:
+    """One block through the parcelization FALLBACK LADDER
+    (`midway_parcelization_digital_globe.R:124-137`): try the fine
+    segmentize resolution, retry coarser on failure, and finally
+    inherit the block geometry itself as one parcel (owner −1) — the
+    reference's empty-block fallback. Output: one row per parcel part
+    with exact-integer bounds and the resolution that succeeded."""
+    from ..geom.wkb import wkb_polygon as _wkb_poly
+
+    e = world.STREET_EPS_E6 / 1e6
+    x0, y0 = bx * 0.1 + e, by * 0.1 + e
+    x1, y1 = (bx + 1) * 0.1 - e, (by + 1) * 0.1 - e
+    block_ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    cents = world.building_centroids_e6(bx, by) / 1e6
+    block_id = world.block_id_str(bx, by)
+    rows = {
+        "block_id": [], "bldg": [], "part": [], "ptdist_e6": [],
+        "xmin_e6": [], "ymin_e6": [], "xmax_e6": [], "ymax_e6": [], "geom_wkb": [],
+    }
+
+    def emit(owner: int, part: int, ptdist_e6: int, ring: np.ndarray):
+        rows["block_id"].append(block_id)
+        rows["bldg"].append(owner)
+        rows["part"].append(part)
+        rows["ptdist_e6"].append(ptdist_e6)
+        rows["xmin_e6"].append(int(round(ring[:, 0].min() * 1e6)))
+        rows["ymin_e6"].append(int(round(ring[:, 1].min() * 1e6)))
+        rows["xmax_e6"].append(int(round(ring[:, 0].max() * 1e6)))
+        rows["ymax_e6"].append(int(round(ring[:, 1].max() * 1e6)))
+        rows["geom_wkb"].append(_wkb_poly(ring))
+
+    done = False
+    if len(cents):
+        for ptdist_e6 in PARCEL_PTDIST_LADDER_E6:
+            try:
+                parcels = _parcelize_footprints(block_ring, cents, ptdist_e6 / 1e6)
+            except Exception:
+                continue
+            for owner in sorted(parcels):
+                for p, ring in enumerate(parcels[owner]):
+                    emit(owner, p, ptdist_e6, ring)
+            done = True
+            break
+    if not done:
+        emit(-1, 0, 0, block_ring)  # inherit the block geometry
+    t = pa.table(rows)
+    return t.set_column(
+        t.schema.get_field_index("geom_wkb"), "geom_wkb", t.column("geom_wkb").cast(pa.binary())
+    )
+
+
 def buildings_batch(batch: pa.Table) -> pa.Table:
     """Blocks → deterministic synthetic building centroids (3-8/block)."""
     bxs = batch.column("bx").to_numpy()

@@ -1074,6 +1074,39 @@ FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world
 """
 
 
+PARCEL_LADDER_LIMIT = 60  # blocks through the segmentize ladder per run
+
+
+def q_parcels_ladder(sf_dir: str):
+    """Parcelization with the reference's segmentize FALLBACK LADDER
+    (G19 full, `midway_parcelization_digital_globe.R:124-137`):
+    per-building footprints segmentized fine → Voronoi over boundary
+    points → per-building cell dissolve; coarser resolution on
+    failure; block-geometry inheritance as the last rung. Voronoi +
+    union are not SQL-expressible → rows-only check; the partition
+    property (parcels tile the block exactly) is pytest-checked."""
+    import ray.data
+
+    from .pipelines.derive import parcelize_ladder_block
+
+    n = world.N_BLOCKS
+    ids = np.arange(PARCEL_LADDER_LIMIT, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"bx": pa.array(ids // n), "by": pa.array(ids % n)})
+    )
+
+    def run(batch: pa.Table) -> pa.Table:
+        tables = [
+            parcelize_ladder_block(int(r["bx"]), int(r["by"]))
+            for r in batch.to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=4).drop_columns(
+        ["geom_wkb"]
+    )
+
+
 def q_blocks_diagonal(sf_dir: str):
     """General-noding block extraction (M7 full semantics): border +
     diagonal + mid-cell chord streets → segment-intersection noding
@@ -1743,6 +1776,7 @@ QUERIES: Dict[str, Callable] = {
     "events_hourly": q_events_hourly,
     "blocks_derived": q_blocks_derived,
     "blocks_diagonal": q_blocks_diagonal,
+    "parcels_ladder": q_parcels_ladder,
     "block_complexity": q_block_complexity,
     "complexity_hist": q_complexity_hist,
     "token_counts": q_token_counts,

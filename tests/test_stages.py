@@ -651,3 +651,42 @@ def test_run_reblock_three_sinks(ray_session, tmp_path):
             parse_wkb(wkb)
     for wkb in terms.column("geometry").to_pylist():
         parse_wkb(wkb)
+
+
+def test_parcelize_ladder_partition_and_fallback(ray_session):
+    """G19 full: ladder parcels tile their block exactly; a degenerate
+    input falls through the ladder to block-geometry inheritance."""
+    import numpy as np
+
+    from prclz_ray.geom.core import polygon_area
+    from prclz_ray.geom.wkb import parse_wkb
+    from prclz_ray.pipelines.derive import parcelize_ladder_block, _parcelize_footprints
+
+    for bx, by in [(0, 0), (3, 7)]:
+        t = parcelize_ladder_block(bx, by)
+        from prclz_ray import world
+
+        assert t.num_rows >= world.n_buildings_for_block(bx, by)
+        total = sum(
+            polygon_area(parse_wkb(w)[1][0]) for w in t.column("geom_wkb").to_pylist()
+        )
+        block_area = (0.1 - 2 * 0.002) ** 2
+        assert abs(total - block_area) < 1e-9
+        assert (np.asarray(t.column("ptdist_e6").to_pylist()) > 0).all()
+
+    # forced failure: a building whose footprint sites all fall outside
+    # the block -> no territory -> ValueError (the ladder's retry hook)
+    block = np.array([[0.0, 0.0], [0.01, 0.0], [0.01, 0.01], [0.0, 0.01]])
+    cents = np.array([[0.005, 0.005], [5.0, 5.0]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parcelize_footprints(block, cents, 0.004)
+
+
+def test_parcels_ladder_query(ray_session):
+    from prclz_ray.queries import QUERIES
+
+    df = QUERIES["parcels_ladder"](SF).to_pandas()
+    assert df.block_id.nunique() == 60
+    assert (df.ptdist_e6 > 0).all()  # no block needed the last rung
