@@ -152,10 +152,24 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     )
 
 
-def bucket_pairs(group: pa.Table) -> pa.Table:
-    """One LSH bucket → candidate pairs (a < b)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))
-    pairs = list(combinations(ids, 2))
+def bucket_pairs(group: pa.Table, max_members: int | None = None) -> pa.Table:
+    """One LSH bucket → candidate pairs (a < b).
+
+    ``max_members`` is the web-scale mega-bucket guard (boilerplate
+    text puts thousands of docs in one bucket; C(b,2) there is
+    quadratic): buckets larger than the cap emit STAR edges
+    (min_id, member) instead — exactly the edges a keep-bucket-minimum
+    dedup policy needs, O(b) instead of O(b²). Default None = exact
+    all-pairs (the oracle contract at test scale)."""
+    ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+    if max_members is not None and len(ids) > max_members:
+        return pa.table(
+            {
+                "doc_a": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
+                "doc_b": pa.array(ids[1:], pa.int64()),
+            }
+        )
+    pairs = list(combinations(ids.tolist(), 2))
     return pa.table(
         {
             "doc_a": pa.array([p[0] for p in pairs], pa.int64()),

@@ -52,32 +52,44 @@ def synth_media(batch: pa.Table) -> pa.Table:
     )
 
 
+def _binary_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 data, int64 offsets) zero-copy view of a binary
+    column (the Arrow-buffer idiom of `hashing._string_view`)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_binary())
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offsets
+
+
 def media_meta(batch: pa.Table) -> pa.Table:
     """Parse the typed header out of the binary column (the 'decode
     metadata' stage): width, height, payload bytes, payload checksum
-    (sum of bytes mod 65536) — all vectorized via numpy over the
-    flattened buffer."""
-    media = batch.column("media")
-    blobs = media.to_pylist()
-    n = len(blobs)
-    width = np.empty(n, dtype=np.int64)
-    height = np.empty(n, dtype=np.int64)
-    n_payload = np.empty(n, dtype=np.int64)
-    checksum = np.empty(n, dtype=np.int64)
-    for i, b in enumerate(blobs):
-        if len(b) < 8 or b[:4] != MAGIC:
-            raise ValueError(f"bad media blob at row {i}: magic/length invalid")
-        width[i] = int.from_bytes(b[4:6], "big")
-        height[i] = int.from_bytes(b[6:8], "big")
-        payload = np.frombuffer(b, dtype=np.uint8, offset=8)
-        n_payload[i] = len(payload)
-        checksum[i] = int(payload.sum(dtype=np.int64)) % 65536
+    (sum of bytes mod 65536) — one vectorized pass over the flat Arrow
+    buffer, no per-row Python."""
+    data, off = _binary_view(batch.column("media"))
+    starts, ends = off[:-1], off[1:]
+    lens = ends - starts
+    if (lens < 8).any():
+        raise ValueError(f"bad media blob at row {int(np.argmax(lens < 8))}: length invalid")
+    magic = np.frombuffer(MAGIC, dtype=np.uint8).astype(np.int64)
+    d64 = data.astype(np.int64)
+    for k in range(4):
+        bad = d64[starts + k] != magic[k]
+        if bad.any():
+            raise ValueError(f"bad media blob at row {int(np.argmax(bad))}: magic invalid")
+    width = d64[starts + 4] * 256 + d64[starts + 5]
+    height = d64[starts + 6] * 256 + d64[starts + 7]
+    csum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(d64)])
+    checksum = (csum[ends] - csum[starts + 8]) % 65536
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "width": pa.array(width),
             "height": pa.array(height),
-            "n_payload": pa.array(n_payload),
+            "n_payload": pa.array(lens - 8),
             "checksum": pa.array(checksum),
         }
     )
@@ -100,24 +112,32 @@ class DecodeActor:
 
 def frame_sample_plan(batch: pa.Table, every_n: int = 10) -> pa.Table:
     """Video-style frame-sampling plan over the payload: byte offsets of
-    every Nth 'frame' (payload stride = width bytes). Demonstrates the
-    flat_map explode shape (one row per sampled frame) without codecs."""
-    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    media = batch.column("media").to_pylist()
-    out_doc, out_frame, out_off = [], [], []
-    for i, b in enumerate(media):
-        if len(b) < 8 or b[:4] != MAGIC:
-            raise ValueError(f"bad media blob at row {i}: magic/length invalid")
-        width = int.from_bytes(b[4:6], "big")
-        n_frames = max(0, (len(b) - 8)) // max(width, 1)
-        for f in range(0, n_frames, every_n):
-            out_doc.append(int(doc[i]))
-            out_frame.append(f)
-            out_off.append(8 + f * width)
+    every Nth 'frame' (payload stride = width bytes). The flat_map
+    explode shape (one row per sampled frame), fully vectorized:
+    per-row sample counts → repeat/arange segment expansion."""
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    data, off = _binary_view(batch.column("media"))
+    starts, ends = off[:-1], off[1:]
+    lens = ends - starts
+    if (lens < 8).any():
+        raise ValueError(f"bad media blob at row {int(np.argmax(lens < 8))}: length invalid")
+    magic = np.frombuffer(MAGIC, dtype=np.uint8).astype(np.int64)
+    d64 = data.astype(np.int64)
+    for k in range(4):
+        bad = d64[starts + k] != magic[k]
+        if bad.any():
+            raise ValueError(f"bad media blob at row {int(np.argmax(bad))}: magic invalid")
+    width = np.maximum(d64[starts + 4] * 256 + d64[starts + 5], 1)
+    n_frames = np.maximum(lens - 8, 0) // width
+    k = (n_frames + every_n - 1) // every_n  # sampled frames per row
+    total = int(k.sum())
+    row = np.repeat(np.arange(len(doc)), k)
+    seg_start = np.repeat(np.concatenate([[0], np.cumsum(k)[:-1]]), k)
+    frame = (np.arange(total) - seg_start) * every_n
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "frame": pa.array(out_frame, pa.int64()),
-            "byte_off": pa.array(out_off, pa.int64()),
+            "doc_id": pa.array(doc[row], pa.int64()),
+            "frame": pa.array(frame, pa.int64()),
+            "byte_off": pa.array(8 + frame * width[row], pa.int64()),
         }
     )

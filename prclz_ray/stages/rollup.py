@@ -153,6 +153,23 @@ def approx_quantiles_int(
     return out
 
 
+EXACT_QUANTILE_LIMIT = 50_000_000  # rows: above this, the 8 B/row
+# column materialization of the exact path stops being cheap relative
+# to the one-pass sketch — approx becomes the default (A6 scale rule)
+
+
+def quantiles_int(
+    ds, col: str, qs: Sequence[float], n_rows_hint: int | None = None
+) -> List[int]:
+    """Front door for A6: EXACT histogram-select when the (caller-known)
+    row count is under ``EXACT_QUANTILE_LIMIT``, the one-pass mergeable
+    sketch beyond it — callers at test/oracle scale always get exact
+    values, a 10^12-row pipeline never materializes the column."""
+    if n_rows_hint is not None and n_rows_hint > EXACT_QUANTILE_LIMIT:
+        return approx_quantiles_int(ds, col, qs)
+    return exact_quantiles_int(ds, col, qs)
+
+
 def exact_quantiles_int(ds, col: str, qs: Sequence[float], n_buckets: int = 4096) -> List[int]:
     """Exact discrete quantiles of an int64 column in two passes + one
     small filter, without a global sort.
