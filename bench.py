@@ -121,11 +121,16 @@ def run_secondary(sf_dir: str) -> dict:
         "top_blocks",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_jaccard",
+        "dedup_corpus",
         "ann_topk",
+        "ann_topk_lsh",
+        "doc_fingerprint",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",
         "zonal_raster",
+        "blocks_diagonal",
         "lineitem_pricing",
         "segment_revenue",
         "events_hourly",

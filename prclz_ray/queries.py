@@ -757,38 +757,31 @@ FROM h GROUP BY doc_id
 
 
 def q_dedup_jaccard(sf_dir: str):
-    """Exact 3-shingle Jaccard ≥ 0.2 similarity join — the scale-safe
-    shape: PREFIX-FILTER candidate generation (one groupby shuffle on
-    the shingle key; exact by the SSJoin/PPJoin prefix theorem) →
-    distinct candidate pairs → two hash joins to attach both texts →
-    exact-verify map. No broadcast corpus, no all-pairs scan, no
-    driver-side compute; equals the all-pairs oracle exactly."""
+    """Exact 3-shingle Jaccard ≥ 0.2 similarity join — the
+    INVERTED-INDEX COUNT JOIN: per-doc distinct shingle strings (one
+    vectorized pass) → ONE shuffle on the shingle-hash bucket →
+    co-occurrence pair rows per shared shingle → ONE shuffle on the
+    pair-hash bucket → run-length count = |A∩B| → jaccard from the
+    carried set sizes. Two all-to-alls, zero joins, zero per-pair
+    Python, no broadcast corpus, no driver compute; string-exact,
+    equals the all-pairs oracle bit-for-bit."""
     import ray.data
 
-    from .stages.dedup import jaccard_verify, prefix_shingle_rows, shingle_bucket_pairs
+    from .stages.dedup import doc_shingle_rows, pair_jaccard_agg, shingle_cooccur_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = docs.map_batches(prefix_shingle_rows, batch_format="pyarrow")
-    pairs = cand.groupby("sb").map_groups(shingle_bucket_pairs, batch_format="pyarrow")
-    pairs = (
-        pairs.groupby(["doc_a", "doc_b"])
-        .count()
-        .map_batches(
-            lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
-            batch_format="pyarrow",
+    rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
+    pairs = rows.groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        d = b.column("doc_b").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pb", pa.array((a * 1_000_003 + d) % 512, pa.int64())
         )
-    )
-    docs_a = docs.map_batches(
-        lambda b: pa.table({"doc_a": b.column("doc_id"), "text_a": b.column("text")}),
-        batch_format="pyarrow",
-    )
-    docs_b = docs.map_batches(
-        lambda b: pa.table({"doc_b": b.column("doc_id"), "text_b": b.column("text")}),
-        batch_format="pyarrow",
-    )
-    j = pairs.join(docs_a, join_type="inner", num_partitions=8, on=("doc_a",))
-    j = j.join(docs_b, join_type="inner", num_partitions=8, on=("doc_b",))
-    return j.map_batches(jaccard_verify, batch_format="pyarrow")
+
+    pairs = pairs.map_batches(add_pb, batch_format="pyarrow")
+    return pairs.groupby("pb").map_groups(pair_jaccard_agg, batch_format="pyarrow")
 
 
 SQL_DEDUP_JACCARD = f"""

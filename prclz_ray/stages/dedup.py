@@ -36,13 +36,6 @@ SIMHASH_BITS = 16
 JACCARD_BUCKETS = 1024  # shuffle-key buckets for the prefix-filter join
 
 
-def _shingles(text: str) -> list[str]:
-    w = text.split(" ")
-    if len(w) < SHINGLE:
-        return [" ".join(w)]
-    return [" ".join(w[i : i + SHINGLE]) for i in range(len(w) - SHINGLE + 1)]
-
-
 def _shingle_arrays(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
     """(doc_index, shingle_string) for every 3-word shingle in the
     batch, fully vectorized: flat word array → three shifted slices
@@ -201,118 +194,135 @@ def simhash(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard via prefix filtering (candidates → verify)
 
-def prefix_shingle_rows(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
-    """(shingle, doc_id) rows under PREFIX FILTERING — the exact
-    candidate generator for Jaccard ≥ t similarity join (SSJoin/PPJoin
-    principle): order each doc's DISTINCT shingle set by a global total
-    order (hash, then string) and emit only the first
-    ``L − ⌈t·L⌉ + 1`` shingles. Any pair with J ≥ t is guaranteed to
-    share at least one emitted prefix shingle, so a groupby on the
-    shingle key finds every qualifying pair with no all-pairs scan and
-    no broadcast corpus. Fully vectorized (arrow sort + run-length
-    prefix mask)."""
-    n = len(batch)
+def doc_shingle_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingle, L, sb) — each doc's DISTINCT shingle STRINGS,
+    its distinct-set size L, and the shingle's shuffle bucket
+    (hash % JACCARD_BUCKETS). One arrow sort + run-length pass; the
+    strings (not hashes) are the class keys, so downstream counts are
+    string-exact."""
     empty = pa.table(
-        {"shingle": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "shingle": pa.array([], pa.string()),
+            "L": pa.array([], pa.int64()),
+            "sb": pa.array([], pa.int64()),
+        }
     )
-    if n == 0:
+    if len(batch) == 0:
         return empty
     doc_idx, sh = _shingle_arrays(batch)
     if len(sh) == 0:
         return empty
-    h = hash_strings(sh)
-    tbl = pa.table({"d": pa.array(doc_idx), "h": pa.array(h), "s": sh})
-    order = pc.sort_indices(
-        tbl, sort_keys=[("d", "ascending"), ("h", "ascending"), ("s", "ascending")]
-    )
+    tbl = pa.table({"d": pa.array(doc_idx), "s": sh})
+    order = pc.sort_indices(tbl, sort_keys=[("d", "ascending"), ("s", "ascending")])
     tbl = tbl.take(order)
     d_s = tbl.column("d").to_numpy(zero_copy_only=False)
-    h_s = tbl.column("h").to_numpy(zero_copy_only=False)
     s_s = tbl.column("s")
-    # distinct within doc: first of each (d, h, s) run
-    neq_s = pc.not_equal(s_s.slice(1), s_s.slice(0, len(s_s) - 1)).to_numpy(
+    neq = pc.not_equal(s_s.slice(1), s_s.slice(0, len(s_s) - 1)).to_numpy(
         zero_copy_only=False
     )
-    first = np.concatenate(
-        [[True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]) | neq_s]
-    )
+    first = np.concatenate([[True], (d_s[1:] != d_s[:-1]) | neq])
     d_u = d_s[first]
     s_u = s_s.filter(pa.array(first))
-    # per-doc prefix length k = L - ceil(t·L) + 1
     run_start = np.concatenate([[True], d_u[1:] != d_u[:-1]])
     starts = np.flatnonzero(run_start)
     sizes = np.diff(np.concatenate([starts, [len(d_u)]]))
-    k = sizes - (threshold_x1000 * sizes + 999) // 1000 + 1
-    pos = np.arange(len(d_u)) - np.repeat(starts, sizes)
-    sel = pos < np.repeat(k, sizes)
+    L = np.repeat(sizes, sizes)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    h_u = h_s[first][sel]
     return pa.table(
         {
-            "sb": pa.array(h_u % JACCARD_BUCKETS, pa.int64()),
-            "sh31": pa.array(h_u, pa.int64()),
-            "doc_id": pa.array(doc_ids[d_u[sel]], pa.int64()),
+            "doc_id": pa.array(doc_ids[d_u], pa.int64()),
+            "shingle": s_u,
+            "L": pa.array(L, pa.int64()),
+            "sb": pa.array(hash_strings(s_u) % JACCARD_BUCKETS, pa.int64()),
         }
     )
 
 
-def shingle_bucket_pairs(group: pa.Table) -> pa.Table:
-    """One shingle-hash bucket → candidate pairs: regroup exactly by
-    the full shingle hash inside the bucket (vectorized run-length
-    pass), emit C(run, 2) pairs per shared shingle. Hash collisions
-    only ADD candidates — the exact-verify stage removes them — so
-    grouping by hash (not string) is safe and avoids shipping shingle
-    strings through the shuffle. The bucket key keeps the group count
-    bounded (JACCARD_BUCKETS) so per-group overhead stays constant;
-    at web scale raise JACCARD_BUCKETS ∝ corpus shingle count."""
-    h = group.column("sh31").to_numpy(zero_copy_only=False)
-    d = group.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((d, h))
-    h, d = h[order], d[order]
-    out_a, out_b = [], []
-    run_start = np.concatenate([[0], np.flatnonzero(h[1:] != h[:-1]) + 1, [len(h)]])
+def shingle_cooccur_pairs(group: pa.Table) -> pa.Table:
+    """One shingle bucket → co-occurrence rows: for every shingle
+    shared by docs {d1..dk} in this bucket, the C(k,2) rows
+    (doc_a, doc_b, La, Lb) — the inverted-index join. Shared-shingle
+    runs are found by one arrow sort; pair expansion is numpy
+    triangle indexing per run. At web scale a stop-phrase shingle
+    with huge df is quadratic here — the prefix-filter +
+    candidate-verify form is the guard for that regime; this corpus's
+    max df is bounded (synthetic phrase vocabulary)."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "La": pa.array([], pa.int64()),
+            "Lb": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group, sort_keys=[("shingle", "ascending"), ("doc_id", "ascending")]
+    )
+    g = group.take(order)
+    s = g.column("shingle")
+    d = g.column("doc_id").to_numpy(zero_copy_only=False)
+    L = g.column("L").to_numpy(zero_copy_only=False)
+    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
+    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [len(d)]])
+    out_a, out_b, out_la, out_lb = [], [], [], []
     for i in range(len(run_start) - 1):
         lo, hi = run_start[i], run_start[i + 1]
-        if hi - lo < 2:
+        c = hi - lo
+        if c < 2:
             continue
-        ids = np.unique(d[lo:hi])
-        for a, b in combinations(ids.tolist(), 2):
-            out_a.append(a)
-            out_b.append(b)
+        ai, bi = np.triu_indices(c, k=1)
+        out_a.append(d[lo:hi][ai])
+        out_b.append(d[lo:hi][bi])
+        out_la.append(L[lo:hi][ai])
+        out_lb.append(L[lo:hi][bi])
+    if not out_a:
+        return empty
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "La": pa.array(np.concatenate(out_la), pa.int64()),
+            "Lb": pa.array(np.concatenate(out_lb), pa.int64()),
         }
     )
 
 
-def jaccard_verify(batch: pa.Table, threshold_x1000: int = 200) -> pa.Table:
-    """Exact-verify stage over candidate pairs carrying both texts:
-    jaccard_x1000 = floor(1000·|∩|/|∪|) over distinct 3-shingle sets,
-    keep rows ≥ threshold. Runs on candidates only (post prefix-filter
-    shuffle) — never all-pairs."""
-    out_a, out_b, out_j = [], [], []
-    if batch.num_rows:
-        das = batch.column("doc_a").to_pylist()
-        dbs = batch.column("doc_b").to_pylist()
-        tas = batch.column("text_a").to_pylist()
-        tbs = batch.column("text_b").to_pylist()
-        for da, db, ta, tb in zip(das, dbs, tas, tbs):
-            sa, sb = frozenset(_shingles(ta)), frozenset(_shingles(tb))
-            inter = len(sa & sb)
-            if inter == 0:
-                continue
-            jx = 1000 * inter // (len(sa) + len(sb) - inter)
-            if jx >= threshold_x1000:
-                out_a.append(da)
-                out_b.append(db)
-                out_j.append(jx)
+def pair_jaccard_agg(group: pa.Table, threshold_x1000: int = 200) -> pa.Table:
+    """One pair-hash bucket → exact Jaccard per pair: the multiplicity
+    of a (doc_a, doc_b) row IS |A∩B| (each shared distinct shingle
+    emitted it once); union = La + Lb − inter. Vectorized lexsort +
+    run-length count, filter ≥ threshold."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_x1000": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    a = group.column("doc_a").to_numpy(zero_copy_only=False)
+    b = group.column("doc_b").to_numpy(zero_copy_only=False)
+    La = group.column("La").to_numpy(zero_copy_only=False)
+    Lb = group.column("Lb").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, La, Lb = a[order], b[order], La[order], Lb[order]
+    run_start = np.concatenate(
+        [[0], np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1, [len(a)]]
+    )
+    lo = run_start[:-1]
+    inter = np.diff(run_start)
+    union = La[lo] + Lb[lo] - inter
+    jx = 1000 * inter // union
+    keep = jx >= threshold_x1000
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard_x1000": pa.array(out_j, pa.int64()),
+            "doc_a": pa.array(a[lo][keep], pa.int64()),
+            "doc_b": pa.array(b[lo][keep], pa.int64()),
+            "jaccard_x1000": pa.array(jx[keep], pa.int64()),
         }
     )
 
