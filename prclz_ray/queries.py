@@ -694,12 +694,15 @@ sh AS (
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH candidate pairs: signature map → ONE band-key
-    groupby shuffle → per-bucket pairs → distinct."""
-    from .stages.dedup import bucket_pairs, minhash_signatures
+    """MinHash+LSH candidate pairs: signature map → ONE shuffle on the
+    bounded band-key hash bucket → vectorized per-band-bucket pairs →
+    distinct (constant group count; per-group overhead on ~|corpus|
+    raw band keys dominated the old shape)."""
+    from .stages.dedup import add_bucket_hash, band_bucket_pairs, minhash_signatures
 
     ds = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
-    pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    ds = ds.map_batches(add_bucket_hash, batch_format="pyarrow")
+    pairs = ds.groupby("bb").map_groups(band_bucket_pairs, batch_format="pyarrow")
     return (
         pairs.groupby(["doc_a", "doc_b"])
         .count()
@@ -849,20 +852,11 @@ def q_dedup_corpus(sf_dir: str):
     web scale the drop set is 30-50% of the corpus)."""
     import ray.data
 
-    from .stages.dedup import minhash_signatures
+    from .stages.dedup import add_bucket_hash, band_bucket_drops, minhash_signatures
 
     sig = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
-
-    def drop_candidates(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[1:], pa.int64()),
-                "dropped": pa.array(np.ones(max(len(ids) - 1, 0), np.int64)),
-            }
-        )
-
-    flagged = sig.groupby("bucket").map_groups(drop_candidates, batch_format="pyarrow")
+    sig = sig.map_batches(add_bucket_hash, batch_format="pyarrow")
+    flagged = sig.groupby("bb").map_groups(band_bucket_drops, batch_format="pyarrow")
     everyone = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(

@@ -145,6 +145,80 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     )
 
 
+def band_bucket_pairs(group: pa.Table) -> pa.Table:
+    """One HASH-bucket of LSH band keys → candidate pairs (a < b) for
+    every band bucket inside it, vectorized (arrow sort + run
+    triangles). Grouping by ``bb = hash(bucket) % N`` instead of the
+    raw band-key string keeps the group count constant — Ray's
+    per-group overhead on ~|corpus| tiny groups dominated the stage."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
+    )
+    g = group.take(order)
+    s = g.column("bucket")
+    d = g.column("doc_id").to_numpy(zero_copy_only=False)
+    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
+    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [len(d)]])
+    out_a, out_b = [], []
+    for i in range(len(run_start) - 1):
+        lo, hi = run_start[i], run_start[i + 1]
+        if hi - lo < 2:
+            continue
+        ai, bi = np.triu_indices(hi - lo, k=1)
+        out_a.append(d[lo:hi][ai])
+        out_b.append(d[lo:hi][bi])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
+def band_bucket_drops(group: pa.Table) -> pa.Table:
+    """One HASH-bucket of band keys → (doc_id, dropped=1) rows for
+    every non-minimum member of each band bucket (the
+    keep-bucket-minimum dedup policy), vectorized run-length pass."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "dropped": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
+    )
+    g = group.take(order)
+    s = g.column("bucket")
+    d = g.column("doc_id").to_numpy(zero_copy_only=False)
+    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
+    is_min = np.concatenate([[True], neq])
+    # doc repeated within one band bucket is impossible (one row per
+    # band per doc; the bucket embeds the band index)
+    drops = d[~is_min]
+    if not len(drops):
+        return empty
+    return pa.table(
+        {
+            "doc_id": pa.array(drops, pa.int64()),
+            "dropped": pa.array(np.ones(len(drops), np.int64)),
+        }
+    )
+
+
+def add_bucket_hash(batch: pa.Table, n_buckets: int = 512) -> pa.Table:
+    """Append ``bb = hash(bucket) % n_buckets`` (the bounded shuffle key)."""
+    return batch.append_column(
+        "bb", pa.array(hash_strings(batch.column("bucket")) % n_buckets, pa.int64())
+    )
+
+
 def bucket_pairs(group: pa.Table, max_members: int | None = None) -> pa.Table:
     """One LSH bucket → candidate pairs (a < b).
 
