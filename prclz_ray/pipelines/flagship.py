@@ -92,44 +92,23 @@ def joined_pages(
     return ds
 
 
-@ray.remote(num_cpus=0)
-class _PartitionCounter:
-    """Collects per-partition row counts from the write-side stream so
-    manifest rows need NO re-read of the written output (at 100 TB the
-    old read-back doubled output I/O). One tiny dict message per batch;
-    actor mailbox ordering makes `totals` a barrier."""
+def _partition_counts(out_dir: str, prefix: str) -> dict:
+    """Per-partition row counts from the written parquet FOOTERS only
+    (`<out>/<prefix>=<key>/*.parquet` → Σ metadata.num_rows). Exact,
+    idempotent under Ray task retries (a side-channel counter actor is
+    not: a retried map task re-sends its counts), and reads kilobytes
+    of metadata per file instead of the data pages — the full
+    read-back this replaces doubled output I/O at 100 TB."""
+    import glob
 
-    def __init__(self):
-        self.counts: dict = {}
-
-    def add(self, delta: dict) -> None:
-        for k, v in delta.items():
-            self.counts[k] = self.counts.get(k, 0) + int(v)
-
-    def totals(self) -> dict:
-        return dict(self.counts)
-
-
-def _count_by(counter, column: str):
-    """map_batches stage: pass rows through, side-channel per-partition
-    counts to the counter actor. The ``ray.get`` makes delivery happen
-    before the batch is handed downstream, so when the write op
-    finishes every count has landed (cross-caller actor ordering is
-    not guaranteed for fire-and-forget sends); sub-ms per 8k-row
-    batch against the zero-cpu actor."""
-    import pyarrow.compute as pc
-
-    def stage(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            vc = pc.value_counts(batch.column(column))
-            ray.get(
-                counter.add.remote(
-                    {str(f["values"]): int(f["counts"]) for f in vc.to_pylist()}
-                )
-            )
-        return batch
-
-    return stage
+    counts: dict = {}
+    for d in glob.glob(os.path.join(out_dir, f"{prefix}=*")):
+        key = d.rsplit("=", 1)[-1]
+        n = 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            n += pq.read_metadata(f).num_rows
+        counts[key] = n
+    return counts
 
 
 def _write_run_metrics(out_dir: str, job: str, input_dir: str, stats: dict) -> None:
@@ -178,10 +157,11 @@ def run_tiles(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
             ),
             batch_format="pyarrow",
         )
-    counter = _PartitionCounter.remote()
-    ds = ds.map_batches(_count_by(counter, "tile_x"), batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["tile_x"])
-    counts = ray.get(counter.totals.remote())
+    counts = {
+        k: n for k, n in _partition_counts(out_dir, "tile_x").items()
+        if f"x{k}" not in done
+    }
     wall = time.time() - t0
     for key, n in counts.items():
         manifest.mark(f"x{int(key)}", n, fingerprint=input_dir, wall_s=wall)
@@ -246,25 +226,20 @@ def run_flagship(
     # drop the heavy text column before the write shuffle: the joined
     # output is the assignment table, text lives in the source parquet
     ds = ds.drop_columns(["text"])
-    # per-partition counts stream to a side actor — NO read-back of the
-    # written output (the old full re-read doubles output I/O at scale)
-    counter = _PartitionCounter.remote()
-    ds = ds.map_batches(_count_by(counter, "cell_r5"), batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["cell_r5"])
 
-    counts = ray.get(counter.totals.remote())
+    # per-partition counts from parquet footers only (metadata, not a
+    # data read-back; retry-safe unlike a streaming side counter)
+    counts = _partition_counts(out_dir, "cell_r5")
     wall = time.time() - t0
     new_rows = 0
     for key, n in counts.items():
         if key not in done:
             manifest.mark(key, n, fingerprint=input_dir, wall_s=wall)
             new_rows += n
-    total_rows = new_rows + sum(
-        manifest.read(k).get("rows", 0) for k in done
-    )
     stats = {
-        "partitions": len(counts) + len(done),
-        "rows": total_rows,
+        "partitions": len(counts),  # footer walk covers done + new dirs
+        "rows": int(sum(counts.values())),
         "new_rows": new_rows,
         "skipped": len(done),
         "wall_s": wall,

@@ -235,9 +235,11 @@ def q_dist_quantiles(sf_dir: str):
     from .stages.rollup import quantiles_int
 
     ds = _joined(sf_dir).filter(expr="has_geo")
-    # row-count hint from source metadata (free): exact path at oracle
-    # scale, the one-pass sketch beyond EXACT_QUANTILE_LIMIT rows
-    n_hint = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # row-count hint for the FILTERED stream (has_geo ⇔ doc_id%37≠0 on
+    # contiguous ids), from source metadata (free): exact path at
+    # oracle scale, the one-pass sketch beyond EXACT_QUANTILE_LIMIT
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_hint = n_docs - (n_docs + 36) // 37
     p50, p95, p100 = quantiles_int(ds, "dist2", [0.5, 0.95, 1.0], n_rows_hint=n_hint)
     return pa.table({"metric": ["p50", "p95", "p100"], "dist2": pa.array([p50, p95, p100], pa.int64())})
 

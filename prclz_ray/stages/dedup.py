@@ -21,8 +21,6 @@ hashing anywhere in the hot path.
 
 from __future__ import annotations
 
-from itertools import combinations
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -145,12 +143,22 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     )
 
 
-def band_bucket_pairs(group: pa.Table) -> pa.Table:
+MAX_BUCKET_MEMBERS = 10_000  # mega-bucket guard: a boilerplate-text
+# band bucket with b members normally emits C(b,2) pairs; beyond this
+# cap a bucket emits O(b) STAR edges (min_id, member) instead — exactly
+# the edges a keep-bucket-minimum dedup policy needs, and the cap is
+# far above any honest near-dup cluster at test scale (oracle
+# behavior unchanged; bounded memory at web scale)
+
+
+def band_bucket_pairs(group: pa.Table, max_members: int = MAX_BUCKET_MEMBERS) -> pa.Table:
     """One HASH-bucket of LSH band keys → candidate pairs (a < b) for
     every band bucket inside it, vectorized (arrow sort + run
     triangles). Grouping by ``bb = hash(bucket) % N`` instead of the
     raw band-key string keeps the group count constant — Ray's
-    per-group overhead on ~|corpus| tiny groups dominated the stage."""
+    per-group overhead on ~|corpus| tiny groups dominated the stage.
+    Runs larger than ``max_members`` emit star edges (mega-bucket
+    guard, see MAX_BUCKET_MEMBERS)."""
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
     )
@@ -167,9 +175,14 @@ def band_bucket_pairs(group: pa.Table) -> pa.Table:
     out_a, out_b = [], []
     for i in range(len(run_start) - 1):
         lo, hi = run_start[i], run_start[i + 1]
-        if hi - lo < 2:
+        c = hi - lo
+        if c < 2:
             continue
-        ai, bi = np.triu_indices(hi - lo, k=1)
+        if c > max_members:  # star edges: O(b), not C(b,2)
+            out_a.append(np.full(c - 1, d[lo]))
+            out_b.append(d[lo + 1 : hi])
+            continue
+        ai, bi = np.triu_indices(c, k=1)
         out_a.append(d[lo:hi][ai])
         out_b.append(d[lo:hi][bi])
     if not out_a:
@@ -216,32 +229,6 @@ def add_bucket_hash(batch: pa.Table, n_buckets: int = 512) -> pa.Table:
     """Append ``bb = hash(bucket) % n_buckets`` (the bounded shuffle key)."""
     return batch.append_column(
         "bb", pa.array(hash_strings(batch.column("bucket")) % n_buckets, pa.int64())
-    )
-
-
-def bucket_pairs(group: pa.Table, max_members: int | None = None) -> pa.Table:
-    """One LSH bucket → candidate pairs (a < b).
-
-    ``max_members`` is the web-scale mega-bucket guard (boilerplate
-    text puts thousands of docs in one bucket; C(b,2) there is
-    quadratic): buckets larger than the cap emit STAR edges
-    (min_id, member) instead — exactly the edges a keep-bucket-minimum
-    dedup policy needs, O(b) instead of O(b²). Default None = exact
-    all-pairs (the oracle contract at test scale)."""
-    ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-    if max_members is not None and len(ids) > max_members:
-        return pa.table(
-            {
-                "doc_a": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
-                "doc_b": pa.array(ids[1:], pa.int64()),
-            }
-        )
-    pairs = list(combinations(ids.tolist(), 2))
-    return pa.table(
-        {
-            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-        }
     )
 
 
@@ -438,7 +425,9 @@ def make_chunk_pair_fn(path: str, threshold: float = 0.9):
         x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         if len(cache) >= 6:
-            cache.clear()
+            # evict ONE (oldest) entry — clearing everything would drop
+            # the partner chunk of the pair currently being processed
+            cache.pop(next(iter(cache)))
         cache[key] = (ids, x)
         return ids, x
 

@@ -113,8 +113,17 @@ def _hash_segments(
 
 
 def hash_strings(arr, a: int = A_CHAR, p: int = P31) -> np.ndarray:
-    """int64 polynomial hash per string (H('') = 0), fully vectorized."""
+    """int64 polynomial hash per string (H('') = 0), fully vectorized.
+
+    ASCII-only contract enforced: the numpy side hashes BYTES while
+    the SQL side (`sql_h31`) hashes CODEPOINTS — identical only for
+    ASCII, so non-ASCII input raises instead of silently diverging
+    from its oracle. (One vectorized comparison pass; at 100 TB use a
+    byte-level SQL expression and drop the check.)"""
     data, offsets = _string_view(arr)
+    lo, hi = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
+    if hi > lo and int(data[lo:hi].max()) > 127:
+        raise ValueError("hash_strings: non-ASCII input breaks DuckDB oracle parity")
     return _hash_segments(data, offsets[:-1], offsets[1:], a, p)
 
 

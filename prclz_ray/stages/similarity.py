@@ -164,12 +164,16 @@ def bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def _partition_root(sf_dir: str, kind: str) -> str:
+    """Cache dir keyed by corpus basename AND a source fingerprint
+    (mtime+size of embeddings.parquet): regenerated source data can
+    never be served stale bucket assignments."""
     import os
 
     from ..pipelines.derive import CACHE_DIR
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(CACHE_DIR, f"emb_{kind}_{tag}")
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return os.path.join(CACHE_DIR, f"emb_{kind}_{tag}_{int(st.st_mtime)}_{st.st_size}")
 
 
 def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:

@@ -87,7 +87,7 @@ def test_run_flagship_resume(ray_session, tmp_path):
 
 def test_minhash_lsh_finds_near_duplicates(ray_session):
     """A doc and a 1-word-edited copy must share an LSH bucket."""
-    from prclz_ray.stages.dedup import bucket_pairs, minhash_signatures
+    from prclz_ray.stages.dedup import minhash_signatures
 
     base = " ".join(f"word{i}" for i in range(40))
     edited = base.replace("word20", "changed")
