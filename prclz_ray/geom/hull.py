@@ -72,8 +72,9 @@ def outside_terminal(ring: np.ndarray) -> tuple[float, float] | None:
     (`reblock/i_reblock.py:285-291`), or None when the difference is
     (numerically) empty — convex blocks — so the caller applies its
     road-corner fallback."""
-    from .boolean import polygon_intersection, representative_point, winding_number
+    from .boolean import _arrangement_faces, representative_point, winding_number
     from .core import polygon_area
+    from .noding import node_segments
 
     ring = np.asarray(ring, dtype=np.float64)
     rect = minimum_rotated_rectangle(ring)
@@ -84,15 +85,11 @@ def outside_terminal(ring: np.ndarray) -> tuple[float, float] | None:
         return None
     # difference via the arrangement: faces of rect∪hull boundaries that
     # are inside rect but outside hull; largest face's representative pt
-    from .noding import node_segments
-
     segs = []
     for r in (rect, hull):
         nxt = np.roll(r, -1, axis=0)
         segs.append(np.stack([r, nxt], axis=1))
     noded = node_segments(np.concatenate(segs, axis=0))
-    from .boolean import _arrangement_faces
-
     best = None
     for face in _arrangement_faces(noded):
         x, y = representative_point(face)

@@ -468,11 +468,9 @@ def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
     )
 
     def terminal_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(
-            __import__("pyarrow.compute", fromlist=["equal"]).equal(
-                batch.column("status"), "ok"
-            )
-        )
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch.column("status"), "ok"))
         return pa.table(
             {
                 "geometry": t.column("terminals_wkb"),

@@ -66,15 +66,21 @@ def _powers(n: int, a: int, p: int) -> np.ndarray:
     return pw
 
 
-def _string_view(arr) -> tuple[np.ndarray, np.ndarray]:
-    """(flat uint8 data, int64 offsets) view of an Arrow string array."""
+def _flat_view(arr, large_type) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 data, int64 offsets) zero-copy view of a string or
+    binary Arrow array — the ONE place that knows the combine_chunks →
+    large-type cast → offset-sliced buffer idiom."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    arr = arr.cast(pa.large_string())
+    arr = arr.cast(large_type)
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     return data, offsets
+
+
+def _string_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    return _flat_view(arr, pa.large_string())
 
 
 def _hash_segments(

@@ -54,14 +54,10 @@ def synth_media(batch: pa.Table) -> pa.Table:
 
 def _binary_view(col) -> tuple[np.ndarray, np.ndarray]:
     """(flat uint8 data, int64 offsets) zero-copy view of a binary
-    column (the Arrow-buffer idiom of `hashing._string_view`)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    col = col.cast(pa.large_binary())
-    bufs = col.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    return data, offsets
+    column — shares the buffer idiom with the hash family."""
+    from .hashing import _flat_view
+
+    return _flat_view(col, pa.large_binary())
 
 
 def media_meta(batch: pa.Table) -> pa.Table:
@@ -115,6 +111,14 @@ def frame_sample_plan(batch: pa.Table, every_n: int = 10) -> pa.Table:
     every Nth 'frame' (payload stride = width bytes). The flat_map
     explode shape (one row per sampled frame), fully vectorized:
     per-row sample counts → repeat/arange segment expansion."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "frame": pa.array([], pa.int64()),
+                "byte_off": pa.array([], pa.int64()),
+            }
+        )
     doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     data, off = _binary_view(batch.column("media"))
     starts, ends = off[:-1], off[1:]

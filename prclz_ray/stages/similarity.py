@@ -173,7 +173,7 @@ def _partition_root(sf_dir: str, kind: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    return os.path.join(CACHE_DIR, f"emb_{kind}_{tag}_{int(st.st_mtime)}_{st.st_size}")
+    return os.path.join(CACHE_DIR, f"emb_{kind}_{tag}_{st.st_mtime_ns}_{st.st_size}")
 
 
 def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:

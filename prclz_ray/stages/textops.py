@@ -5,9 +5,9 @@ Each is a vectorized ``map_batches`` transform over the ``documents``
 corpus with an exact-integer output contract so the DuckDB oracles hash
 bit-for-bit (`__ray_entry__.py::oracle_sql`).
 
-Hash family: md5 (the oracle-parity reference — DuckDB computes the
-identical digests). At 100 TB the same stages run with a vectorized
-numpy 64-bit polynomial/xxhash family instead; only `_h64` changes.
+Hash family: the vectorized polynomial family in ``stages/hashing.py``
+(flat-Arrow-buffer Horner with exact DuckDB ``list_reduce`` parity);
+only the whole-text identity column still uses md5 (one digest/row).
 
 Reference analogues: line feature-typing / tag classification
 (`reblock/i_topology_utils.py:282-307`), QC match-rate counts
