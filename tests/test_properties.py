@@ -218,3 +218,162 @@ def test_steiner_tree_is_acyclic_and_spanning(seed):
                 seen.add(v)
                 stack.append(v)
     assert set(terms) <= seen
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: noding, booleans, hull, hashing
+
+
+def _rand_convex(rng, n=6, cx=0.0, cy=0.0, r=1.0):
+    """A genuinely CONVEX ring: hull of random points (sorted-angle +
+    random-radius rings are star-shaped, not convex)."""
+    from prclz_ray.geom.hull import convex_hull
+
+    pts = np.stack(
+        [cx + rng.uniform(-r, r, n + 4), cy + rng.uniform(-r, r, n + 4)], axis=1
+    )
+    return convex_hull(pts)
+
+
+@given(st.integers(0, 200))
+@settings(deadline=None, max_examples=40)
+def test_noding_preserves_length(seed):
+    """Sum of noded sub-segment lengths equals the input lengths
+    (nothing lost or duplicated per segment, collinear overlaps aside)."""
+    from prclz_ray.geom.noding import node_segments
+
+    rng = np.random.default_rng(seed)
+    segs = rng.uniform(-1, 1, (6, 2, 2))
+    total_in = sum(float(np.hypot(*(s[1] - s[0]))) for s in segs)
+    total_out = sum(
+        float(np.hypot(b[0] - a[0], b[1] - a[1])) for a, b in node_segments(segs)
+    )
+    # general position: no collinear overlaps with probability 1
+    assert abs(total_in - total_out) < 1e-6
+
+
+@given(st.integers(0, 200))
+@settings(deadline=None, max_examples=40)
+def test_polygon_intersection_matches_convex_clip(seed):
+    """For convex inputs the arrangement boolean equals the exact
+    Sutherland-Hodgman area."""
+    from prclz_ray.geom.boolean import polygon_intersection
+    from prclz_ray.geom.core import clip_polygon_convex, polygon_area
+
+    rng = np.random.default_rng(seed)
+    a = _rand_convex(rng, 6, 0.0, 0.0, 1.0)
+    b = _rand_convex(rng, 6, rng.uniform(-0.8, 0.8), rng.uniform(-0.8, 0.8), 1.0)
+    want = polygon_area(clip_polygon_convex(a, b)) if len(clip_polygon_convex(a, b)) >= 3 else 0.0
+    got = sum(polygon_area(p) for p in polygon_intersection(a, b))
+    assert abs(got - want) < 1e-7  # noding quantizes at 1e-9 deg
+
+
+@given(st.integers(0, 200))
+@settings(deadline=None, max_examples=30)
+def test_inset_polygon_matches_inset_convex(seed):
+    """Convex fast path and the general mitre-offset arrangement path
+    agree (run the general path by disabling the convexity shortcut)."""
+    from prclz_ray.geom import boolean as B
+    from prclz_ray.geom.core import inset_convex, polygon_area
+
+    rng = np.random.default_rng(seed)
+    ring = _rand_convex(rng, 7, 0.0, 0.0, 1.0)
+    eps = 0.05
+    want = polygon_area(inset_convex(ring, eps))
+    orig = B.is_convex
+    try:
+        B.is_convex = lambda r, tol=0.0: False  # force the general path
+        parts = B.inset_polygon(ring, eps)
+    finally:
+        B.is_convex = orig
+    got = sum(polygon_area(p) for p in parts)
+    assert abs(got - want) < 1e-7  # noding quantizes at 1e-9 deg
+
+
+@given(st.integers(0, 200))
+@settings(deadline=None, max_examples=30)
+def test_polygon_union_bounds_and_idempotence(seed):
+    """max(area) ≤ union ≤ Σ areas; union with itself changes nothing."""
+    from prclz_ray.geom.boolean import polygon_union
+    from prclz_ray.geom.core import polygon_area
+
+    rng = np.random.default_rng(seed)
+    rings = [
+        _rand_convex(rng, 5, rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5), 0.8)
+        for _ in range(3)
+    ]
+    areas = [polygon_area(r) for r in rings]
+    u = sum(polygon_area(p) for p in polygon_union(rings))
+    assert max(areas) - 1e-9 <= u <= sum(areas) + 1e-9
+    u2 = sum(polygon_area(p) for p in polygon_union(rings + rings))
+    assert abs(u2 - u) < 1e-9
+
+
+@given(st.integers(0, 500))
+@settings(deadline=None, max_examples=40)
+def test_min_rotated_rectangle_contains_hull(seed):
+    from prclz_ray.geom.boolean import winding_number
+    from prclz_ray.geom.core import polygon_area
+    from prclz_ray.geom.hull import convex_hull, minimum_rotated_rectangle
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (8, 2))
+    hull = convex_hull(pts)
+    rect = minimum_rotated_rectangle(pts)
+    if len(hull) >= 3:
+        assert polygon_area(rect) >= polygon_area(hull) - 1e-12
+    # every input point inside (or on) the rectangle: shrink test via
+    # winding of a slightly inflated rect
+    c = rect.mean(axis=0)
+    grown = c + (rect - c) * (1 + 1e-9)
+    for p in pts:
+        assert winding_number(grown, float(p[0]), float(p[1])) != 0
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40), max_size=8))
+@settings(deadline=None, max_examples=40)
+def test_hash_strings_matches_scalar_reference(strs):
+    from prclz_ray.stages.hashing import A_CHAR, P31, hash_strings
+
+    import pyarrow as pa
+
+    got = hash_strings(pa.array(strs, pa.string()))
+
+    def ref(s):
+        h = 0
+        for ch in s.encode():
+            h = (h * A_CHAR + ch + 1) % P31
+        return h
+
+    assert [int(x) for x in got] == [ref(s) for s in strs]
+
+
+def test_hash_strings_rejects_non_ascii():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from prclz_ray.stages.hashing import hash_strings
+
+    with _pytest.raises(ValueError):
+        hash_strings(pa.array(["café"]))
+
+
+def test_minhash_matrix_matches_bruteforce():
+    from prclz_ray.stages.dedup import N_HASHES, minhash_matrix, _shingle_arrays
+    from prclz_ray.stages.hashing import P31, SALT_A, SALT_B, hash_strings
+
+    import pyarrow as pa
+
+    texts = ["a b c d e", "a b", "x y z w a b c", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    sig = minhash_matrix(t)
+
+    def shingles(s):
+        w = s.split(" ")
+        return [" ".join(w[i:i + 3]) for i in range(len(w) - 2)] if len(w) >= 3 else [" ".join(w)]
+
+    for i, s in enumerate(texts):
+        hs = [int(x) for x in hash_strings(pa.array(shingles(s)))]
+        for k in range(N_HASHES):
+            want = min((SALT_A[k] * h + SALT_B[k]) % P31 for h in hs)
+            assert sig[i, k] == want
