@@ -236,8 +236,11 @@ def main():
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    # 2000 replicas = 10M rows at sf0.1: large enough that per-task
+    # overhead amortizes (the 2M-row default under-reported sustained
+    # throughput by ~2×); the scaling mode uses the same size
     ap.add_argument("--amplify", type=int,
-                    default=int(os.environ.get("GRAFT_AMPLIFY", "400")))
+                    default=int(os.environ.get("GRAFT_AMPLIFY", "2000")))
     args = ap.parse_args()
 
     if args.scaling:
