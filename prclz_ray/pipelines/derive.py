@@ -369,7 +369,11 @@ def parcelize_ladder_block(bx: int, by: int) -> pa.Table:
         for ptdist_e6 in PARCEL_PTDIST_LADDER_E6:
             try:
                 parcels = _parcelize_footprints(block_ring, cents, ptdist_e6 / 1e6)
-            except Exception:
+            except ValueError:
+                # the designed no-territory retry trigger ONLY — an
+                # unexpected kernel exception must propagate (a bare
+                # except would silently degrade every block to the
+                # inherit fallback and the rows-only check can't see it)
                 continue
             for owner in sorted(parcels):
                 for p, ring in enumerate(parcels[owner]):

@@ -147,6 +147,8 @@ def run_tiles(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
     for d in glob.glob(os.path.join(out_dir, "tile_x=*")):
         if f"x{d.rsplit('=', 1)[-1]}" not in done:
             shutil.rmtree(d)
+    for key in manifest.completed() - done:
+        manifest.unmark(key)  # stale rows of removed/partial stripes
 
     ds = tile_rollup(joined_pages(input_dir))
     if done:
@@ -202,11 +204,15 @@ def run_flagship(
 
     # crash cleanup: any partition dir without a (fingerprint-matching)
     # manifest row is a partial write from a killed run — or a
-    # completed partition of a DIFFERENT input — remove and recompute
+    # completed partition of a DIFFERENT input — remove and recompute;
+    # stale manifest rows (any fingerprint, not in done) go with it so
+    # a later resume can never skip a partition whose data is gone
     for d in glob.glob(os.path.join(out_dir, "cell_r5=*")):
         key = d.rsplit("=", 1)[-1]
         if key not in done:
             shutil.rmtree(d)
+    for key in manifest.completed() - done:
+        manifest.unmark(key)
 
     ds = joined_pages(
         input_dir, pip_concurrency=pip_concurrency, knn_concurrency=knn_concurrency

@@ -112,6 +112,7 @@ def _dead_letter(block_id: str, status: str) -> pa.Table:
             "new_lines_wkb": pa.array([None], pa.binary()),
             "existing_lines_wkb": pa.array([None], pa.binary()),
             "terminals_wkb": pa.array([None], pa.binary()),
+            "n_boundary_missing": pa.array([0], pa.int64()),
             "status": [status],
         }
     )
@@ -125,7 +126,7 @@ def _block_bounds(bx: int, by: int) -> tuple[float, float, float, float]:
     return x0, y0, x1, y1
 
 
-def _summary_row(block_id, g, terms, edges) -> pa.Table:
+def _summary_row(block_id, g, terms, edges, boundary_missing: int = 0) -> pa.Table:
     """The reference's per-block update triple
     (`reblock/i_reblock.py:127-135`): summary stats + new_steiner +
     existing_steiner MultiLineStrings + terminal MultiPoint, one row."""
@@ -158,6 +159,12 @@ def _summary_row(block_id, g, terms, edges) -> pa.Table:
             "terminals_wkb": pa.array(
                 [wkb_multipoint(np.array(sorted(terms))) if terms else None], pa.binary()
             ),
+            # the reference's update_edge_types check diagnostic
+            # (`i_topology_utils.py:207-214`): block-ring coords absent
+            # from the parcel graph = boundary segments that could NOT
+            # be road-relabeled; nonzero values mean steiner costs are
+            # overstated for this block — surfaced, never silent
+            "n_boundary_missing": pa.array([int(boundary_missing)], pa.int64()),
             "status": ["ok"],
         }
     )
@@ -190,7 +197,7 @@ def _run_block(
 
     # G16: road-relabel along the block ring + barrier weights
     block_ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
-    update_edge_types(g, block_ring, barriers=barriers)
+    missing, _ = update_edge_types(g, block_ring, barriers=barriers)
 
     # terminals: building centroids snapped to closest edges + one
     # road-access point (G17 outside terminal; SW corner fallback for
@@ -211,7 +218,7 @@ def _run_block(
         g = g.contract_degree2()
     terms = [t for t in terminals if t in g.adj]
     edges = steiner_tree_approx(g, terms)
-    return _summary_row(block_id, g, terms, edges)
+    return _summary_row(block_id, g, terms, edges, boundary_missing=missing)
 
 
 def reblock_group(group: pa.Table, **opts) -> pa.Table:
@@ -353,7 +360,7 @@ def reblock_interior_block(bx: int, by: int) -> pa.Table:
             if a != b:
                 g.add_edge(a, b)
 
-    update_edge_types(g, [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
+    missing, _ = update_edge_types(g, [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
 
     from ..geom.hull import outside_terminal
 
@@ -369,7 +376,7 @@ def reblock_interior_block(bx: int, by: int) -> pa.Table:
     g = g.largest_component()
     terms = [t for t in terminals if t in g.adj]
     edges = steiner_tree_approx(g, terms)
-    return _summary_row(block_id, g, terms, edges)
+    return _summary_row(block_id, g, terms, edges, boundary_missing=missing)
 
 
 def reblock_interior_dataset(limit_blocks: int | None = None):
@@ -429,12 +436,18 @@ def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
 
     The solved dataset is small (one row per block), so it is
     materialized once and the three sinks are cheap projections — no
-    re-execution of the solver."""
+    re-execution of the solver. Idempotent: existing sink dirs are
+    cleared first (write_parquet appends, never truncates), so a
+    re-run with the same out_dir replaces rather than duplicates."""
     import os
+    import shutil
 
-    import ray
+    import pyarrow.parquet as _pq
 
     from ..state.manifest import Manifest
+
+    for sink in ("summary", "steiner_lines", "terminal_points"):
+        shutil.rmtree(os.path.join(out_dir, sink), ignore_errors=True)
 
     solved = reblock_dataset(limit_blocks=limit_blocks).materialize()
 
@@ -484,6 +497,12 @@ def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
 
     n = solved.count()
     manifest = Manifest(out_dir)
+    import glob
+
     for sink in ("summary", "steiner_lines", "terminal_points"):
-        manifest.mark(sink, n, fingerprint=f"limit={limit_blocks}")
+        rows = sum(
+            _pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(out_dir, sink, "*.parquet"))
+        )  # actual per-sink row count (steiner_lines is 2 rows/ok block)
+        manifest.mark(sink, rows, fingerprint=f"limit={limit_blocks}")
     return {"blocks": n, "sinks": 3}

@@ -772,20 +772,17 @@ def q_dedup_jaccard(sf_dir: str):
     equals the all-pairs oracle bit-for-bit."""
     import ray.data
 
-    from .stages.dedup import doc_shingle_rows, pair_jaccard_agg, shingle_cooccur_pairs
+    from .stages.dedup import (
+        add_pair_hash,
+        doc_shingle_rows,
+        pair_jaccard_agg,
+        shingle_cooccur_pairs,
+    )
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
     pairs = rows.groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
-
-    def add_pb(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").to_numpy(zero_copy_only=False)
-        d = b.column("doc_b").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "pb", pa.array((a * 1_000_003 + d) % 512, pa.int64())
-        )
-
-    pairs = pairs.map_batches(add_pb, batch_format="pyarrow")
+    pairs = pairs.map_batches(add_pair_hash, batch_format="pyarrow")
     return pairs.groupby("pb").map_groups(pair_jaccard_agg, batch_format="pyarrow")
 
 
@@ -979,6 +976,7 @@ def q_ann_topk_ivf(sf_dir: str):
     from .stages.similarity import (
         build_ivf_partitions,
         ivf_centroids,
+        ivf_probe,
         make_ivf_topk_fn,
         merge_topk,
         probed_paths,
@@ -988,8 +986,7 @@ def q_ann_topk_ivf(sf_dir: str):
     cents = ivf_centroids(emb)
     root = build_ivf_partitions(sf_dir, cents)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :4]
-    paths = probed_paths(root, probe.ravel())
+    paths = probed_paths(root, ivf_probe(qn, cents).ravel())
 
     ds = ray.data.read_parquet(paths)
     local = ds.map_batches(make_ivf_topk_fn(qref, cents, k=10), batch_format="pyarrow")

@@ -351,6 +351,20 @@ def shingle_cooccur_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+PAIR_BUCKETS = 512  # shuffle-key buckets for the pair-count aggregation
+
+
+def add_pair_hash(batch: pa.Table, n_buckets: int = PAIR_BUCKETS) -> pa.Table:
+    """Append ``pb = hash(doc_a, doc_b) % n_buckets`` — the bounded
+    shuffle key of the inverted-index join's count stage (same
+    tiny-groups rule as `add_bucket_hash`)."""
+    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    d = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "pb", pa.array((a * 1_000_003 + d) % n_buckets, pa.int64())
+    )
+
+
 def pair_jaccard_agg(group: pa.Table, threshold_x1000: int = 200) -> pa.Table:
     """One pair-hash bucket → exact Jaccard per pair: the multiplicity
     of a (doc_a, doc_b) row IS |A∩B| (each shared distinct shingle

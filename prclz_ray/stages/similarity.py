@@ -106,8 +106,19 @@ def ivf_centroids(vectors: np.ndarray, n_lists: int = 16, iters: int = 10,
     return c
 
 
+NPROBE = 4  # IVF lists probed per query — shared by the scorer AND the
+# partition-pruned read (they MUST agree or the scan skips lists the
+# scorer expects, silently dropping recall)
+
+
+def ivf_probe(qn: np.ndarray, centroids: np.ndarray, nprobe: int = NPROBE) -> np.ndarray:
+    """(Q, nprobe) probed list ids per normalized query — the single
+    source of truth for both the pruned read and the scorer."""
+    return np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+
+
 def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
-                     nprobe: int = 4):
+                     nprobe: int = NPROBE):
     """IVF ANN: each batch scores only vectors whose nearest centroid is
     among each query's top-``nprobe`` centroids — at 100 TB the vector
     table is Hive-partitioned by list id and the probe prunes the read."""
@@ -119,7 +130,7 @@ def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
         if "q" not in cache:
             side = ray.get(queries_ref)
             cache["q"], cache["ids"] = side["q"], side["ids"]
-            cache["probe"] = np.argsort(-(cache["q"] @ centroids.T), axis=1)[:, :nprobe]
+            cache["probe"] = ivf_probe(cache["q"], centroids, nprobe)
         qn, q_ids, qprobe = cache["q"], cache["ids"], cache["probe"]
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)

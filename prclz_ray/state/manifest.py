@@ -72,3 +72,13 @@ class Manifest:
     def read(self, partition: str) -> Dict:
         with open(self._path(partition)) as f:
             return json.load(f)
+
+    def unmark(self, partition: str) -> None:
+        """Remove a partition's row (its data was invalidated) — a
+        stale row left behind after its dir is deleted would make a
+        later resume with the ORIGINAL input skip a partition whose
+        data no longer exists."""
+        try:
+            os.remove(self._path(partition))
+        except FileNotFoundError:
+            pass

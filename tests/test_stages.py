@@ -690,3 +690,19 @@ def test_parcels_ladder_query(ray_session):
     df = QUERIES["parcels_ladder"](SF).to_pandas()
     assert df.block_id.nunique() == 60
     assert (df.ptdist_e6 > 0).all()  # no block needed the last rung
+
+
+def test_resume_after_other_input_recomputes_everything(ray_session, tmp_path):
+    """Orphaned manifest rows must not survive a cross-input run: A ->
+    B -> A(resume) yields the complete A output (the stale-row bug
+    would silently skip partitions whose data was deleted by B)."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "aba")
+    r_a = run_flagship(SF, out, resume=False)
+    run_flagship("/root/testdata/sf0.01", out, resume=True)
+    r_a2 = run_flagship(SF, out, resume=True)
+    assert r_a2["rows"] == r_a["rows"] == 500
+    assert pq.read_table(out).num_rows == 500
