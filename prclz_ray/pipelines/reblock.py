@@ -100,6 +100,58 @@ def update_edge_types(g: PlanarGraph, boundary_coords, barriers=None) -> tuple[i
     return missing, total
 
 
+GADM_BOUNDARY_THRESHOLD = 0.001  # degrees — the reference's
+# THRESHOLD_METERS analogue: a block coord farther than this from any
+# typed line is attributed to the admin boundary, not a feature
+
+
+def _point_segments_d2(px: float, py: float, segs: np.ndarray) -> np.ndarray:
+    """Squared distance from one point to each segment of (n, 4)
+    [x0, y0, x1, y1] — vectorized projection-clamp."""
+    x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = x1 - x0, y1 - y0
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x0) * dx + (py - y0) * dy) / np.where(L2 > 0, L2, 1.0)
+    t = np.clip(np.where(L2 > 0, t, 0.0), 0.0, 1.0)
+    qx, qy = x0 + t * dx, y0 + t * dy
+    return (px - qx) ** 2 + (py - qy) ** 2
+
+
+def feature_type_from_lines(lines_xy: np.ndarray, lines_ftype: list, a, b,
+                            threshold: float = GADM_BOUNDARY_THRESHOLD) -> str:
+    """The reference's ``get_feature_type_from_lines``
+    (`reblock/i_topology_utils.py:255-276`, M11 FULL): classify the
+    edge (a, b) by the feature type of the typed line nearest each
+    endpoint; an endpoint farther than the threshold from every line
+    is 'gadm_boundary'; mismatched endpoints resolve to 'highway' if
+    either is one, else 'natural'."""
+    def etype(p) -> str:
+        if len(lines_xy) == 0:
+            return "gadm_boundary"
+        d2 = _point_segments_d2(float(p[0]), float(p[1]), lines_xy)
+        i = int(np.argmin(d2))
+        return "gadm_boundary" if d2[i] > threshold * threshold else lines_ftype[i]
+
+    fa, fb = etype(a), etype(b)
+    if fa != fb:
+        return "highway" if "highway" in (fa, fb) else "natural"
+    return fa
+
+
+def barriers_from_lines(g: PlanarGraph, lines_xy: np.ndarray, lines_ftype: list) -> dict:
+    """Classify every parcel-graph edge against the typed lines table
+    and return the barrier map ``update_edge_types`` consumes
+    ({edge_key: 'waterway'|'natural'}) — the lines_pgraph path of the
+    reference's edge typing."""
+    barriers = {}
+    for a, b in g.edges():
+        ftype = feature_type_from_lines(lines_xy, lines_ftype, a, b)
+        if ftype in ("waterway", "natural"):
+            barriers[(a, b)] = ftype
+    return barriers
+
+
 def _dead_letter(block_id: str, status: str) -> pa.Table:
     return pa.table(
         {
@@ -178,8 +230,12 @@ def _run_block(
     *,
     simplify: bool = False,
     barriers=None,
+    lines: tuple | None = None,
 ) -> pa.Table:
-    """One block's parcel rings → steiner summary row."""
+    """One block's parcel rings → steiner summary row. ``lines`` is an
+    optional typed-lines table ((n,4) xy array, ftype list): edges are
+    then classified via `feature_type_from_lines` (M11) and
+    waterway/natural features become barriers automatically."""
     x0, y0, x1, y1 = _block_bounds(bx, by)
 
     g = PlanarGraph()
@@ -195,7 +251,11 @@ def _run_block(
             if g.number_of_edges() > MAX_GRAPH_EDGES:
                 return _dead_letter(block_id, "dead_letter:graph_too_large")
 
-    # G16: road-relabel along the block ring + barrier weights
+    # G16: road-relabel along the block ring + barrier weights; typed
+    # lines (when given) classify edges into waterway/natural barriers
+    if lines is not None:
+        auto = barriers_from_lines(g, lines[0], lines[1])
+        barriers = {**auto, **(barriers or {})}
     block_ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
     missing, _ = update_edge_types(g, block_ring, barriers=barriers)
 

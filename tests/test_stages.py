@@ -706,3 +706,49 @@ def test_resume_after_other_input_recomputes_everything(ray_session, tmp_path):
     r_a2 = run_flagship(SF, out, resume=True)
     assert r_a2["rows"] == r_a["rows"] == 500
     assert pq.read_table(out).num_rows == 500
+
+
+def test_feature_type_from_lines_and_auto_barriers():
+    """M11 full: edges classify by the nearest typed line (threshold ->
+    gadm_boundary; mixed endpoints -> highway wins else natural), and
+    a waterway line turns the matching parcel edge into a barrier the
+    Steiner tree routes around."""
+    import numpy as np
+
+    from prclz_ray.graph.planar import PlanarGraph
+    from prclz_ray.graph.steiner import steiner_tree_approx
+    from prclz_ray.pipelines.reblock import (
+        BARRIER_WEIGHT,
+        barriers_from_lines,
+        feature_type_from_lines,
+        update_edge_types,
+    )
+
+    lines_xy = np.array(
+        [[0.0, 0.5, 2.0, 0.5],   # waterway along y=0.5
+         [0.0, 0.0, 2.0, 0.0]],  # highway along y=0
+        dtype=np.float64,
+    )
+    ftypes = ["waterway", "highway"]
+    # endpoint classification
+    assert feature_type_from_lines(lines_xy, ftypes, (1.0, 0.5), (1.5, 0.5)) == "waterway"
+    assert feature_type_from_lines(lines_xy, ftypes, (1.0, 0.0), (1.5, 0.0)) == "highway"
+    # far from everything -> gadm_boundary
+    assert feature_type_from_lines(lines_xy, ftypes, (9.0, 9.0), (9.5, 9.0)) == "gadm_boundary"
+    # mixed highway/waterway -> highway
+    assert feature_type_from_lines(lines_xy, ftypes, (1.0, 0.0), (1.0, 0.5)) == "highway"
+
+    # auto barriers: a lattice whose middle rail lies ON the waterway
+    # (classification is by edge ENDPOINTS, the reference rule)
+    g = PlanarGraph()
+    for i in range(2):
+        for y in (0.0, 0.5, 1.0):
+            g.add_edge((float(i), y), (float(i + 1), y))
+    for i in range(3):
+        g.add_edge((float(i), 0.0), (float(i), 0.5))
+        g.add_edge((float(i), 0.5), (float(i), 1.0))
+    barriers = barriers_from_lines(g, lines_xy, ftypes)
+    key = ((0.0, 0.5), (1.0, 0.5))
+    assert barriers.get(key) == "waterway"
+    update_edge_types(g, [(0, 0), (2, 0), (2, 1), (0, 1), (0, 0)], barriers=barriers)
+    assert g.edge_flags[key]["weight"] == BARRIER_WEIGHT
