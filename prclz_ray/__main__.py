@@ -2,6 +2,7 @@
 
     python -m prclz_ray flagship --input /root/testdata/sf0.001 \
         --output /tmp/joined [--no-resume] [--num-cpus N]
+    python -m prclz_ray reblock --output /tmp/reblock [--block-limit N]
     python -m prclz_ray query <name> [--sf-dir DIR]
     python -m prclz_ray list
 
@@ -38,6 +39,12 @@ def main(argv=None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--num-cpus", type=int, default=None)
 
+    r = sub.add_parser("reblock", help="run the three-sink reblock writer")
+    r.add_argument("--output", required=True, help="output dir (summary/ steiner_lines/ terminal_points/)")
+    r.add_argument("--block-limit", type=int, default=None,
+                   help="solve only the first N blocks (the reference's block_list)")
+    r.add_argument("--num-cpus", type=int, default=None)
+
     sub.add_parser("list", help="list query names")
 
     args = ap.parse_args(argv)
@@ -68,6 +75,10 @@ def main(argv=None) -> int:
             from .pipelines.flagship import run_tiles
 
             print(json.dumps(run_tiles(args.input, args.output)))
+        elif args.cmd == "reblock":
+            from .pipelines.reblock import run_reblock
+
+            print(json.dumps(run_reblock(args.output, limit_blocks=args.block_limit)))
         elif args.cmd == "query":
             import pandas as pd
 
