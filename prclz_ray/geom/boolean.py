@@ -144,24 +144,28 @@ def polygon_intersection(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def polygon_union(rings: list) -> list[np.ndarray]:
+def polygon_union(rings: list, return_holes: bool = False):
     """Dissolve a set of simple rings into their union's outer rings.
 
     Method: node every boundary edge, keep exactly the edges with one
     side inside the union and one side outside (tested at ±δ along the
     edge normal — δ scaled far below any cell width), then face-trace
     the boundary-only graph; positive-area faces whose representative
-    point lies inside the union are the dissolved parts. Holes are not
-    returned (parcel dissolve unions are simply connected). Role of
-    the reference's ``raster::aggregate`` per-building cell dissolve
+    point lies inside the union are the dissolved parts. With
+    ``return_holes`` the remaining positive-area boundary faces — the
+    union's interior holes — come back as a second list
+    ``(outers, holes)``; by default only outers are returned (the
+    parcel-dissolve use is hole-free: one owner's Voronoi cells are
+    edge-adjacent). Role of the reference's ``raster::aggregate``
+    per-building cell dissolve
     (`prclz/parcelization/midway_parcelization_digital_globe.R:76-78`).
     """
     rs = [_norm_ring(r) for r in rings]
     rs = [r for r in rs if len(r) >= 3]
     if not rs:
-        return []
+        return ([], []) if return_holes else []
     if len(rs) == 1:
-        return [rs[0]]
+        return ([rs[0]], []) if return_holes else [rs[0]]
     segs = []
     span = 0.0
     for r in rs:
@@ -184,12 +188,14 @@ def polygon_union(rings: list) -> list[np.ndarray]:
         nx, ny = -dy / L, dx / L
         if inside(mx + delta * nx, my + delta * ny) != inside(mx - delta * nx, my - delta * ny):
             boundary.append((a, b))
-    out = []
+    out, holes = [], []
     for face in _arrangement_faces(boundary):
         x, y = representative_point(face)
         if inside(x, y):
             out.append(face)
-    return out
+        else:
+            holes.append(face)  # bounded boundary face outside the union
+    return (out, holes) if return_holes else out
 
 
 def inset_polygon(ring: np.ndarray, eps: float) -> list[np.ndarray]:

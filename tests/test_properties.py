@@ -377,3 +377,51 @@ def test_minhash_matrix_matches_bruteforce():
         for k in range(N_HASHES):
             want = min((SALT_A[k] * h + SALT_B[k]) % P31 for h in hs)
             assert sig[i, k] == want
+
+
+def test_boolean_inclusion_exclusion_nonconvex():
+    """|A∩B| + |A∪B| = |A| + |B| exactly, over random simple
+    NON-convex (star) polygons — union holes accounted via
+    return_holes. 60 seeded trials."""
+    from prclz_ray.geom.boolean import polygon_intersection, polygon_union
+    from prclz_ray.geom.core import polygon_area
+
+    for seed in range(60):
+        rng = np.random.default_rng(1000 + seed)
+
+        def star(n, cx, cy, r):
+            ang = (np.arange(n) + rng.uniform(0.05, 0.95, n)) / n * 2 * np.pi
+            rad = rng.uniform(0.2 * r, r, n)
+            return np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+
+        a = star(int(rng.integers(3, 12)), 0, 0, 1.0)
+        b = star(int(rng.integers(3, 12)), rng.uniform(-1, 1), rng.uniform(-1, 1), 1.0)
+        ia, ib = polygon_area(a), polygon_area(b)
+        s = sum(polygon_area(p) for p in polygon_intersection(a, b))
+        outers, holes = polygon_union([a, b], return_holes=True)
+        u = sum(polygon_area(p) for p in outers) - sum(polygon_area(h) for h in holes)
+        assert s <= min(ia, ib) + 1e-6
+        assert abs((s + u) - (ia + ib)) < 1e-5
+
+
+def test_noding_face_tracing_fuzz():
+    """Random segment soups: noding + face tracing + inset never crash
+    and produce sane areas. 60 seeded trials."""
+    from prclz_ray.geom.boolean import inset_polygon
+    from prclz_ray.geom.core import polygon_area, polygon_signed_area2
+    from prclz_ray.geom.noding import node_segments
+    from prclz_ray.graph.planar import PlanarGraph
+
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        segs = rng.uniform(0, 1, (int(rng.integers(5, 20)), 2, 2))
+        g = PlanarGraph()
+        for a, b in node_segments(segs):
+            g.add_edge(a, b)
+        for f in g.trace_faces():
+            ring = np.array([e[0] for e in f])
+            if len(ring) >= 3 and polygon_signed_area2(ring) > 0:
+                a0 = polygon_area(ring)
+                assert a0 <= 1.0 + 1e-9
+                for ins in inset_polygon(ring, 0.01):
+                    assert polygon_area(ins) <= a0 + 1e-9
