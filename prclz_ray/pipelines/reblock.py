@@ -350,9 +350,29 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
     return packed.sort(["cost", "block_id"], descending=[True, False])
 
 
-def reblock_dataset(limit_blocks: int | None = None, simplify: bool = False):
-    """parcels → per-block steiner summaries (lazy Dataset), cost-ordered."""
+def reblock_dataset(
+    limit_blocks: int | None = None,
+    simplify: bool = False,
+    lines_table: pa.Table | None = None,
+):
+    """parcels → per-block steiner summaries (lazy Dataset), cost-ordered.
+
+    ``lines_table`` (columns x0, y0, x1, y1, ftype) enables the M11
+    typed-lines path: every block's parcel edges classify against the
+    nearest line and waterway/natural features become Steiner
+    barriers. The table is small (the reference ships one lines file
+    per admin cell) and is captured by value into the task closure."""
     packed = packed_blocks_dataset(limit_blocks)
+    lines = None
+    if lines_table is not None:
+        lines = (
+            np.stack(
+                [lines_table.column(c).to_numpy(zero_copy_only=False)
+                 for c in ("x0", "y0", "x1", "y1")],
+                axis=1,
+            ).astype(np.float64),
+            lines_table.column("ftype").to_pylist(),
+        )
 
     def run(batch: pa.Table) -> pa.Table:
         out = []
@@ -361,7 +381,7 @@ def reblock_dataset(limit_blocks: int | None = None, simplify: bool = False):
                 out.append(
                     _run_block(
                         row["block_id"], int(row["bx"]), int(row["by"]), row["wkbs"],
-                        simplify=simplify,
+                        simplify=simplify, lines=lines,
                     )
                 )
             except Exception as ex:  # pragma: no cover - defensive

@@ -752,3 +752,31 @@ def test_feature_type_from_lines_and_auto_barriers():
     assert barriers.get(key) == "waterway"
     update_edge_types(g, [(0, 0), (2, 0), (2, 1), (0, 1), (0, 0)], barriers=barriers)
     assert g.edge_flags[key]["weight"] == BARRIER_WEIGHT
+
+
+def test_reblock_dataset_with_typed_lines(ray_session):
+    """End-to-end M11 plumbing: a waterway lines table flows through
+    reblock_dataset without breaking the per-block contract."""
+    import pyarrow as pa2
+
+    from prclz_ray.pipelines.reblock import reblock_dataset
+
+    base = reblock_dataset(limit_blocks=2).to_pandas().sort_values("block_id")
+    # waterway along B00_00's internal vertical parcel edge (x=0.05)
+    lines = pa2.table(
+        {
+            "x0": pa2.array([0.05], pa2.float64()),
+            "y0": pa2.array([0.0], pa2.float64()),
+            "x1": pa2.array([0.05], pa2.float64()),
+            "y1": pa2.array([0.1], pa2.float64()),
+            "ftype": pa2.array(["waterway"], pa2.string()),
+        }
+    )
+    wet = reblock_dataset(limit_blocks=2, lines_table=lines).to_pandas().sort_values("block_id")
+    # plumbing: typed lines flow through pack->run without changing the
+    # contract (terminal counts, status); routing-change behavior is
+    # covered by test_feature_type_from_lines_and_auto_barriers on a
+    # graph whose tree is forced across the barrier
+    assert wet.n_terminals.tolist() == base.n_terminals.tolist()
+    assert (wet.status == "ok").all()
+    assert (wet.new_len_e6 >= base.new_len_e6 - 1).all()  # barriers never shorten
