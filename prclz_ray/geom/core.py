@@ -85,6 +85,20 @@ def closest_point_on_segment(ax, ay, bx, by, px, py):
     return (ax, ay) if d0 <= d1 else (bx, by)
 
 
+def point_segments_d2(px: float, py: float, segs: np.ndarray) -> np.ndarray:
+    """Squared distance from one point to each segment of an (n, 4)
+    [x0, y0, x1, y1] array — vectorized projection-clamp (shared by
+    the reblock feature-typing and the S0 boundary-tolerance test)."""
+    x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = x1 - x0, y1 - y0
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x0) * dx + (py - y0) * dy) / np.where(L2 > 0, L2, 1.0)
+    t = np.clip(np.where(L2 > 0, t, 0.0), 0.0, 1.0)
+    qx, qy = x0 + t * dx, y0 + t * dy
+    return (px - qx) ** 2 + (py - qy) ** 2
+
+
 # ---------------------------------------------------------------------------
 # polygon kernels
 

@@ -71,16 +71,10 @@ def get_s0_approximation(block_ring: np.ndarray, centroids: Sequence[Tuple[float
 
 def _on_ring_boundary(ring: np.ndarray, x: float, y: float, eps: float = 1e-9) -> bool:
     """True iff (x, y) is within ``eps`` of some edge of ``ring``."""
-    a = ring
-    b = np.roll(ring, -1, axis=0)
-    dx, dy = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
-    L2 = dx * dx + dy * dy
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = ((x - a[:, 0]) * dx + (y - a[:, 1]) * dy) / L2
-    t = np.clip(np.nan_to_num(t), 0.0, 1.0)
-    qx = a[:, 0] + t * dx
-    qy = a[:, 1] + t * dy
-    return bool(np.min(np.hypot(x - qx, y - qy)) <= eps)
+    from ..geom.core import point_segments_d2
+
+    segs = np.concatenate([ring, np.roll(ring, -1, axis=0)], axis=1)
+    return bool(np.min(point_segments_d2(x, y, segs)) <= eps * eps)
 
 
 def weak_dual_sequence(s0: PlanarGraph) -> List[PlanarGraph]:

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
-
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -92,6 +90,16 @@ def joined_pages(
     return ds
 
 
+def parquet_dir_rows(d: str) -> int:
+    """Σ footer num_rows over a directory's parquet files (metadata
+    only — the retry-safe way to count written rows)."""
+    import glob
+
+    return sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
 def _partition_counts(out_dir: str, prefix: str) -> dict:
     """Per-partition row counts from the written parquet FOOTERS only
     (`<out>/<prefix>=<key>/*.parquet` → Σ metadata.num_rows). Exact,
@@ -101,14 +109,10 @@ def _partition_counts(out_dir: str, prefix: str) -> dict:
     read-back this replaces doubled output I/O at 100 TB."""
     import glob
 
-    counts: dict = {}
-    for d in glob.glob(os.path.join(out_dir, f"{prefix}=*")):
-        key = d.rsplit("=", 1)[-1]
-        n = 0
-        for f in glob.glob(os.path.join(d, "*.parquet")):
-            n += pq.read_metadata(f).num_rows
-        counts[key] = n
-    return counts
+    return {
+        d.rsplit("=", 1)[-1]: parquet_dir_rows(d)
+        for d in glob.glob(os.path.join(out_dir, f"{prefix}=*"))
+    }
 
 
 def _write_run_metrics(out_dir: str, job: str, input_dir: str, stats: dict) -> None:

@@ -42,6 +42,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import world
+from ..geom.core import point_segments_d2
 from ..geom.wkb import parse_wkb, wkb_multilinestring
 from ..graph.planar import PlanarGraph, _q
 from ..graph.steiner import _path, dijkstra, steiner_tree_approx
@@ -105,19 +106,6 @@ GADM_BOUNDARY_THRESHOLD = 0.001  # degrees — the reference's
 # typed line is attributed to the admin boundary, not a feature
 
 
-def _point_segments_d2(px: float, py: float, segs: np.ndarray) -> np.ndarray:
-    """Squared distance from one point to each segment of (n, 4)
-    [x0, y0, x1, y1] — vectorized projection-clamp."""
-    x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
-    dx, dy = x1 - x0, y1 - y0
-    L2 = dx * dx + dy * dy
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = ((px - x0) * dx + (py - y0) * dy) / np.where(L2 > 0, L2, 1.0)
-    t = np.clip(np.where(L2 > 0, t, 0.0), 0.0, 1.0)
-    qx, qy = x0 + t * dx, y0 + t * dy
-    return (px - qx) ** 2 + (py - qy) ** 2
-
-
 def feature_type_from_lines(lines_xy: np.ndarray, lines_ftype: list, a, b,
                             threshold: float = GADM_BOUNDARY_THRESHOLD) -> str:
     """The reference's ``get_feature_type_from_lines``
@@ -129,7 +117,7 @@ def feature_type_from_lines(lines_xy: np.ndarray, lines_ftype: list, a, b,
     def etype(p) -> str:
         if len(lines_xy) == 0:
             return "gadm_boundary"
-        d2 = _point_segments_d2(float(p[0]), float(p[1]), lines_xy)
+        d2 = point_segments_d2(float(p[0]), float(p[1]), lines_xy)
         i = int(np.argmin(d2))
         return "gadm_boundary" if d2[i] > threshold * threshold else lines_ftype[i]
 
@@ -522,8 +510,6 @@ def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
     import os
     import shutil
 
-    import pyarrow.parquet as _pq
-
     from ..state.manifest import Manifest
 
     for sink in ("summary", "steiner_lines", "terminal_points"):
@@ -577,12 +563,13 @@ def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
 
     n = solved.count()
     manifest = Manifest(out_dir)
-    import glob
+    from .flagship import parquet_dir_rows
 
     for sink in ("summary", "steiner_lines", "terminal_points"):
-        rows = sum(
-            _pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(out_dir, sink, "*.parquet"))
-        )  # actual per-sink row count (steiner_lines is 2 rows/ok block)
-        manifest.mark(sink, rows, fingerprint=f"limit={limit_blocks}")
+        # actual per-sink row count (steiner_lines is 2 rows/ok block)
+        manifest.mark(
+            sink,
+            parquet_dir_rows(os.path.join(out_dir, sink)),
+            fingerprint=f"limit={limit_blocks}",
+        )
     return {"blocks": n, "sinks": 3}

@@ -124,23 +124,33 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
         bucket_cols.append(
             pc.binary_join_element_wise(pa.array([str(b)] * n, pa.string()), key, "|")
         )
-    out_doc = np.repeat(doc_ids, n_bands)
-    out_band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+    # band-major layout: rows [band0 × all docs, band1 × all docs, ...]
+    # so the per-band key arrays concatenate directly (row order is
+    # irrelevant to the downstream groupby)
     bucket = pa.concat_arrays(
         [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in bucket_cols]
-    ).take(
-        pa.array(
-            (np.arange(n)[:, None] + np.arange(n_bands)[None, :] * n).ravel(),
-            pa.int64(),
-        )
     )
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band": pa.array(out_band, pa.int64()),
+            "doc_id": pa.array(np.tile(doc_ids, n_bands), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), n), pa.int64()),
             "bucket": bucket,
         }
     )
+
+
+def _sorted_runs(group: pa.Table, key_col: str):
+    """Sort the group by (key_col, doc_id) and return (sorted table,
+    run-start indices of equal-key runs) — the shared skeleton of the
+    bounded-bucket group functions."""
+    order = pc.sort_indices(
+        group, sort_keys=[(key_col, "ascending"), ("doc_id", "ascending")]
+    )
+    g = group.take(order)
+    s = g.column(key_col)
+    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
+    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [group.num_rows]])
+    return g, run_start
 
 
 MAX_BUCKET_MEMBERS = 10_000  # mega-bucket guard: a boilerplate-text
@@ -164,14 +174,8 @@ def band_bucket_pairs(group: pa.Table, max_members: int = MAX_BUCKET_MEMBERS) ->
     )
     if group.num_rows == 0:
         return empty
-    order = pc.sort_indices(
-        group, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
-    )
-    g = group.take(order)
-    s = g.column("bucket")
+    g, run_start = _sorted_runs(group, "bucket")
     d = g.column("doc_id").to_numpy(zero_copy_only=False)
-    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
-    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [len(d)]])
     out_a, out_b = [], []
     for i in range(len(run_start) - 1):
         lo, hi = run_start[i], run_start[i + 1]
@@ -204,14 +208,10 @@ def band_bucket_drops(group: pa.Table) -> pa.Table:
     )
     if group.num_rows == 0:
         return empty
-    order = pc.sort_indices(
-        group, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
-    )
-    g = group.take(order)
-    s = g.column("bucket")
+    g, run_start = _sorted_runs(group, "bucket")
     d = g.column("doc_id").to_numpy(zero_copy_only=False)
-    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
-    is_min = np.concatenate([[True], neq])
+    is_min = np.zeros(len(d), dtype=bool)
+    is_min[run_start[:-1]] = True
     # doc repeated within one band bucket is impossible (one row per
     # band per doc; the bucket embeds the band index)
     drops = d[~is_min]
@@ -319,15 +319,9 @@ def shingle_cooccur_pairs(group: pa.Table) -> pa.Table:
     )
     if group.num_rows == 0:
         return empty
-    order = pc.sort_indices(
-        group, sort_keys=[("shingle", "ascending"), ("doc_id", "ascending")]
-    )
-    g = group.take(order)
-    s = g.column("shingle")
+    g, run_start = _sorted_runs(group, "shingle")
     d = g.column("doc_id").to_numpy(zero_copy_only=False)
     L = g.column("L").to_numpy(zero_copy_only=False)
-    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(zero_copy_only=False)
-    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [len(d)]])
     out_a, out_b, out_la, out_lb = [], [], [], []
     for i in range(len(run_start) - 1):
         lo, hi = run_start[i], run_start[i + 1]
