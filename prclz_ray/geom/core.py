@@ -163,11 +163,6 @@ def points_in_polygon(coords: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.
     return (crossings % 2).astype(bool)
 
 
-def bbox_of(coords: np.ndarray):
-    c = np.asarray(coords, dtype=np.float64)
-    return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
-
-
 def inset_convex(ring: np.ndarray, eps: float) -> np.ndarray:
     """Inset a CONVEX ring by ``eps`` (each edge moved inward).
 

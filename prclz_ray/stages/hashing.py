@@ -167,11 +167,6 @@ def sql_h62(expr: str) -> str:
     )
 
 
-def sql_salted(h_expr: str, k: int) -> str:
-    """SQL computing salted(h, k) for a BIGINT hash expression."""
-    return f"(({SALT_A[k]} * ({h_expr}) + {SALT_B[k]}) % {P31})"
-
-
 def sql_salt_table() -> str:
     """VALUES table (salt, a, b) mirroring SALT_A/SALT_B, for use as
     ``... , ({sql_salt_table()}) AS salts`` with ``(a*h + b) % P31``."""
