@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Surface: 50 queries — geospatial core (extract/geocode/PIP/kNN/tiles/
+Surface: 52 queries — geospatial core (extract/geocode/PIP/kNN/tiles/
 QC/quantiles/top-k/semi/anti joins, sharded 100TB variants), prclz
 derivation (blocks via two plugin methods + general-noding diagonal
 arrangements, parcels + the segmentize fallback ladder, complexity,
@@ -11,8 +11,9 @@ Steiner reblock + the interior G17 variant, zonal raster over a tile
 table), training-data ops (5 dedup families + dedup corpus — all
 bucketed/partitioned, no broadcast corpus, 3 ANN variants with
 partition-pruned reads, text analysis, multimodal, event windows:
-tumbling/sliding/session), relational (joins, pricing, revenue) and
-skew-salted aggregation. 43 have exact DuckDB oracles; the 7
+tumbling/sliding/session, quality filtering, eval-set
+decontamination), relational (joins, pricing, revenue) and
+skew-salted aggregation. 45 have exact DuckDB oracles; the 7
 rows-only ones are geometry- or approximation-valued
 (block_complexity, complexity_hist, reblock, reblock_interior,
 parcels_ladder, ann_topk_lsh, ann_topk_ivf) and are

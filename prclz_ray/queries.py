@@ -591,6 +591,123 @@ FROM w
 """
 
 
+def q_quality_filter(sf_dir: str):
+    """Training-data quality FILTER (the curation step downstream of
+    quality scoring): keep documents with ≥ 20 words, ≥ 1 stopword
+    hit, and mean word length ≤ 9.0 chars — the standard heuristic
+    gate (Gopher/C4-style rules) over the engine's exact-integer
+    quality features. Output: kept doc ids + their quality bucket."""
+    from .stages.textops import quality_score
+
+    scored = _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("n_words"), 20),
+                pc.greater_equal(b.column("stopword_hits"), 1),
+            ),
+            pc.less_equal(b.column("mean_wlen_x100"), 900),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "quality_bucket": b.column("quality_bucket")}
+        ).filter(mask)
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+WITH q AS ({_sql_text_quality()})
+SELECT doc_id, quality_bucket FROM q
+WHERE n_words >= 20 AND stopword_hits >= 1 AND mean_wlen_x100 <= 900
+"""
+
+
+DECON_EVAL_MOD = 50  # doc_id % 50 == 0 rows form the held-out eval set
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark DECONTAMINATION — the training-data anti-join every
+    LLM pipeline needs: drop any training document sharing a 3-word
+    shingle with the held-out eval set (doc_id % 50 == 0). Shape: the
+    same inverted-index shuffle as dedup_jaccard — shingle rows with
+    an is_eval flag → ONE bounded-bucket shuffle marks train docs
+    whose shingle string also occurs in an eval doc → flag-union →
+    groupby(doc_id).max keeps clean train docs. No broadcast eval
+    set, no driver compute."""
+    import ray.data
+
+    from .stages.dedup import doc_shingle_rows
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
+
+    def contaminated(group: pa.Table) -> pa.Table:
+        """Per shingle-bucket: train docs sharing a shingle string with
+        any eval doc (vectorized run pass over the sorted group)."""
+        from .stages.dedup import _sorted_runs
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "dropped": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        g, run_start = _sorted_runs(group, "shingle")
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        is_eval = d % DECON_EVAL_MOD == 0
+        hits = []
+        for i in range(len(run_start) - 1):
+            lo, hi = run_start[i], run_start[i + 1]
+            if is_eval[lo:hi].any():
+                hits.append(d[lo:hi][~is_eval[lo:hi]])
+        if not hits:
+            return empty
+        bad = np.unique(np.concatenate(hits))
+        return pa.table(
+            {
+                "doc_id": pa.array(bad, pa.int64()),
+                "dropped": pa.array(np.ones(len(bad), np.int64)),
+            }
+        )
+
+    flagged = rows.groupby("sb").map_groups(contaminated, batch_format="pyarrow")
+    def train_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % DECON_EVAL_MOD != 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "dropped": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    train = docs.map_batches(train_rows, batch_format="pyarrow")
+    kept = train.union(flagged).groupby("doc_id").max("dropped")
+
+    def clean_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mx = b.column("max(dropped)").to_numpy(zero_copy_only=False)
+        keep = (mx == 0) & (ids % DECON_EVAL_MOD != 0)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    return kept.map_batches(clean_rows, batch_format="pyarrow")
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+shu AS (SELECT doc_id, unnest(list_distinct(sh_list)) AS s FROM sh),
+eval_sh AS (SELECT DISTINCT s FROM shu WHERE doc_id % {DECON_EVAL_MOD} = 0)
+SELECT doc_id FROM documents
+WHERE doc_id % {DECON_EVAL_MOD} != 0
+  AND doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM shu
+    WHERE s IN (SELECT s FROM eval_sh) AND doc_id % {DECON_EVAL_MOD} != 0
+  )
+"""
+
+
 def q_lang_id(sf_dir: str):
     from .stages.textops import lang_id
 
@@ -1772,6 +1889,8 @@ QUERIES: Dict[str, Callable] = {
     "complexity_hist": q_complexity_hist,
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "lang_id_trigram": q_lang_id_trigram,
     "doc_fingerprint": q_fingerprint,
@@ -1822,6 +1941,8 @@ ORACLES: Dict[str, str] = {
     "blocks_diagonal": _sql_blocks_diagonal(),
     "token_counts": _sql_token_counts(),
     "text_quality": _sql_text_quality(),
+    "quality_filter": _sql_quality_filter(),
+    "decontaminate": _sql_decontaminate(),
     "lang_id": _sql_lang_id(),
     "lang_id_trigram": _sql_lang_id_trigram(),
     "doc_fingerprint": _sql_fingerprint(),
