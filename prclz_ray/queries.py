@@ -708,6 +708,49 @@ WHERE doc_id % {DECON_EVAL_MOD} != 0
 """
 
 
+SAMPLE_PER_MILLE = {"0": 400, "1": 150, "2": 150}  # keep-rate ‰ per quality bucket
+
+
+def q_corpus_sample(sf_dir: str):
+    """Deterministic STRATIFIED corpus sampling (the downsampling step
+    of a data-mixture recipe): per quality bucket, keep documents whose
+    url-hash lands under the bucket's per-mille rate — reproducible
+    across runs and machines (the polynomial hash family, not RNG),
+    exactly mirrored in SQL. Output: kept doc ids + bucket."""
+    from .stages.hashing import hash_strings
+    from .stages.textops import quality_score
+
+    scored = _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        bucket = b.column("quality_bucket").to_numpy(zero_copy_only=False)
+        h = hash_strings(pc.cast(b.column("doc_id"), pa.string())) % 1000
+        rate = np.array([SAMPLE_PER_MILLE[str(int(q))] for q in bucket], dtype=np.int64)
+        m = h < rate
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "quality_bucket": pa.array(bucket[m], pa.int64()),
+            }
+        )
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_corpus_sample() -> str:
+    from .stages.hashing import sql_h31
+
+    cases = " ".join(
+        f"WHEN quality_bucket = {k} THEN {v}" for k, v in SAMPLE_PER_MILLE.items()
+    )
+    return f"""
+WITH q AS ({_sql_text_quality()})
+SELECT doc_id, quality_bucket FROM q
+WHERE ({sql_h31('CAST(doc_id AS VARCHAR)')}) % 1000 < (CASE {cases} END)
+"""
+
+
 def q_lang_id(sf_dir: str):
     from .stages.textops import lang_id
 
@@ -1891,6 +1934,7 @@ QUERIES: Dict[str, Callable] = {
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
+    "corpus_sample": q_corpus_sample,
     "lang_id": q_lang_id,
     "lang_id_trigram": q_lang_id_trigram,
     "doc_fingerprint": q_fingerprint,
@@ -1943,6 +1987,7 @@ ORACLES: Dict[str, str] = {
     "text_quality": _sql_text_quality(),
     "quality_filter": _sql_quality_filter(),
     "decontaminate": _sql_decontaminate(),
+    "corpus_sample": _sql_corpus_sample(),
     "lang_id": _sql_lang_id(),
     "lang_id_trigram": _sql_lang_id_trigram(),
     "doc_fingerprint": _sql_fingerprint(),
