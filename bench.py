@@ -126,6 +126,8 @@ def run_secondary(sf_dir: str) -> dict:
         "ann_topk",
         "ann_topk_lsh",
         "doc_fingerprint",
+        "quality_filter",
+        "decontaminate",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",
