@@ -124,6 +124,68 @@ SQL_EXTRACT = (
 )
 
 
+def _warc_path(sf_dir: str) -> str:
+    """Documents table serialized ONCE as synthetic WARC files (4 shards
+    — exercises the file-parallel read), cached by source fingerprint."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.derive import CACHE_DIR
+    from .sources.warc import write_synth_warc
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(CACHE_DIR, f"warc_{tag}_{st.st_mtime_ns}_{st.st_size}")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        shards = 4
+        for s in range(shards):
+            sel = [i for i in range(len(ids)) if ids[i] % shards == s]
+            write_synth_warc(
+                os.path.join(root, f"part-{s}.warc"),
+                [f"https://{srcs[i]}/{ids[i]}" for i in sel],
+                [f"2024-01-01T00:00:{ids[i] % 60:02d}Z" for i in sel],
+                [texts[i].encode() for i in sel],
+            )
+        open(marker, "w").close()
+    return root
+
+
+def q_warc_extract(sf_dir: str):
+    """The north-star ingestion path END-TO-END: Common-Crawl-style
+    WARC container files → file-parallel record parse → byte-identical
+    extracted text per url (the input_hint invariant), checked against
+    the same oracle as the parquet-side extractor."""
+    import glob as _glob
+
+    from .sources.warc import read_warc
+
+    root = _warc_path(sf_dir)
+    ds = read_warc(sorted(_glob.glob(f"{root}/part-*.warc")))
+
+    def to_text(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "text": pc.cast(b.column("html"), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_text, batch_format="pyarrow")
+
+
+SQL_WARC_EXTRACT = (
+    "SELECT 'https://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text"
+    " FROM documents"
+)
+
+
 def q_geocode(sf_dir: str):
     return _pages(sf_dir).select_columns(["url", "has_geo", "lat_e6", "lon_e6", "cell_r5"])
 
@@ -748,6 +810,29 @@ def _sql_corpus_sample() -> str:
 WITH q AS ({_sql_text_quality()})
 SELECT doc_id, quality_bucket FROM q
 WHERE ({sql_h31('CAST(doc_id AS VARCHAR)')}) % 1000 < (CASE {cases} END)
+"""
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrub over the corpus (emails/phones → typed placeholders),
+    vectorized RE2 replace with per-doc redaction counts."""
+    from .stages.textops import redact_pii
+
+    return _docs(sf_dir).map_batches(redact_pii, batch_format="pyarrow")
+
+
+def _sql_redact_pii() -> str:
+    from .stages.textops import PII_PATTERNS
+
+    expr = "text"
+    count_terms = []
+    for pat, repl in PII_PATTERNS:
+        count_terms.append(f"len(regexp_extract_all(text, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    counts = " + ".join(count_terms)
+    return f"""
+SELECT doc_id, {expr} AS clean_text, CAST({counts} AS BIGINT) AS n_redactions
+FROM documents
 """
 
 
@@ -1912,6 +1997,7 @@ def q_complexity_hist(sf_dir: str):
 
 QUERIES: Dict[str, Callable] = {
     "extract_text": q_extract_text,
+    "warc_extract": q_warc_extract,
     "geocode": q_geocode,
     "pip_join": q_pip_join,
     "knn_parcels": q_knn_parcels,
@@ -1935,6 +2021,7 @@ QUERIES: Dict[str, Callable] = {
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
     "corpus_sample": q_corpus_sample,
+    "redact_pii": q_redact_pii,
     "lang_id": q_lang_id,
     "lang_id_trigram": q_lang_id_trigram,
     "doc_fingerprint": q_fingerprint,
@@ -1968,6 +2055,7 @@ QUERIES: Dict[str, Callable] = {
 
 ORACLES: Dict[str, str] = {
     "extract_text": SQL_EXTRACT,
+    "warc_extract": SQL_WARC_EXTRACT,
     "geocode": SQL_GEOCODE,
     "pip_join": SQL_PIP_JOIN,
     "knn_parcels": SQL_KNN,
@@ -1988,6 +2076,7 @@ ORACLES: Dict[str, str] = {
     "quality_filter": _sql_quality_filter(),
     "decontaminate": _sql_decontaminate(),
     "corpus_sample": _sql_corpus_sample(),
+    "redact_pii": _sql_redact_pii(),
     "lang_id": _sql_lang_id(),
     "lang_id_trigram": _sql_lang_id_trigram(),
     "doc_fingerprint": _sql_fingerprint(),

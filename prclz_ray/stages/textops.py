@@ -167,6 +167,34 @@ def lang_id_trigram(batch: pa.Table) -> pa.Table:
     )
 
 
+# PII scrubbing patterns (RE2 syntax — identical semantics in pyarrow
+# and DuckDB regexp_replace); the synthetic corpus is ASCII so the
+# simple character classes are exact
+PII_PATTERNS = (
+    (r"[a-z0-9.]+@[a-z0-9.]+[.][a-z]+", "[EMAIL]"),
+    (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+)
+
+
+def redact_pii(batch: pa.Table) -> pa.Table:
+    """PII redaction (the curation scrub step): replace email / phone
+    patterns with typed placeholders, fully vectorized
+    (`pc.replace_substring_regex`), plus a per-doc redaction count so
+    downstream filters can drop PII-heavy pages."""
+    text = batch.column("text")
+    total = np.zeros(len(batch), dtype=np.int64)
+    for pat, repl in PII_PATTERNS:
+        total += pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        text = pc.replace_substring_regex(text, pat, repl)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "clean_text": text,
+            "n_redactions": pa.array(total),
+        }
+    )
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Document fingerprints: whole-text md5 + winnow-lite (min over
     character FP_GRAM-gram polynomial hashes — the rolling-hash

@@ -780,3 +780,20 @@ def test_reblock_dataset_with_typed_lines(ray_session):
     assert wet.n_terminals.tolist() == base.n_terminals.tolist()
     assert (wet.status == "ok").all()
     assert (wet.new_len_e6 >= base.new_len_e6 - 1).all()  # barriers never shorten
+
+
+def test_warc_roundtrip_framing(ray_session, tmp_path):
+    """WARC source: Content-Length framing survives payloads that
+    CONTAIN the record magic; round-trip is byte-identical."""
+    from prclz_ray.sources.warc import parse_warc_bytes, read_warc, write_synth_warc
+
+    payloads = [b"hello world", b"tricky WARC/1.0\r\n\r\n payload", b"", b"\r\n\r\n"]
+    urls = [f"https://x/{i}" for i in range(4)]
+    tss = ["2024-01-01T00:00:00Z"] * 4
+    p = tmp_path / "t.warc"
+    write_synth_warc(str(p), urls, tss, payloads)
+    t = parse_warc_bytes(p.read_bytes())
+    assert t.column("url").to_pylist() == urls
+    assert t.column("html").to_pylist() == payloads
+    df = read_warc([str(p)]).to_pandas()
+    assert sorted(df.url) == sorted(urls)
