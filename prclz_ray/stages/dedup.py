@@ -9,10 +9,12 @@ each expressed Ray-Data-first:
   per-bucket candidate pairs (the shuffle is ONE groupby on the band
   key — at 100 TB the only all-to-all in the dedup path)
 - SimHash: 16-bit signature from per-word hash bits, bucket by value
-- n-gram Jaccard: exact verify over LSH candidates (or all pairs at
-  test scale)
-- embedding cosine near-dup: normalized matmul per batch against the
-  broadcast matrix (IVF-bucketed at scale)
+- n-gram Jaccard: INVERTED-INDEX count join — co-occurrence rows per
+  shared shingle string, pair multiplicity = |A∩B|, two
+  bounded-bucket shuffles, string-exact
+- embedding cosine near-dup: exact chunk-pair block matmul (each task
+  holds two row chunks, never the corpus; IVF/SRP is the
+  sub-quadratic path)
 
 Hash family: the vectorized polynomial family in ``hashing.py``
 (DuckDB-expressible, so oracles hash bit-for-bit) — no per-row Python
