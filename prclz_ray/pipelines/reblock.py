@@ -107,7 +107,8 @@ GADM_BOUNDARY_THRESHOLD = 0.001  # degrees — the reference's
 
 
 def feature_type_from_lines(lines_xy: np.ndarray, lines_ftype: list, a, b,
-                            threshold: float = GADM_BOUNDARY_THRESHOLD) -> str:
+                            threshold: float = GADM_BOUNDARY_THRESHOLD,
+                            _memo: dict | None = None) -> str:
     """The reference's ``get_feature_type_from_lines``
     (`reblock/i_topology_utils.py:255-276`, M11 FULL): classify the
     edge (a, b) by the feature type of the typed line nearest each
@@ -115,11 +116,18 @@ def feature_type_from_lines(lines_xy: np.ndarray, lines_ftype: list, a, b,
     is 'gadm_boundary'; mismatched endpoints resolve to 'highway' if
     either is one, else 'natural'."""
     def etype(p) -> str:
+        key = (float(p[0]), float(p[1]))
+        if _memo is not None and key in _memo:
+            return _memo[key]
         if len(lines_xy) == 0:
-            return "gadm_boundary"
-        d2 = point_segments_d2(float(p[0]), float(p[1]), lines_xy)
-        i = int(np.argmin(d2))
-        return "gadm_boundary" if d2[i] > threshold * threshold else lines_ftype[i]
+            ft = "gadm_boundary"
+        else:
+            d2 = point_segments_d2(key[0], key[1], lines_xy)
+            i = int(np.argmin(d2))
+            ft = "gadm_boundary" if d2[i] > threshold * threshold else lines_ftype[i]
+        if _memo is not None:
+            _memo[key] = ft
+        return ft
 
     fa, fb = etype(a), etype(b)
     if fa != fb:
@@ -133,8 +141,10 @@ def barriers_from_lines(g: PlanarGraph, lines_xy: np.ndarray, lines_ftype: list)
     ({edge_key: 'waterway'|'natural'}) — the lines_pgraph path of the
     reference's edge typing."""
     barriers = {}
+    memo: dict = {}  # per-vertex cache: classify each vertex once, not
+    # once per incident edge (avg degree ~4 in a parcel lattice)
     for a, b in g.edges():
-        ftype = feature_type_from_lines(lines_xy, lines_ftype, a, b)
+        ftype = feature_type_from_lines(lines_xy, lines_ftype, a, b, _memo=memo)
         if ftype in ("waterway", "natural"):
             barriers[(a, b)] = ftype
     return barriers

@@ -134,12 +134,17 @@ def _warc_path(sf_dir: str) -> str:
     from .pipelines.derive import CACHE_DIR
     from .sources.warc import write_synth_warc
 
+    import shutil
+    import tempfile
+
     st = os.stat(f"{sf_dir}/documents.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(CACHE_DIR, f"warc_{tag}_{st.st_mtime_ns}_{st.st_size}")
-    marker = os.path.join(root, "_DONE")
-    if not os.path.exists(marker):
-        os.makedirs(root, exist_ok=True)
+    if not os.path.isdir(root):
+        # build into a private tmp dir, publish with an atomic rename
+        # (two racing builders never interleave writes; loser cleans up)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="warc.", dir=CACHE_DIR)
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
         ids = t.column("doc_id").to_pylist()
         srcs = t.column("source").to_pylist()
@@ -148,12 +153,15 @@ def _warc_path(sf_dir: str) -> str:
         for s in range(shards):
             sel = [i for i in range(len(ids)) if ids[i] % shards == s]
             write_synth_warc(
-                os.path.join(root, f"part-{s}.warc"),
+                os.path.join(tmp, f"part-{s}.warc"),
                 [f"https://{srcs[i]}/{ids[i]}" for i in sel],
                 [f"2024-01-01T00:00:{ids[i] % 60:02d}Z" for i in sel],
                 [texts[i].encode() for i in sel],
             )
-        open(marker, "w").close()
+        try:
+            os.replace(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return root
 
 
@@ -784,12 +792,15 @@ def q_corpus_sample(sf_dir: str):
 
     scored = _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
 
+    rate_lut = np.array(
+        [SAMPLE_PER_MILLE[str(k)] for k in range(len(SAMPLE_PER_MILLE))], dtype=np.int64
+    )
+
     def keep(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         bucket = b.column("quality_bucket").to_numpy(zero_copy_only=False)
         h = hash_strings(pc.cast(b.column("doc_id"), pa.string())) % 1000
-        rate = np.array([SAMPLE_PER_MILLE[str(int(q))] for q in bucket], dtype=np.int64)
-        m = h < rate
+        m = h < rate_lut[bucket]
         return pa.table(
             {
                 "doc_id": pa.array(ids[m], pa.int64()),

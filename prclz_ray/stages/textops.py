@@ -181,10 +181,14 @@ def redact_pii(batch: pa.Table) -> pa.Table:
     patterns with typed placeholders, fully vectorized
     (`pc.replace_substring_regex`), plus a per-doc redaction count so
     downstream filters can drop PII-heavy pages."""
-    text = batch.column("text")
+    orig = batch.column("text")
+    text = orig
     total = np.zeros(len(batch), dtype=np.int64)
     for pat, repl in PII_PATTERNS:
-        total += pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        # counts on the ORIGINAL text (oracle parity: the SQL counts
+        # every pattern over `text`, not the progressively-redacted
+        # string — overlapping email/phone matches must agree)
+        total += pc.count_substring_regex(orig, pat).to_numpy(zero_copy_only=False)
         text = pc.replace_substring_regex(text, pat, repl)
     return pa.table(
         {

@@ -797,3 +797,23 @@ def test_warc_roundtrip_framing(ray_session, tmp_path):
     assert t.column("html").to_pylist() == payloads
     df = read_warc([str(p)]).to_pandas()
     assert sorted(df.url) == sorted(urls)
+
+
+def test_redact_pii_overlapping_counts_match_oracle():
+    """Counts run on the ORIGINAL text (oracle semantics): a phone
+    digit-run inside an email address counts under both patterns even
+    though the replacement consumes it."""
+    import duckdb
+    import pyarrow as pa2
+
+    from prclz_ray.queries import _sql_redact_pii
+    from prclz_ray.stages.textops import redact_pii
+
+    texts = ["call 123-456-7890@mail.com now", "a@b.co", "123-456-7890", "clean"]
+    t = pa2.table({"doc_id": pa2.array(range(4), pa2.int64()), "text": pa2.array(texts)})
+    got = redact_pii(t).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute(_sql_redact_pii()).df().sort_values("doc_id")
+    assert got.n_redactions.tolist() == want.n_redactions.tolist() == [2, 1, 1, 0]
+    assert got.clean_text.tolist() == want.clean_text.tolist()
