@@ -44,11 +44,14 @@ def _prepare_amplified(sf_dir: str, amplify: int, n_docs: int) -> str:
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     fingerprint = f"{int(st.st_mtime)}_{st.st_size}"  # invalidates on source change
-    out = f"/tmp/graft_bench/{name}_x{amplify}_{fingerprint}"
+    out = f"/tmp/graft_bench/{name}_x{amplify}_{fingerprint}_v2"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        # strip the pandas schema metadata: Ray's per-task schema-dedup
+        # hashing chokes on the dict and prints a warning per task
+        docs = docs.replace_schema_metadata(None)
         idx = docs.schema.get_field_index("doc_id")
         d = docs.column("doc_id")
         # ~50k rows per shard: big enough that per-task scheduling
