@@ -72,14 +72,13 @@ def _prepare_amplified(sf_dir: str, amplify: int, n_docs: int) -> str:
 def _amplified_pages(sf_dir: str, amplify: int, n_docs: int):
     """Amplified page stream (lazy Dataset): multi-file parquet read →
     synth → geocode → extract → cell index, all zero-copy Arrow."""
-    import ray.data
-
+    from prclz_ray.io import read_parquet_clean
     from prclz_ray.stages.pages import extract_text, geocode, index_cells, synth_pages
 
     if amplify <= 1:
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
     else:
-        ds = ray.data.read_parquet(_prepare_amplified(sf_dir, amplify, n_docs))
+        ds = read_parquet_clean(_prepare_amplified(sf_dir, amplify, n_docs))
     # same stage config as pipelines/flagship.joined_pages
     ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=8192)
     ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=8192)

@@ -23,6 +23,8 @@ the world constants, not on the input scale factor).
 
 from __future__ import annotations
 
+from ..io import read_parquet_clean as _read_parquet_clean
+
 import os
 
 import numpy as np
@@ -476,7 +478,7 @@ def parcels_path() -> str:
     def build():
         import ray.data
 
-        ds = ray.data.read_parquet(blocks_path()).map_batches(
+        ds = _read_parquet_clean(blocks_path()).map_batches(
             parcelize_batch, batch_format="pyarrow"
         )
         return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
@@ -488,7 +490,7 @@ def buildings_path() -> str:
     def build():
         import ray.data
 
-        ds = ray.data.read_parquet(blocks_path()).map_batches(
+        ds = _read_parquet_clean(blocks_path()).map_batches(
             buildings_batch, batch_format="pyarrow"
         )
         return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))

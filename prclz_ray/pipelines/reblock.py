@@ -38,6 +38,8 @@ the tiny building set).
 
 from __future__ import annotations
 
+from ..io import read_parquet_clean as _read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 
@@ -317,7 +319,7 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
 
     from . import derive
 
-    ds = _limit_filter(ray.data.read_parquet(derive.parcels_path()), limit_blocks)
+    ds = _limit_filter(_read_parquet_clean(derive.parcels_path()), limit_blocks)
     # coalesce before the group shuffle: far fewer shuffle partitions
     # than groups means NO empty (schema-less) partitions out of
     # map_groups — the source of Ray's RefBundle schema warnings —

@@ -10,6 +10,8 @@ aliases exactly (driver compares after sorting columns by name).
 
 from __future__ import annotations
 
+from .io import read_parquet_clean as _read_parquet_clean
+
 from typing import Callable, Dict
 
 import numpy as np
@@ -161,7 +163,9 @@ def _warc_path(sf_dir: str) -> str:
         try:
             os.replace(tmp, root)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)  # raced: another build won…
+            if not os.path.isdir(root):
+                raise  # …unless it didn't (permissions / cross-device)
     return root
 
 
@@ -412,7 +416,7 @@ def q_dedup_exact(sf_dir: str):
 
     from .stages.hashing import hash_strings62
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_h62(batch: pa.Table) -> pa.Table:
         h = hash_strings62(batch.column("text"))
@@ -438,7 +442,7 @@ def q_lineitem_pricing(sf_dir: str):
     exact integer cents so they hash identically to the oracle."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/lineitem.parquet")
 
     def partial(batch: pa.Table) -> pa.Table:
         price_c = _cents(batch.column("l_extendedprice"))
@@ -511,7 +515,7 @@ def q_segment_revenue(sf_dir: str):
     c2s[ckey] = cseg
     lookup_ref = ray.put((o2c, c2s))
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -569,7 +573,7 @@ def q_events_hourly(sf_dir: str):
     """Time-bucketed rollup over the events stream table."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet")
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()  # µs epoch
@@ -617,7 +621,7 @@ FROM events GROUP BY 1, 2
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def q_token_counts(sf_dir: str):
@@ -710,7 +714,7 @@ def q_decontaminate(sf_dir: str):
 
     from .stages.dedup import doc_shingle_rows
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
 
     def contaminated(group: pa.Table) -> pa.Table:
@@ -1035,7 +1039,7 @@ def q_dedup_jaccard(sf_dir: str):
         shingle_cooccur_pairs,
     )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
     pairs = rows.groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(add_pair_hash, batch_format="pyarrow")
@@ -1112,7 +1116,7 @@ def q_dedup_corpus(sf_dir: str):
     sig = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
     sig = sig.map_batches(add_bucket_hash, batch_format="pyarrow")
     flagged = sig.groupby("bb").map_groups(band_bucket_drops, batch_format="pyarrow")
-    everyone = ray.data.read_parquet(
+    everyone = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(
         lambda b: pa.table(
@@ -1167,7 +1171,7 @@ def q_ann_topk(sf_dir: str):
     from .stages.similarity import make_topk_fn, merge_topk
 
     qref, _, _, _ = _load_query_vectors(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     local = ds.map_batches(make_topk_fn(qref, k=10), batch_format="pyarrow")
     return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
@@ -1212,7 +1216,7 @@ def q_ann_topk_lsh(sf_dir: str):
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     paths = probed_paths(root, srp_probe_set(bucket_of(qn, planes)))
 
-    ds = ray.data.read_parquet(paths)
+    ds = _read_parquet_clean(paths)
     local = ds.map_batches(
         make_bucketed_topk_fn(qref, planes, k=10), batch_format="pyarrow"
     )
@@ -1244,7 +1248,7 @@ def q_ann_topk_ivf(sf_dir: str):
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     paths = probed_paths(root, ivf_probe(qn, cents).ravel())
 
-    ds = ray.data.read_parquet(paths)
+    ds = _read_parquet_clean(paths)
     local = ds.map_batches(make_ivf_topk_fn(qref, cents, k=10), batch_format="pyarrow")
     return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
@@ -1439,7 +1443,7 @@ def q_block_complexity(sf_dir: str):
     from .pipelines.derive import complexity_group
 
     blocks = pq.read_table(derive.blocks_path())
-    buildings = ray.data.read_parquet(derive.buildings_path())
+    buildings = _read_parquet_clean(derive.buildings_path())
 
     # route each building to its block arithmetically? No — run the real
     # PIP join (small side = blocks) then group per block.
@@ -1505,7 +1509,7 @@ def q_sessionize(sf_dir: str):
 
     from .stages.events import sessionize_group
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return ds.groupby("user_id").map_groups(sessionize_group, batch_format="pyarrow")
 
 
@@ -1542,7 +1546,7 @@ def q_events_sliding(sf_dir: str):
 
     from .stages.events import sliding_window_counts
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     agg = (
         ds.map_batches(sliding_window_counts, batch_format="pyarrow")
         .groupby(["event_type", "window_us"])
@@ -1576,7 +1580,7 @@ def q_event_props(sf_dir: str):
 
     from .stages.events import extract_props_k
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "props"]
     )
     parsed = ds.map_batches(extract_props_k, batch_format="pyarrow")
@@ -1620,7 +1624,7 @@ def q_points_union(sf_dir: str):
 
     from .pipelines import derive
 
-    b = ray.data.read_parquet(derive.buildings_path()).map_batches(
+    b = _read_parquet_clean(derive.buildings_path()).map_batches(
         lambda t: pa.table(
             {
                 "lon_e6": t.column("lon_e6").cast(pa.int64()),
@@ -1629,7 +1633,7 @@ def q_points_union(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    p = ray.data.read_parquet(derive.parcels_path()).map_batches(
+    p = _read_parquet_clean(derive.parcels_path()).map_batches(
         lambda t: pa.table(
             {
                 "lon_e6": t.column("anchor_lon_e6").cast(pa.int64()),
@@ -1690,7 +1694,7 @@ def q_nation_revenue(sf_dir: str):
     exact-integer revenue per nation."""
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda b: pa.table(
@@ -1698,7 +1702,7 @@ def q_nation_revenue(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    cust = ray.data.read_parquet(
+    cust = _read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     joined = orders.join(
@@ -1758,7 +1762,7 @@ def q_block_inventory(sf_dir: str):
 
     from .pipelines import derive
 
-    parcels = ray.data.read_parquet(derive.parcels_path(), columns=["block_id"])
+    parcels = _read_parquet_clean(derive.parcels_path(), columns=["block_id"])
 
     def pcount(b: pa.Table) -> pa.Table:
         return b.group_by("block_id").aggregate([([], "count_all")]).rename_columns(
@@ -1771,7 +1775,7 @@ def q_block_inventory(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    bld = ray.data.read_parquet(derive.buildings_path(), columns=["bldg_id"])
+    bld = _read_parquet_clean(derive.buildings_path(), columns=["bldg_id"])
 
     def bcount(b: pa.Table) -> pa.Table:
         ids = pc.utf8_slice_codeunits(b.column("bldg_id"), 0, 6)
@@ -1990,7 +1994,7 @@ def q_complexity_hist(sf_dir: str):
     complexity cache (T5 semantics) instead of recomputing."""
     import ray.data
 
-    ds = ray.data.read_parquet(_complexity_path())
+    ds = _read_parquet_clean(_complexity_path())
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"k": batch.column("k")})

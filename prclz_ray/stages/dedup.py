@@ -40,8 +40,11 @@ def _shingle_arrays(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
     """(doc_index, shingle_string) for every 3-word shingle in the
     batch, fully vectorized: flat word array → three shifted slices
     joined element-wise. Docs with < SHINGLE words contribute their
-    whole text (split(' ')/join(' ') identity)."""
-    text = batch.column("text")
+    whole text (split(' ')/join(' ') identity). Null text is filled
+    with '' EXPLICITLY (it shingles like the empty string — the same
+    equivalence DuckDB's COALESCE(text,'') oracle fragment would use);
+    without the fill a null length hits an invalid NaN→int64 cast."""
+    text = pc.fill_null(batch.column("text"), "")
     words = pc.split_pattern(text, " ")
     flat = pc.list_flatten(words).combine_chunks()
     par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -302,15 +305,24 @@ def doc_shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def shingle_cooccur_pairs(group: pa.Table) -> pa.Table:
+MAX_SHINGLE_DF = 10_000  # stop-shingle guard: a shingle shared by k
+# docs emits C(k,2) co-occurrence rows; beyond this document-frequency
+# cap the shingle is DROPPED (the standard prefix-filter stop-shingle
+# rule — boilerplate text carries no near-dup signal), bounding one
+# run's output at C(cap,2) and making web-scale memory O(cap²) not
+# O(corpus²). Jaccard then under-counts |A∩B| by the dropped shingles
+# only for pairs sharing a >cap-df shingle; the cap is far above any
+# honest shingle df at test scale (corpus max df ≈ 60), so oracles are
+# unchanged. Mirrors MAX_BUCKET_MEMBERS in band_bucket_pairs.
+
+
+def shingle_cooccur_pairs(group: pa.Table, max_df: int = MAX_SHINGLE_DF) -> pa.Table:
     """One shingle bucket → co-occurrence rows: for every shingle
     shared by docs {d1..dk} in this bucket, the C(k,2) rows
     (doc_a, doc_b, La, Lb) — the inverted-index join. Shared-shingle
     runs are found by one arrow sort; pair expansion is numpy
-    triangle indexing per run. At web scale a stop-phrase shingle
-    with huge df is quadratic here — the prefix-filter +
-    candidate-verify form is the guard for that regime; this corpus's
-    max df is bounded (synthetic phrase vocabulary)."""
+    triangle indexing per run. Runs with df > ``max_df`` are dropped
+    (stop-shingle prefix-filter guard, see MAX_SHINGLE_DF)."""
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -328,7 +340,7 @@ def shingle_cooccur_pairs(group: pa.Table) -> pa.Table:
     for i in range(len(run_start) - 1):
         lo, hi = run_start[i], run_start[i + 1]
         c = hi - lo
-        if c < 2:
+        if c < 2 or c > max_df:  # singleton, or stop-shingle (dropped)
             continue
         ai, bi = np.triu_indices(c, k=1)
         out_a.append(d[lo:hi][ai])
@@ -431,8 +443,10 @@ def make_chunk_pair_fn(path: str, threshold: float = 0.9):
             base += nr
         t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
         t = t.slice(start - first_base, end - start)
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        from .similarity import embedding_matrix
+
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = embedding_matrix(t.column("embedding"))
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         if len(cache) >= 6:
             # evict ONE (oldest) entry — clearing everything would drop

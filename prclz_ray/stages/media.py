@@ -131,8 +131,12 @@ def frame_sample_plan(batch: pa.Table, every_n: int = 10) -> pa.Table:
         bad = d64[starts + k] != magic[k]
         if bad.any():
             raise ValueError(f"bad media blob at row {int(np.argmax(bad))}: magic invalid")
-    width = np.maximum(d64[starts + 4] * 256 + d64[starts + 5], 1)
-    n_frames = np.maximum(lens - 8, 0) // width
+    width = d64[starts + 4] * 256 + d64[starts + 5]
+    # clamp ONLY the frame-count division (guards divide-by-zero on a
+    # degenerate width=0 header); byte_off uses the REAL header width
+    # so offsets stay faithful to the container layout (width=0 rows
+    # emit all their sampled frames at the payload start, offset 8)
+    n_frames = np.maximum(lens - 8, 0) // np.maximum(width, 1)
     k = (n_frames + every_n - 1) // every_n  # sampled frames per row
     total = int(k.sum())
     row = np.repeat(np.arange(len(doc)), k)

@@ -17,6 +17,8 @@ Python row loops.
 
 from __future__ import annotations
 
+from ..io import read_parquet_clean as _read_parquet_clean
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -155,7 +157,7 @@ def pages_dataset(input_dir: str, batch_size: int = 8192):
     the query surface so the two can never diverge."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{input_dir}/documents.parquet")
+    ds = _read_parquet_clean(f"{input_dir}/documents.parquet")
     ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=batch_size)

@@ -22,6 +22,8 @@ tiles overlapping its key range.
 
 from __future__ import annotations
 
+from ..io import read_parquet_clean as _read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 
@@ -122,5 +124,5 @@ def zonal_dataset():
     from ..queries import _epoch_cached
 
     tiles_ref = _epoch_cached("raster_tiles_grid", load_tiles_grid)
-    ds = ray.data.read_parquet(derive.blocks_path())
+    ds = _read_parquet_clean(derive.blocks_path())
     return ds.map_batches(make_zonal_fn(tiles_ref), batch_format="pyarrow")

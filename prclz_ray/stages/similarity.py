@@ -16,10 +16,30 @@ Hive-partitioned by ``bucket`` on disk.
 
 from __future__ import annotations
 
+from ..io import read_parquet_clean as _read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
+
+
+def embedding_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a ``list<float>`` Arrow column via the
+    flat values buffer (``ListArray.flatten`` honors offsets/slices) —
+    one bulk cast instead of per-row ``to_pylist`` on the widest column
+    in these pipelines."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    if (lens != d).any():
+        raise ValueError("embedding_matrix: ragged embedding column")
+    return np.asarray(col.flatten(), dtype=np.float64).reshape(n, d)
 
 
 def _empty_topk() -> pa.Table:
@@ -47,7 +67,7 @@ def make_topk_fn(queries_ref, k: int = 10):
             return _empty_topk()
         side = ray.get(queries_ref)
         qn, q_ids = side["q"], side["ids"]
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb /= np.linalg.norm(emb, axis=1, keepdims=True)
         sim = qn @ emb.T  # (Q, B)
@@ -132,7 +152,7 @@ def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
             cache["q"], cache["ids"] = side["q"], side["ids"]
             cache["probe"] = ivf_probe(cache["q"], centroids, nprobe)
         qn, q_ids, qprobe = cache["q"], cache["ids"], cache["probe"]
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         vlist = np.argmax(emb_n @ centroids.T, axis=1)
@@ -203,22 +223,28 @@ def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
     root = _partition_root(sf_dir, kind)
     if os.path.isdir(root):
         return root
+    err: OSError | None = None
     os.makedirs(CACHE_DIR, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f"emb_{kind}.", dir=CACHE_DIR)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch.column("embedding"))
         emb /= np.linalg.norm(emb, axis=1, keepdims=True)
         return batch.append_column("bucket", pa.array(assign_fn(emb), type=pa.int64()))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["bucket"]
     )
     try:
         os.replace(tmp, root)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # raced: another build won
+    except OSError as e:
+        shutil.rmtree(tmp, ignore_errors=True)  # raced: another build won…
+        err = e
+    if not os.path.isdir(root):
+        # …unless it DIDN'T (permissions / cross-device CACHE_DIR):
+        # surface the real failure instead of a downstream empty read
+        raise err if err is not None else OSError(f"partition root missing: {root}")
     return root
 
 
@@ -273,7 +299,7 @@ def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
             cache["q"], cache["ids"] = side["q"], side["ids"]
             cache["buck"] = bucket_of(cache["q"], planes)
         qn, q_ids, qbuck = cache["q"], cache["ids"], cache["buck"]
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         vbuck = bucket_of(emb_n, planes)

@@ -136,11 +136,16 @@ def lang_id_trigram(batch: pa.Table) -> pa.Table:
     """Char-trigram language ID, vectorized over one flat byte view:
     all texts concatenate into a single uint8 array; trigram codes come
     from three shifted views; per-language hits sum by doc via
-    bincount. Argmax with alphabetical tie-break; all-zero → 'und'."""
-    texts = batch.column("text").to_pylist()
-    n = len(texts)
-    lens = np.array([len(t.encode()) for t in texts], dtype=np.int64)
-    flat = np.frombuffer("".join(texts).encode(), dtype=np.uint8).astype(np.int64)
+    bincount. Argmax with alphabetical tie-break; all-zero → 'und'.
+    Byte lengths and the flat byte array come straight from the Arrow
+    string buffer (``_string_view``) — no ``to_pylist`` / re-encode."""
+    from .hashing import _string_view
+
+    n = len(batch)
+    data, off = _string_view(batch.column("text"))
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    lo, hi = (int(off[0]), int(off[-1])) if len(off) else (0, 0)
+    flat = data[lo:hi].astype(np.int64)
     total = len(flat)
     scores = np.zeros((n, len(TRI_ORDER)), dtype=np.int64)
     if total >= 3:
@@ -218,6 +223,12 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         starts, ends = offsets[:-1], offsets[1:]
         lens = ends - starts
         lo, hi = int(starts[0]), int(ends[-1])
+        if hi > lo and int(data[lo:hi].max()) > 127:
+            # same ASCII-only contract as hash_strings: the gram SQL
+            # oracle hashes CODEPOINTS (ord), this pass hashes BYTES —
+            # identical only for ASCII, so raise instead of silently
+            # diverging from the oracle
+            raise ValueError("fingerprint: non-ASCII input breaks DuckDB oracle parity")
         g = FP_GRAM
         big = np.flatnonzero(lens >= g)
         if len(big) and hi - lo >= g:

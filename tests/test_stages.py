@@ -817,3 +817,75 @@ def test_redact_pii_overlapping_counts_match_oracle():
     want = con.execute(_sql_redact_pii()).df().sort_values("doc_id")
     assert got.n_redactions.tolist() == want.n_redactions.tolist() == [2, 1, 1, 0]
     assert got.clean_text.tolist() == want.clean_text.tolist()
+
+
+def test_stop_shingle_df_cap_bounds_cooccur_output():
+    """A shingle shared by 10^5 docs must NOT emit C(k,2) pair rows:
+    above MAX_SHINGLE_DF the run is dropped (stop-shingle prefix-filter
+    rule), so output stays O(b) while honest shingles still pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.dedup import MAX_SHINGLE_DF, shingle_cooccur_pairs
+
+    k = 100_000
+    assert k > MAX_SHINGLE_DF
+    # one stop-shingle shared by k docs + one honest shingle shared by 2
+    group = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([np.arange(k), [7, 11]]), pa.int64()
+            ),
+            "shingle": pa.array(["the of and"] * k + ["rare gem phrase"] * 2),
+            "L": pa.array(np.full(k + 2, 5), pa.int64()),
+            "sb": pa.array(np.zeros(k + 2), pa.int64()),
+        }
+    )
+    out = shingle_cooccur_pairs(group)
+    # the stop-shingle contributes nothing; the honest pair survives
+    assert out.num_rows == 1
+    assert out.column("doc_a").to_pylist() == [7]
+    assert out.column("doc_b").to_pylist() == [11]
+    # and with the cap lifted the same input is quadratic — the guard
+    # is what bounds it
+    out_nocap = shingle_cooccur_pairs(group.slice(0, 50), max_df=10**9)
+    assert out_nocap.num_rows == 50 * 49 // 2
+
+
+def test_shingle_arrays_null_text_is_explicit_empty():
+    """Null text is filled to '' explicitly (no NaN→int64 cast, no
+    RuntimeWarning) and shingles like the empty string."""
+    import warnings
+
+    import pyarrow as pa
+
+    from prclz_ray.stages.dedup import _shingle_arrays
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta", None])})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning → failure
+        doc_idx, sh = _shingle_arrays(t)
+    by_doc = {}
+    for d, s in zip(doc_idx.tolist(), sh.to_pylist()):
+        by_doc.setdefault(d, []).append(s)
+    assert by_doc[0] == ["alpha beta gamma", "beta gamma delta"]
+    assert by_doc[1] == [""]
+
+
+def test_embedding_matrix_matches_pylist_decode():
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.similarity import embedding_matrix
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    col = pa.chunked_array([pa.array(rows[:1], pa.list_(pa.float32())),
+                            pa.array(rows[1:], pa.list_(pa.float32()))])
+    m = embedding_matrix(col)
+    assert m.dtype == np.float64 and m.shape == (2, 3)
+    assert np.array_equal(m, np.asarray(rows))
+    # sliced column (non-zero offset) decodes correctly too
+    whole = pa.array(rows + [[7.0, 8.0, 9.0]], pa.list_(pa.float32()))
+    assert np.array_equal(embedding_matrix(whole.slice(1, 2)),
+                          np.asarray(rows[1:] + [[7.0, 8.0, 9.0]]))
