@@ -230,6 +230,47 @@ def q_knn_parcels(sf_dir: str):
 SQL_KNN = _WITH_GEO + ", " + _KNN_CTE + " SELECT url, parcel_id, CAST(d2 AS BIGINT) AS dist2 FROM knn"
 
 
+def q_knn_parcels_k3(sf_dir: str):
+    """k-NEAREST parcels per page with rank (k=3) — SURVEY J8's general
+    form (ref analogue: `reblock/i_topology.py:377-394` k-nearest
+    candidate edges). Rank order is (d2, parcel_id); candidates beyond
+    a page's own block are real (2nd/3rd nearest can sit in a
+    neighboring block), so the oracle searches the 3×3 block
+    neighborhood — provably a superset of the true top-3 here (3rd-own
+    ≤ √(65000²+25000²) µdeg < 135000 ≤ any anchor ≥ 2 blocks away)."""
+    from .stages.spatial import make_knn_topk_fn
+
+    _, anchors_ref = _side_refs()
+    ds = _pages(sf_dir).filter(expr="has_geo")
+    return ds.map_batches(make_knn_topk_fn(anchors_ref, k=3), batch_format="pyarrow")
+
+
+SQL_KNN_K3 = (
+    _WITH_GEO
+    + f""",
+cand AS (
+  SELECT doc_id, url,
+    ('B' || printf('%02d', bx + ox) || '_' || printf('%02d', by + oy) || '_P' || p) AS parcel_id,
+    (lon_e6 - ((bx + ox) * {world.BLOCK_E6} + 25000 + (p % 2) * 50000)) ** 2
+  + (lat_e6 - ((by + oy) * {world.BLOCK_E6} + 25000 + (p // 2) * 50000)) ** 2 AS d2
+  FROM pages,
+       (SELECT unnest([-1, 0, 1]) AS ox),
+       (SELECT unnest([-1, 0, 1]) AS oy),
+       (SELECT unnest([0, 1, 2, 3]) AS p)
+  WHERE has_geo
+    AND bx + ox BETWEEN 0 AND {world.N_BLOCKS - 1}
+    AND by + oy BETWEEN 0 AND {world.N_BLOCKS - 1}
+),
+knn3 AS (
+  SELECT url, parcel_id, d2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, parcel_id) AS rnk
+  FROM cand
+  QUALIFY rnk <= 3
+)
+SELECT url, CAST(rnk AS BIGINT) AS rank, parcel_id, CAST(d2 AS BIGINT) AS dist2 FROM knn3"""
+)
+
+
 def q_pip_join_sharded(sf_dir: str):
     """The 100 TB PIP path: polygon side sharded per partitioning cell
     (one ray.put slice per cell), rows routed by cell_r5, per-worker
@@ -261,6 +302,102 @@ def q_knn_parcels_sharded(sf_dir: str):
     ds = _pages(sf_dir).filter(expr="has_geo")
     ds = ds.map_batches(make_knn_sharded_fn(refs), batch_format="pyarrow")
     return ds.select_columns(["url", "parcel_id", "dist2"])
+
+
+# --- hole-aware PIP: donut + MultiPolygon blocks -------------------------
+# A 4×4 grid of 0.1°-pitch cells; the block of cell (i,j) is a
+# MULTIPOLYGON of (a) a donut — outer square with a square HOLE — and
+# (b) a small detached square in the cell's corner. Ring coordinates sit
+# at half-µdeg offsets so integer-µdeg points are never on a boundary
+# (even-odd vs SQL comparisons can't disagree on ties). All bounds in
+# µdeg within a cell:
+_DNT_PITCH = 100_000
+_DNT_GRID = 4
+_DNT_OUT = (1, 79_999)      # outer ring interior (µdeg, inclusive)
+_DNT_HOLE = (20_001, 59_999)  # hole interior — points here DON'T match
+_DNT_PART2 = (85_001, 94_999)  # detached square (MultiPolygon part 2)
+
+
+def _donut_blocks_table() -> pa.Table:
+    from .geom.wkb import wkb_multipolygon
+
+    def sq(x0, x1, y0, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+    ids, gadm, wkbs = [], [], []
+    for i in range(_DNT_GRID):
+        for j in range(_DNT_GRID):
+            bx, by = i * _DNT_PITCH, j * _DNT_PITCH
+            o0, o1 = bx + _DNT_OUT[0] - 0.5, bx + _DNT_OUT[1] + 0.5
+            p0, p1 = by + _DNT_OUT[0] - 0.5, by + _DNT_OUT[1] + 0.5
+            h0, h1 = bx + _DNT_HOLE[0] - 0.5, bx + _DNT_HOLE[1] + 0.5
+            k0, k1 = by + _DNT_HOLE[0] - 0.5, by + _DNT_HOLE[1] + 0.5
+            s0, s1 = bx + _DNT_PART2[0] - 0.5, bx + _DNT_PART2[1] + 0.5
+            t0, t1 = by + _DNT_PART2[0] - 0.5, by + _DNT_PART2[1] + 0.5
+            donut = (sq(o0, o1, p0, p1) / 1e6, [sq(h0, h1, k0, k1) / 1e6])
+            part2 = sq(s0, s1, t0, t1) / 1e6
+            ids.append(f"D{i}_{j}")
+            gadm.append("HOLE")
+            wkbs.append(wkb_multipolygon([donut, part2]))
+    return pa.table(
+        {
+            "block_id": pa.array(ids, pa.string()),
+            "gadm": pa.array(gadm, pa.string()),
+            "geom_wkb": pa.array(wkbs, pa.binary()),
+        }
+    )
+
+
+def q_pip_join_holes(sf_dir: str):
+    """PIP join against HOLE-bearing MultiPolygon blocks — the general
+    (Multi)Polygon case the reference's arbitrary block geometries need
+    (`prclz/blocks/methods.py:38-40`): a point inside a block's hole
+    must NOT match; a point in a detached part must. Points derive
+    deterministically from doc_id so the oracle is pure arithmetic."""
+    from .stages.spatial import make_pip_fn, put_blocks_side
+
+    ref = _epoch_cached("donut_side", lambda: put_blocks_side(_donut_blocks_table()))
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    span = _DNT_GRID * _DNT_PITCH
+
+    def to_points(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lon_e6": pa.array((d * 131) % span, pa.int64()),
+                "lat_e6": pa.array((d * 137) % span, pa.int64()),
+                "has_geo": pa.array(np.ones(len(d), bool)),
+            }
+        )
+
+    ds = docs.map_batches(to_points, batch_format="pyarrow")
+    ds = ds.map_batches(make_pip_fn(ref), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "block_id"])
+
+
+_DNT_SPAN = _DNT_GRID * _DNT_PITCH
+SQL_PIP_HOLES = f"""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id * 131) % {_DNT_SPAN} AS px,
+         (doc_id * 137) % {_DNT_SPAN} AS py
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN (
+      px % {_DNT_PITCH} BETWEEN {_DNT_OUT[0]} AND {_DNT_OUT[1]}
+      AND py % {_DNT_PITCH} BETWEEN {_DNT_OUT[0]} AND {_DNT_OUT[1]}
+      AND NOT (px % {_DNT_PITCH} BETWEEN {_DNT_HOLE[0]} AND {_DNT_HOLE[1]}
+               AND py % {_DNT_PITCH} BETWEEN {_DNT_HOLE[0]} AND {_DNT_HOLE[1]})
+    ) OR (
+      px % {_DNT_PITCH} BETWEEN {_DNT_PART2[0]} AND {_DNT_PART2[1]}
+      AND py % {_DNT_PITCH} BETWEEN {_DNT_PART2[0]} AND {_DNT_PART2[1]}
+    )
+  THEN 'D' || CAST(px // {_DNT_PITCH} AS VARCHAR) || '_' || CAST(py // {_DNT_PITCH} AS VARCHAR)
+  END AS block_id
+FROM p
+"""
 
 
 def q_tile_rollup(sf_dir: str):
@@ -2066,6 +2203,8 @@ QUERIES: Dict[str, Callable] = {
     "aoi_polygon_filter": q_aoi_polygon_filter,
     "knn_parcels_sharded": q_knn_parcels_sharded,
     "events_sliding": q_events_sliding,
+    "pip_join_holes": q_pip_join_holes,
+    "knn_parcels_k3": q_knn_parcels_k3,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2117,6 +2256,8 @@ ORACLES: Dict[str, str] = {
     "aoi_polygon_filter": _sql_aoi(),
     "knn_parcels_sharded": SQL_KNN,  # halo'd shards ≡ broadcast
     "events_sliding": SQL_EVENTS_SLIDING,
+    "pip_join_holes": SQL_PIP_HOLES,
+    "knn_parcels_k3": SQL_KNN_K3,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -26,24 +26,57 @@ from ..geom.wkb import parse_wkb
 # ---------------------------------------------------------------------------
 # broadcast side-table builders (driver side)
 
+def _all_rings(wkb: bytes) -> list[np.ndarray]:
+    """Every ring of a (Multi)Polygon WKB — exterior(s) AND holes.
+
+    Even-odd crossing counted over ALL rings of a block is exact for
+    holes (a point in a hole crosses outer+hole = even) and for
+    MultiPolygon parts (disjoint parts contribute even counts unless the
+    point is inside one). Reference blocks are arbitrary (Multi)Polygons
+    (`prclz/blocks/methods.py:38-40`)."""
+    gtype, payload = parse_wkb(wkb)
+    if gtype == 3:  # Polygon: [exterior, hole, ...]
+        return list(payload)
+    if gtype == 6:  # MultiPolygon: [[exterior, hole, ...], ...]
+        return [r for part in payload for r in part]
+    raise ValueError(f"block geometry must be (Multi)Polygon, got WKB type {gtype}")
+
+
 def put_blocks_side(blocks: pa.Table) -> "ray.ObjectRef":
     """Blocks table → object-store broadcast handle for PIPJoinActor.
 
     Ships plain numpy arrays (bboxes in µdeg, ring coords, ids) — no
-    python geometry objects cross task boundaries.
+    python geometry objects cross task boundaries. ALL rings of each
+    block are packed (holes + MultiPolygon parts), contiguously per
+    block: ``offsets`` indexes blocks into ``coords``, ``ring_offsets``
+    indexes rings (the per-ring segment wrap points).
     """
     ids = np.asarray(blocks.column("block_id").to_pylist())
     gadm = np.asarray(blocks.column("gadm").to_pylist())
     wkbs = blocks.column("geom_wkb").to_pylist()
-    rings = [parse_wkb(w)[1][0] for w in wkbs]
-    bboxes = np.array(
-        [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()] for r in rings]
-    )
-    # rings are ragged: pack into one coord array + offsets
-    lens = np.array([len(r) for r in rings])
-    offsets = np.concatenate([[0], np.cumsum(lens)])
+    ring_lists = [_all_rings(w) for w in wkbs]
+    rings = [r for rl in ring_lists for r in rl]
+    poly_len = np.array([sum(len(r) for r in rl) for rl in ring_lists], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(poly_len)])
+    ring_len = np.array([len(r) for r in rings], dtype=np.int64)
+    ring_offsets = np.concatenate([[0], np.cumsum(ring_len)])
     coords = np.concatenate(rings, axis=0) if rings else np.empty((0, 2))
-    return ray.put({"ids": ids, "gadm": gadm, "bboxes": bboxes, "coords": coords, "offsets": offsets})
+    bboxes = np.array(
+        [
+            [c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
+            for c in (coords[offsets[i] : offsets[i + 1]] for i in range(len(ids)))
+        ]
+    )
+    return ray.put(
+        {
+            "ids": ids,
+            "gadm": gadm,
+            "bboxes": bboxes,
+            "coords": coords,
+            "offsets": offsets,
+            "ring_offsets": ring_offsets,
+        }
+    )
 
 
 def put_anchors_side(parcels: pa.Table) -> "ray.ObjectRef":
@@ -74,13 +107,18 @@ class PIPJoinActor:
         bboxes = np.asarray(side["bboxes"], dtype=np.float64).reshape(-1, 4)
         self._bboxes = bboxes
         self.tree = STRtree(bboxes)  # general-path fallback (degenerate pitches)
-        # next-vertex array aligned with coords (wraps within each ring)
-        # so the exact test expands (point, polygon) pairs to segments
-        # with zero per-polygon Python work
+        # next-vertex array aligned with coords (wraps within each RING
+        # — a polygon may pack several rings: holes / multi-parts) so
+        # the exact test expands (point, polygon) pairs to segments
+        # with zero per-polygon Python work; crossing counts sum over
+        # every ring of the polygon (even-odd incl. holes)
+        ring_offsets = side.get("ring_offsets")
+        if ring_offsets is None:  # legacy side dict: one ring per polygon
+            ring_offsets = self.offsets
         nxt = np.arange(1, len(self.coords) + 1, dtype=np.int64)
-        nxt[self.offsets[1:] - 1] = self.offsets[:-1]  # ring end → ring start
+        nxt[ring_offsets[1:] - 1] = ring_offsets[:-1]  # ring end → ring start
         self.coords_next = self.coords[nxt] if len(self.coords) else self.coords
-        self.ring_len = np.diff(self.offsets)
+        self.ring_len = np.diff(self.offsets)  # TOTAL vertices per polygon
 
         # CSR uniform-grid candidate index for point queries: pitch =
         # median bbox extent (each polygon lands in O(1) buckets); ~6×
@@ -221,9 +259,13 @@ def put_blocks_side_by_cell(blocks: pa.Table, res: int | None = None) -> dict:
     wkbs = blocks.column("geom_wkb").to_pylist()
     by_cell: dict = {}
     for i, w in enumerate(wkbs):
-        ring = parse_wkb(w)[1][0]
-        for cid in polygon_covering_cells(ring, res):
-            by_cell.setdefault(int(cid), []).append(i)
+        gtype, payload = parse_wkb(w)
+        exteriors = [payload[0]] if gtype == 3 else [part[0] for part in payload]
+        cells: set = set()
+        for ring in exteriors:  # holes lie inside an exterior → no extra cells
+            cells.update(int(c) for c in polygon_covering_cells(ring, res))
+        for cid in cells:
+            by_cell.setdefault(cid, []).append(i)
     refs = {}
     for cid, idxs in by_cell.items():
         refs[cid] = put_blocks_side(blocks.take(pa.array(idxs, pa.int64())))
@@ -375,6 +417,46 @@ def make_knn_fn(anchors_ref):
     return knn_assign
 
 
+def make_knn_topk_fn(anchors_ref, k: int):
+    """Task-mode k>1 kNN: flat_map shape — each geo row explodes into
+    ≤ k ranked rows (url, rank, parcel_id, dist2), rank 1 = nearest,
+    order (d2, parcel_id). SURVEY J8's general form."""
+
+    def knn_topk(batch: pa.Table) -> pa.Table:
+        a = _cached("knn", KNNAnchorActor, anchors_ref)
+        lat = batch.column("lat_e6").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch.column("lon_e6").to_numpy(zero_copy_only=False).astype(np.int64)
+        has = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(has)
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "parcel_id": pa.array([], pa.string()),
+                "dist2": pa.array([], pa.int64()),
+            }
+        )
+        if not len(sel):
+            return empty
+        idx, d2 = a.topk(lon[sel], lat[sel], k)
+        valid = idx >= 0  # filled left-to-right per row
+        counts = valid.sum(axis=1)
+        rows = np.repeat(sel, counts)
+        if not len(rows):
+            return empty
+        flat = valid.ravel()
+        return pa.table(
+            {
+                "url": batch.column("url").take(pa.array(rows, pa.int64())),
+                "rank": pa.array(np.tile(np.arange(1, k + 1), len(sel))[flat], pa.int64()),
+                "parcel_id": pa.array(a.ids[idx.ravel()[flat]].tolist(), pa.string()),
+                "dist2": pa.array(d2.ravel()[flat], pa.int64()),
+            }
+        )
+
+    return knn_topk
+
+
 # ---------------------------------------------------------------------------
 # kNN anchor actor
 
@@ -398,6 +480,14 @@ class KNNAnchorActor:
         self.ax = side["ax"]
         self.ay = side["ay"]
         self.k = k
+        # canonical anchor order: lexicographic by id, so the packed-key
+        # (d2, index) tie-break is EXACTLY (d2, parcel_id) — the only
+        # tie rule an oracle can express (table row order is a Ray
+        # artifact, not a contract)
+        order = np.argsort(self.ids, kind="stable")
+        self.ids = self.ids[order]
+        self.ax = self.ax[order]
+        self.ay = self.ay[order]
         if len(self.ids) >= self.MAX_ANCHORS:
             raise ValueError(
                 f"{len(self.ids)} anchors exceed the per-actor packed-key "
@@ -460,16 +550,17 @@ class KNNAnchorActor:
             r += 1
         return best_i, best_d2
 
-    def _nearest_3x3(self, lon: np.ndarray, lat: np.ndarray):
-        """Vectorized nearest-anchor over each point's 3×3 bucket
-        neighborhood. Returns (anchor_idx, d2); anchor_idx = -1 where
-        the neighborhood is empty. Ties broken by smallest anchor index
-        (lexicographic (d2, id) min)."""
+    def _keys_3x3(self, lon: np.ndarray, lat: np.ndarray):
+        """Candidate expansion over each point's 3×3 bucket neighborhood:
+        returns (pt_of_cand, packed key, tot candidates per point). The
+        key packs lexicographic (d2, anchor index) into one int64:
+        d2 < 2·(3·BUCKET)² ≈ 2^38 in-grid (clipped at 2^41 for safety)
+        and anchor index < 2^21 (guarded in __init__) → key < 2^63.
+        Grid-edge cell clipping can emit DUPLICATE candidates (same
+        point, same anchor) — harmless for min, dedup'd in _topk_3x3."""
         n = len(lon)
         pbx = np.clip(lon // self.BUCKET_E6 - self.gx0, 0, self.gw - 1)
         pby = np.clip(lat // self.BUCKET_E6 - self.gy0, 0, self.gh - 1)
-        # (n, 9) neighbor cells, clipped to the grid (clipped dups are
-        # harmless: same candidates, min unchanged)
         off = np.array([-1, 0, 1], dtype=np.int64)
         nbx = np.clip(pbx[:, None] + off[None, :], 0, self.gw - 1)  # (n,3)
         nby = np.clip(pby[:, None] + off[None, :], 0, self.gh - 1)
@@ -489,20 +580,112 @@ class KNNAnchorActor:
         dx = lon[pair_pt] - self.ax[cand]
         dy = lat[pair_pt] - self.ay[cand]
         d2 = dx * dx + dy * dy
-        # lexicographic (d2, anchor) min per point packed into int64:
-        # d2 < 2·(3·BUCKET)² ≈ 2^38 in-grid (clipped at 2^41 for safety)
-        # and anchor index < 2^21 (guarded in __init__) → key < 2^63
         key = np.minimum(d2, (1 << 41) - 1) * (1 << 21) + cand
+        return pair_pt, key, tot
 
+    def _nearest_3x3(self, lon: np.ndarray, lat: np.ndarray):
+        """Vectorized nearest-anchor over each point's 3×3 bucket
+        neighborhood. Returns (anchor_idx, d2); anchor_idx = -1 where
+        the neighborhood is empty. Ties broken by smallest anchor index
+        (lexicographic (d2, id) min)."""
+        n = len(lon)
+        pair_pt, key, tot = self._keys_3x3(lon, lat)
         best = np.full(n, -1, dtype=np.int64)
         best_d2 = np.full(n, -1, dtype=np.int64)
         has_cand = tot > 0
-        if total:
+        if len(key):
             pstarts = np.concatenate([[0], np.cumsum(tot)[:-1]])[has_cand]
             mins = np.minimum.reduceat(key, pstarts)
             best[has_cand] = mins % (1 << 21)
             best_d2[has_cand] = mins >> 21
         return best, best_d2
+
+    def _topk_3x3(self, lon: np.ndarray, lat: np.ndarray, k: int):
+        """Vectorized top-k anchors per point from the 3×3 neighborhood:
+        one lexsort on (point, packed key) → consecutive-duplicate drop
+        (grid-edge clipping) → first k of each point's run. Returns
+        (idx (n,k), d2 (n,k)) filled left-to-right, -1-padded."""
+        n = len(lon)
+        idx_out = np.full((n, k), -1, dtype=np.int64)
+        d2_out = np.full((n, k), -1, dtype=np.int64)
+        pair_pt, key, _tot = self._keys_3x3(lon, lat)
+        if not len(key):
+            return idx_out, d2_out
+        order = np.lexsort((key, pair_pt))
+        pt_s, key_s = pair_pt[order], key[order]
+        keep = np.concatenate(
+            [[True], (pt_s[1:] != pt_s[:-1]) | (key_s[1:] != key_s[:-1])]
+        )
+        pt_s, key_s = pt_s[keep], key_s[keep]
+        first = np.concatenate([[True], pt_s[1:] != pt_s[:-1]])
+        run_start = np.flatnonzero(first)
+        pos = np.arange(len(pt_s), dtype=np.int64) - run_start[np.cumsum(first) - 1]
+        take = pos < k
+        idx_out[pt_s[take], pos[take]] = key_s[take] % (1 << 21)
+        d2_out[pt_s[take], pos[take]] = key_s[take] >> 21
+        return idx_out, d2_out
+
+    def _topk_exact(self, lon: int, lat: int, k: int):
+        """Exact top-k by Chebyshev ring expansion (the per-point slow
+        path behind the 3×3 guard). Stopping rule: any anchor in ring r
+        is ≥ (r-1)·BUCKET away, so stop once k found AND
+        (r-1)²·BUCKET² > k-th best d2. Returns [(idx, d2)] sorted by
+        (d2, idx), ≤ k entries."""
+        bx, by = int(lon // self.BUCKET_E6), int(lat // self.BUCKET_E6)
+        cand: list[np.ndarray] = []
+        best: np.ndarray | None = None  # (m, 2) [d2, idx] sorted rows
+        r = 0
+        while r <= 4096:
+            if (
+                best is not None
+                and len(best) >= k
+                and (r - 1) > 0
+                and ((r - 1) * self.BUCKET_E6) ** 2 > best[k - 1, 0]
+            ):
+                break
+            if r == 0:
+                cells = [(bx, by)]
+            else:
+                cells = [(cx, by - r) for cx in range(bx - r, bx + r + 1)]
+                cells += [(cx, by + r) for cx in range(bx - r, bx + r + 1)]
+                cells += [(bx - r, cy) for cy in range(by - r + 1, by + r)]
+                cells += [(bx + r, cy) for cy in range(by - r + 1, by + r)]
+            for c in cells:
+                b = self.buckets.get(c)
+                if b is None:
+                    continue
+                dx = lon - self.ax[b]
+                dy = lat - self.ay[b]
+                cand.append(np.stack([dx * dx + dy * dy, b], axis=1))
+            if cand:
+                allc = np.concatenate(cand)
+                order = np.lexsort((allc[:, 1], allc[:, 0]))
+                best = allc[order[: max(k, 1)]]
+                cand = [best]
+            r += 1
+        if best is None:
+            return []
+        return [(int(i), int(d)) for d, i in best[:k]]
+
+    def topk(self, lon: np.ndarray, lat: np.ndarray, k: int):
+        """Exact k-nearest anchors per point (µdeg int coords): the
+        vectorized 3×3 pass with the per-point exactness guard — a
+        point whose k-th 3×3 answer is at-or-beyond one bucket width
+        (or that found < k candidates) re-runs on the ring-expansion
+        path (anchors in ring 2+ are ≥ BUCKET away; strict <, so exact
+        ties fall through to the exact path's (d2, id) order)."""
+        idx, d2 = self._topk_3x3(lon, lat, k)
+        found = (idx >= 0).sum(axis=1)
+        kth_d2 = d2[np.arange(len(lon)), np.maximum(found - 1, 0)]
+        lim = self.BUCKET_E6 * self.BUCKET_E6
+        ok = (found == min(k, len(self.ids))) & (kth_d2 < lim)
+        for i in np.flatnonzero(~ok):
+            idx[i, :] = -1
+            d2[i, :] = -1
+            for r, (ai, ad2) in enumerate(self._topk_exact(int(lon[i]), int(lat[i]), k)):
+                idx[i, r] = ai
+                d2[i, r] = ad2
+        return idx, d2
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat_e6").to_numpy(zero_copy_only=False).astype(np.int64)

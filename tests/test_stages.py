@@ -889,3 +889,54 @@ def test_embedding_matrix_matches_pylist_decode():
     whole = pa.array(rows + [[7.0, 8.0, 9.0]], pa.list_(pa.float32()))
     assert np.array_equal(embedding_matrix(whole.slice(1, 2)),
                           np.asarray(rows[1:] + [[7.0, 8.0, 9.0]]))
+
+
+def test_pip_hole_and_multipart_semantics(ray_session):
+    """Even-odd over ALL rings: point in a block's hole does not match;
+    point in a detached MultiPolygon part does; hole-x-only does."""
+    import numpy as np
+
+    from prclz_ray.queries import _donut_blocks_table
+    from prclz_ray.stages.spatial import PIPJoinActor, put_blocks_side
+
+    j = PIPJoinActor(put_blocks_side(_donut_blocks_table()))
+    lon = np.array([0.010, 0.040, 0.090, 0.0999, 0.040, 0.140])
+    lat = np.array([0.010, 0.040, 0.090, 0.0999, 0.010, 0.110])
+    got = j._match(lon, lat)
+    ids = [j.ids[g] if g >= 0 else None for g in got]
+    assert ids == ["D0_0", None, "D0_0", None, "D0_0", "D1_1"]
+
+
+def test_knn_topk_matches_bruteforce(ray_session):
+    """topk (3x3 fast path + ring-expansion fallback) == brute force
+    with (d2, parcel_id) order, on a sparse anchor field where many
+    points need ring expansion; table row order is shuffled to prove
+    the canonical id sort, not insertion order, breaks ties."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.spatial import KNNAnchorActor, put_anchors_side
+
+    rng = np.random.default_rng(7)
+    n_anchor, n_pt, k = 40, 200, 3
+    ax = rng.integers(0, 3_000_000, n_anchor)
+    ay = rng.integers(0, 3_000_000, n_anchor)
+    ids = [f"A{i:03d}" for i in range(n_anchor)]
+    perm = rng.permutation(n_anchor)  # shuffled insertion order
+    t = pa.table(
+        {
+            "parcel_id": pa.array([ids[i] for i in perm]),
+            "anchor_lon_e6": pa.array(ax[perm], pa.int64()),
+            "anchor_lat_e6": pa.array(ay[perm], pa.int64()),
+        }
+    )
+    a = KNNAnchorActor(put_anchors_side(t), k=k)
+    px = rng.integers(0, 3_000_000, n_pt)
+    py = rng.integers(0, 3_000_000, n_pt)
+    idx, d2 = a.topk(px, py, k)
+    # brute force in canonical (id-sorted == index) order
+    D = (px[:, None] - ax[None, :]) ** 2 + (py[:, None] - ay[None, :]) ** 2
+    for i in range(n_pt):
+        order = np.lexsort((np.arange(n_anchor), D[i]))[:k]
+        assert idx[i].tolist() == order.tolist(), i
+        assert d2[i].tolist() == D[i][order].tolist(), i
