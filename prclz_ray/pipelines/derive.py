@@ -222,6 +222,104 @@ def extract_blocks_buffered_group(group: pa.Table) -> pa.Table:
     return _block_rows_table(out)
 
 
+def periphery_filter(blocks: pa.Table, boundary_ring: np.ndarray) -> pa.Table:
+    """M8 periphery filter, the reference's exact rule: drop every block
+    that INTERSECTS the buffered region boundary
+    (`prclz/blocks/extraction.py:58-59` —
+    ``not mp_border.intersects(block)``); blocks strictly inside the
+    buffered region AND blocks fully outside it both survive.
+
+    ``boundary_ring``: the buffered region's boundary as a closed ring
+    (degrees). A block intersects it iff (a) its vertices straddle the
+    ring (some in, some out), (b) a ring vertex lies inside the block,
+    or (c) a block edge crosses/touches a ring edge (catches edges
+    passing through with both endpoints outside). All three tests are
+    vectorized over the flat packed block rings.
+    """
+    from ..geom.core import point_in_polygon, points_in_polygon
+    from ..geom.wkb import parse_wkb
+
+    n = blocks.num_rows
+    if n == 0:
+        return blocks
+    rings = [parse_wkb(w)[1][0] for w in blocks.column("geom_wkb").to_pylist()]
+    lens = np.array([len(r) for r in rings], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.concatenate(rings, axis=0)
+    block_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    # (a) vertex straddle: per-block count of vertices inside the ring
+    vin = points_in_polygon(boundary_ring, flat[:, 0], flat[:, 1])
+    cnt_in = np.bincount(block_of, weights=vin, minlength=n).astype(np.int64)
+    mixed = (cnt_in > 0) & (cnt_in < lens)
+
+    # (b) ring vertex inside a block (few ring vertices; bbox prefilter)
+    bvert = np.zeros(n, dtype=bool)
+    bx0 = np.array([r[:, 0].min() for r in rings])
+    bx1 = np.array([r[:, 0].max() for r in rings])
+    by0 = np.array([r[:, 1].min() for r in rings])
+    by1 = np.array([r[:, 1].max() for r in rings])
+    for qx, qy in boundary_ring[:-1] if np.array_equal(
+        boundary_ring[0], boundary_ring[-1]
+    ) else boundary_ring:
+        cand = np.flatnonzero((bx0 <= qx) & (qx <= bx1) & (by0 <= qy) & (qy <= by1))
+        for i in cand:
+            if point_in_polygon(rings[i], float(qx), float(qy)):
+                bvert[i] = True
+
+    # (c) edge × ring-edge intersection (proper or touching), fully
+    # broadcast: block edges (E) × ring edges (K)
+    nxt = np.arange(1, len(flat) + 1, dtype=np.int64)
+    nxt[off[1:] - 1] = off[:-1]
+    A0, A1 = flat, flat[nxt]
+    B = boundary_ring
+    if not np.array_equal(B[0], B[-1]):
+        B = np.vstack([B, B[:1]])
+    B0, B1 = B[:-1], B[1:]
+
+    def _cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    d1 = _cross(B0[None, :, 0], B0[None, :, 1], B1[None, :, 0], B1[None, :, 1],
+                A0[:, None, 0], A0[:, None, 1])
+    d2 = _cross(B0[None, :, 0], B0[None, :, 1], B1[None, :, 0], B1[None, :, 1],
+                A1[:, None, 0], A1[:, None, 1])
+    d3 = _cross(A0[:, None, 0], A0[:, None, 1], A1[:, None, 0], A1[:, None, 1],
+                B0[None, :, 0], B0[None, :, 1])
+    d4 = _cross(A0[:, None, 0], A0[:, None, 1], A1[:, None, 0], A1[:, None, 1],
+                B1[None, :, 0], B1[None, :, 1])
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    # touching (endpoint/collinear) counts as intersecting — exact
+    # point-on-segment rule: d==0 puts the endpoint on the other
+    # segment's LINE; within that segment's bbox ⇒ on the segment.
+    # (A degenerate closed-ring edge A0==A1 has d3==d4==0 always; the
+    # bbox gate reduces it to a true vertex-on-boundary test.)
+    ex0 = np.minimum(A0[:, 0], A1[:, 0])[:, None]
+    ex1 = np.maximum(A0[:, 0], A1[:, 0])[:, None]
+    ey0 = np.minimum(A0[:, 1], A1[:, 1])[:, None]
+    ey1 = np.maximum(A0[:, 1], A1[:, 1])[:, None]
+    kx0 = np.minimum(B0[:, 0], B1[:, 0])[None, :]
+    kx1 = np.maximum(B0[:, 0], B1[:, 0])[None, :]
+    ky0 = np.minimum(B0[:, 1], B1[:, 1])[None, :]
+    ky1 = np.maximum(B0[:, 1], B1[:, 1])[None, :]
+
+    def _on(px, py, x0, x1, y0, y1):
+        return (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+
+    touch = (
+        ((d1 == 0) & _on(A0[:, None, 0], A0[:, None, 1], kx0, kx1, ky0, ky1))
+        | ((d2 == 0) & _on(A1[:, None, 0], A1[:, None, 1], kx0, kx1, ky0, ky1))
+        | ((d3 == 0) & _on(B0[None, :, 0], B0[None, :, 1], ex0, ex1, ey0, ey1))
+        | ((d4 == 0) & _on(B1[None, :, 0], B1[None, :, 1], ex0, ex1, ey0, ey1))
+    )
+    ecross = np.zeros(n, dtype=bool)
+    hit_edges = np.flatnonzero((proper | touch).any(axis=1))
+    ecross[np.unique(block_of[hit_edges])] = True
+
+    keep = ~(mixed | bvert | ecross)
+    return blocks.filter(pa.array(keep))
+
+
 # the reference's BlockExtractionMethod plugin registry
 # (`prclz/blocks/methods.py:11-14,109`)
 EXTRACTION_METHODS = {

@@ -49,11 +49,13 @@ def joined_pages(
     knn_concurrency=(1, 4),
     batch_size: int = 8192,
     mode: str = "task",
+    errors_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """documents.parquet → joined pages Dataset (lazy, streaming).
 
     Columns out: doc_id, url, warc_ts, text, lang, n_chars, has_geo,
-    lat_e6, lon_e6, cell_r5, cell_r7, block_id, gadm, parcel_id, dist2.
+    lat_e6, lon_e6, cell_r5, cell_r7, block_id, gadm, parcel_id, dist2
+    (+ ``extract_error`` when no ``errors_dir`` routes failures aside).
 
     ``mode="task"`` (default) runs the stateful join stages as tasks
     with a per-worker index cache (elastic, fastest single-node);
@@ -62,7 +64,7 @@ def joined_pages(
     """
     if blocks_ref is None or anchors_ref is None:
         blocks_ref, anchors_ref = load_side_tables()
-    ds = pages_dataset(input_dir, batch_size=batch_size)
+    ds = pages_dataset(input_dir, batch_size=batch_size, errors_dir=errors_dir)
     if mode == "task":
         ds = ds.map_batches(
             make_pip_fn(blocks_ref), batch_size=batch_size, batch_format="pyarrow"
@@ -218,8 +220,14 @@ def run_flagship(
     for key in manifest.completed() - done:
         manifest.unmark(key)
 
+    # extraction failures leave the stream as dead-letter parquet under
+    # <out>/_errors (url + reason) instead of null-text rows in the
+    # assignment table; file names are content-hashed → retry-idempotent
     ds = joined_pages(
-        input_dir, pip_concurrency=pip_concurrency, knn_concurrency=knn_concurrency
+        input_dir,
+        pip_concurrency=pip_concurrency,
+        knn_concurrency=knn_concurrency,
+        errors_dir=os.path.join(out_dir, "_errors"),
     )
     if done:
         done_arr = pa.array(sorted(int(k) for k in done), pa.int64())

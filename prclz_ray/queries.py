@@ -1462,6 +1462,57 @@ FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world
 """
 
 
+# --- M8 periphery filter -------------------------------------------------
+# Region-of-interest rectangle (µdeg) whose BUFFERED boundary cuts
+# straight through block interiors on all four sides: x = 350000 lands
+# inside column bx=3 (302000..398000), x = 7352000 inside bx=73, etc.
+PERIPHERY_REGION_E6 = (351_000, 251_000, 7_351_000, 8_251_000)  # rx0 ry0 rx1 ry1
+PERIPHERY_BUF_E6 = 1_000  # reference default buffer_radius=0.001°
+
+
+def _periphery_boundary_ring() -> np.ndarray:
+    rx0, ry0, rx1, ry1 = PERIPHERY_REGION_E6
+    b = PERIPHERY_BUF_E6
+    x0, y0, x1, y1 = rx0 - b, ry0 - b, rx1 + b, ry1 + b
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    ) / 1e6
+
+
+def q_blocks_periphery(sf_dir: str):
+    """M8 periphery filter EXACT semantics (ref
+    `prclz/blocks/extraction.py:58-59`): blocks intersecting the
+    buffered region boundary are dropped; strictly-inside and
+    fully-outside blocks survive. The boundary rectangle is placed so
+    it clips block interiors on all four sides — the case the grid
+    world never exercised before."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+
+    t = pq.read_table(derive.blocks_path())
+    kept = derive.periphery_filter(t, _periphery_boundary_ring())
+    return kept.select(
+        ["block_id", "gadm", "bx", "by", "xmin_e6", "ymin_e6", "xmax_e6", "ymax_e6"]
+    )
+
+
+def _sql_blocks_periphery() -> str:
+    rx0, ry0, rx1, ry1 = PERIPHERY_REGION_E6
+    b = PERIPHERY_BUF_E6
+    x0, y0, x1, y1 = rx0 - b, ry0 - b, rx1 + b, ry1 + b
+    # axis-aligned exact rule: intersects-boundary ⇔ overlaps the
+    # buffered rect but is not strictly inside it
+    return f"""
+WITH blocks AS ({SQL_BLOCKS_DERIVED})
+SELECT * FROM blocks
+WHERE NOT (
+  xmax_e6 > {x0} AND xmin_e6 < {x1} AND ymax_e6 > {y0} AND ymin_e6 < {y1}
+  AND NOT (xmin_e6 > {x0} AND xmax_e6 < {x1} AND ymin_e6 > {y0} AND ymax_e6 < {y1})
+)
+"""
+
+
 PARCEL_LADDER_LIMIT = 60  # blocks through the segmentize ladder per run
 
 
@@ -2205,6 +2256,7 @@ QUERIES: Dict[str, Callable] = {
     "events_sliding": q_events_sliding,
     "pip_join_holes": q_pip_join_holes,
     "knn_parcels_k3": q_knn_parcels_k3,
+    "blocks_periphery": q_blocks_periphery,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2258,6 +2310,7 @@ ORACLES: Dict[str, str] = {
     "events_sliding": SQL_EVENTS_SLIDING,
     "pip_join_holes": SQL_PIP_HOLES,
     "knn_parcels_k3": SQL_KNN_K3,
+    "blocks_periphery": _sql_blocks_periphery(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -106,18 +106,64 @@ def synth_pages(batch: pa.Table) -> pa.Table:
     )
 
 
+EXTRACT_ERR = "extract_error"
+_ERR_NO_ARTICLE = "no <article> element in html"
+
+
 def extract_text(batch: pa.Table) -> pa.Table:
     """html → extracted text (byte-identical to the original corpus text).
 
     Drops the wide ``html`` column immediately after extraction so it
     never enters a shuffle (SURVEY.md §7.4 "wide binary rows").
+
+    Malformed pages (the ``<article>`` regex misses) get null ``text``
+    plus a reason in the ``extract_error`` column — the dead-letter
+    marker ``make_dead_letter_fn`` routes to a side sink, mirroring the
+    reference's per-feature ``error_{index}`` files
+    (`midway/midway_blocks.py:45-48`). A miss is never silent.
     """
     html = batch.column("html").cast(pa.large_string())
     body = pc.struct_field(pc.extract_regex(html, _ARTICLE_RE), "body")
     extracted = _unescape(body).cast(pa.large_string())
     cols = {name: batch.column(name) for name in batch.column_names if name != "html"}
     cols["text"] = extracted
+    cols[EXTRACT_ERR] = pc.if_else(
+        pc.is_valid(body),
+        pa.scalar(None, pa.string()),
+        pa.scalar(_ERR_NO_ARTICLE, pa.string()),
+    )
     return pa.table(cols)
+
+
+def make_dead_letter_fn(errors_dir: str):
+    """Dead-letter split stage: rows whose ``extract_error`` is set are
+    written to ``errors_dir`` as (url, extract_error) parquet and
+    REMOVED from the stream; clean rows pass through without the marker
+    column. The side file is named by a content hash of its error urls,
+    so a retried task rewrites the same file — idempotent, not
+    duplicated (the footer-walk counting rule applied to the DLQ)."""
+    import pyarrow.parquet as pq
+
+    def dead_letter(batch: pa.Table) -> pa.Table:
+        err = pc.is_valid(batch.column(EXTRACT_ERR))
+        if pc.any(err).as_py():
+            import hashlib
+            import os
+
+            bad = batch.filter(err)
+            side = pa.table(
+                {"url": bad.column("url").cast(pa.string()),
+                 "extract_error": bad.column(EXTRACT_ERR)}
+            )
+            tag = hashlib.md5("\n".join(side.column("url").to_pylist()).encode()).hexdigest()[:16]
+            os.makedirs(errors_dir, exist_ok=True)
+            tmp = os.path.join(errors_dir, f".errors-{tag}.tmp")
+            pq.write_table(side, tmp)
+            os.replace(tmp, os.path.join(errors_dir, f"errors-{tag}.parquet"))
+            batch = batch.filter(pc.invert(err))
+        return batch.drop_columns([EXTRACT_ERR])
+
+    return dead_letter
 
 
 def geocode(batch: pa.Table) -> pa.Table:
@@ -151,14 +197,20 @@ def index_cells(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
-def pages_dataset(input_dir: str, batch_size: int = 8192):
+def pages_dataset(input_dir: str, batch_size: int = 8192, errors_dir: str | None = None):
     """The canonical pages stage chain (synth → geocode → extract →
     cell index) — single definition shared by the flagship pipeline and
-    the query surface so the two can never diverge."""
-    import ray.data
+    the query surface so the two can never diverge.
 
+    ``errors_dir``: when set, extraction failures leave the stream as
+    (url, extract_error) dead-letter parquet there; when None the rows
+    stay in-stream with null text + the ``extract_error`` marker."""
     ds = _read_parquet_clean(f"{input_dir}/documents.parquet")
     ds = ds.map_batches(synth_pages, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(geocode, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(extract_text, batch_format="pyarrow", batch_size=batch_size)
+    if errors_dir is not None:
+        ds = ds.map_batches(
+            make_dead_letter_fn(errors_dir), batch_format="pyarrow", batch_size=batch_size
+        )
     return ds.map_batches(index_cells, batch_format="pyarrow", batch_size=batch_size)

@@ -940,3 +940,87 @@ def test_knn_topk_matches_bruteforce(ray_session):
         order = np.lexsort((np.arange(n_anchor), D[i]))[:k]
         assert idx[i].tolist() == order.tolist(), i
         assert d2[i].tolist() == D[i][order].tolist(), i
+
+
+def test_extract_dead_letter_path(ray_session, tmp_path):
+    """A malformed page (no <article>) leaves the stream as one
+    dead-letter row with a reason; the N-1 clean rows pass through
+    without the marker column. A retried write is idempotent."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from prclz_ray.stages.pages import extract_text, make_dead_letter_fn
+
+    n = 8
+    htmls = [
+        f"<html><head><title>doc {i}</title></head>"
+        f"<body><article>body {i}</article></body></html>"
+        for i in range(n)
+    ]
+    htmls[3] = "<html><head></head><body><p>truncated crawl"  # broken
+    pages = pa.table(
+        {
+            "url": pa.array([f"https://s/{i}" for i in range(n)]),
+            "html": pa.array([h.encode() for h in htmls], pa.large_binary()),
+        }
+    )
+    err_dir = str(tmp_path / "errs")
+    ds = ray.data.from_arrow(pages)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow")
+    ds = ds.map_batches(make_dead_letter_fn(err_dir), batch_format="pyarrow")
+    out = ds.to_pandas()
+    assert len(out) == n - 1
+    assert "extract_error" not in out.columns
+    assert sorted(out["text"]) == sorted(f"body {i}" for i in range(n) if i != 3)
+    files = glob.glob(f"{err_dir}/errors-*.parquet")
+    assert len(files) == 1
+    errs = pq.read_table(files[0])
+    assert errs.column("url").to_pylist() == ["https://s/3"]
+    assert errs.column("extract_error").to_pylist() == ["no <article> element in html"]
+    # retry idempotence: re-running the same batch rewrites the SAME file
+    make_dead_letter_fn(err_dir)(extract_text(pages))
+    assert glob.glob(f"{err_dir}/errors-*.parquet") == files
+
+
+def test_periphery_filter_geometric_cases():
+    """M8 exact rule on a NON-axis-aligned boundary: straddling blocks,
+    blocks swallowing a boundary corner, and blocks pierced edge-through
+    (both endpoints outside) are dropped; strictly-inside and
+    fully-outside blocks survive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.geom.wkb import wkb_polygon
+    from prclz_ray.pipelines.derive import periphery_filter
+
+    # diamond boundary centered at (0,0), radius 1
+    diamond = np.array([[1, 0], [0, 1], [-1, 0], [0, -1], [1, 0]], float)
+
+    def blk(cx, cy, hw, hh):
+        return wkb_polygon(
+            np.array([[cx - hw, cy - hh], [cx + hw, cy - hh],
+                      [cx + hw, cy + hh], [cx - hw, cy + hh]])
+        )
+
+    blocks = pa.table(
+        {
+            "block_id": pa.array(["inside", "outside", "straddle", "corner", "pierce"]),
+            "geom_wkb": pa.array(
+                [
+                    blk(0.0, 0.0, 0.2, 0.2),    # strictly inside
+                    blk(3.0, 3.0, 0.2, 0.2),    # fully outside
+                    blk(0.9, 0.0, 0.3, 0.05),   # straddles the +x edge pair
+                    blk(1.0, 0.0, 0.3, 0.3),    # contains corner (1,0)
+                    blk(0.0, 0.0, 2.0, 0.01),   # thin slab through the whole
+                                                # diamond: every vertex outside,
+                                                # edges pierce two boundary edges
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    kept = periphery_filter(blocks, diamond)
+    assert kept.column("block_id").to_pylist() == ["inside", "outside"]
