@@ -1762,6 +1762,58 @@ GROUP BY 1, 2
 """
 
 
+def q_events_asof(sf_dir: str):
+    """AS-OF JOIN (attribution): each purchase matched to the user's
+    latest click with ts ≤ purchase ts — the temporal join Ray Data has
+    no native operator for, composed as ONE bounded-bucket shuffle
+    (user_id % 64) + a vectorized running-maximum pass per bucket
+    (`stages/events.py::asof_join_group`). Inner as-of: purchases with
+    no prior click drop. Oracle: DuckDB native ASOF JOIN."""
+    from .stages.events import add_user_bucket, asof_join_group
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    ds = ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    return ds.groupby("ub").map_groups(asof_join_group, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS right_ts_us,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_events_range(sf_dir: str):
+    """RANGE (interval) join: per purchase, the count of the user's
+    clicks in the preceding hour [ts−1h, ts) — the windowed temporal
+    join, composed as the same bounded-bucket shuffle as events_asof
+    plus two vectorized searchsorted passes over a packed (user, ts)
+    key (`stages/events.py::range_join_group`). Zero-click purchases
+    stay (count 0)."""
+    from .stages.events import add_user_bucket, range_join_group
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    ds = ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    return ds.groupby("ub").map_groups(range_join_group, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE = """
+SELECT p.event_id, p.user_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY 1, 2
+"""
+
+
 def q_event_props(sf_dir: str):
     """JSON props extraction (vectorized regex) + rollup per type."""
     import ray.data
@@ -2257,6 +2309,8 @@ QUERIES: Dict[str, Callable] = {
     "pip_join_holes": q_pip_join_holes,
     "knn_parcels_k3": q_knn_parcels_k3,
     "blocks_periphery": q_blocks_periphery,
+    "events_asof": q_events_asof,
+    "events_range": q_events_range,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2311,6 +2365,8 @@ ORACLES: Dict[str, str] = {
     "pip_join_holes": SQL_PIP_HOLES,
     "knn_parcels_k3": SQL_KNN_K3,
     "blocks_periphery": _sql_blocks_periphery(),
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range": SQL_EVENTS_RANGE,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -95,3 +95,115 @@ def extract_props_k(batch: pa.Table) -> pa.Table:
             "k": k,
         }
     )
+
+
+ASOF_BUCKETS = 64  # bounded shuffle key for the as-of join (user_id % N
+# — the tiny-groups rule: one group per bucket, users regrouped
+# vectorized inside the group fn, never one Ray group per user)
+
+
+def add_user_bucket(batch: pa.Table, n_buckets: int = ASOF_BUCKETS) -> pa.Table:
+    """Append ``ub = user_id % n_buckets`` — the as-of join's shuffle key."""
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    return batch.append_column("ub", pa.array(u % n_buckets, pa.int64()))
+
+
+def asof_join_group(
+    group: pa.Table, left_type: str = "purchase", right_type: str = "click"
+) -> pa.Table:
+    """One user-bucket → AS-OF join rows: each ``left_type`` event
+    matched to the latest ``right_type`` event of the SAME user with
+    ts ≤ its ts (DuckDB ``ASOF JOIN ... ON l.user_id = r.user_id AND
+    l.ts >= r.ts`` semantics; lefts with no prior right are dropped —
+    inner as-of). Vectorized across every user in the bucket: one
+    lexsort on (user, ts, is_left) placing equal-ts rights BEFORE their
+    lefts (ts ≥ includes equality), then a running maximum.accumulate
+    of last-right-index, invalidated across user boundaries.
+
+    Output is tie-safe: equal-ts rights differ only in event_id and the
+    emitted columns (right ts, gap) are identical whichever is kept.
+    """
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "right_ts_us": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    typ = group.column("event_type")
+    keep = pc.is_in(typ, value_set=pa.array([left_type, right_type]))
+    g = group.filter(keep)
+    if g.num_rows == 0:
+        return empty
+    u = g.column("user_id").to_numpy(zero_copy_only=False)
+    ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    is_left = pc.equal(g.column("event_type"), left_type).to_numpy(zero_copy_only=False)
+    order = np.lexsort((is_left, ts, u))  # rights sort before equal-ts lefts
+    u, ts, eid, is_left = u[order], ts[order], eid[order], is_left[order]
+    idx = np.arange(len(u), dtype=np.int64)
+    last_right = np.maximum.accumulate(np.where(~is_left, idx, -1))
+    ok = is_left & (last_right >= 0)
+    ok[ok] &= u[last_right[ok]] == u[ok]  # right must be the same user's
+    lr = last_right[ok]
+    return pa.table(
+        {
+            "event_id": pa.array(eid[ok], pa.int64()),
+            "user_id": pa.array(u[ok], pa.int64()),
+            "right_ts_us": pa.array(ts[lr], pa.int64()),
+            "gap_us": pa.array(ts[ok] - ts[lr], pa.int64()),
+        }
+    )
+
+
+RANGE_WIN_US = 3_600_000_000  # 1 h lookback window for the range join
+
+
+def range_join_group(
+    group: pa.Table, left_type: str = "purchase", right_type: str = "click",
+    window_us: int = RANGE_WIN_US,
+) -> pa.Table:
+    """One user-bucket → RANGE (interval) join counts: per ``left_type``
+    event, the number of same-user ``right_type`` events with
+    ts ∈ [left_ts − window, left_ts). Vectorized across every user in
+    the bucket: rights sorted once by a packed (user, ts) int64 key,
+    then TWO searchsorted calls give each left's window bounds — no
+    per-user loop. Lefts with zero rights are kept (count 0), matching
+    the LEFT-join + COUNT oracle."""
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "n_right": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    typ = group.column("event_type")
+    u = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    is_l = pc.equal(typ, left_type).to_numpy(zero_copy_only=False)
+    is_r = pc.equal(typ, right_type).to_numpy(zero_copy_only=False)
+    if not is_l.any():
+        return empty
+    tmin = int(ts.min())
+    span = int(ts.max()) - tmin + 3  # offsets live in [1, span-1]
+    if u.max() * span >= (1 << 62):  # packed-key width guard
+        raise ValueError("range_join_group: user_id × ts-span exceeds int64 packing")
+    ru, rts = u[is_r], ts[is_r]
+    rkey = np.sort(ru * span + (rts - tmin + 1))
+    lu, lts, lid = u[is_l], ts[is_l], eid[is_l]
+    lo_off = np.maximum(lts - window_us, tmin - 1) - tmin + 1  # clamp ≥ 0
+    lo = np.searchsorted(rkey, lu * span + lo_off, side="left")
+    hi = np.searchsorted(rkey, lu * span + (lts - tmin + 1), side="left")
+    return pa.table(
+        {
+            "event_id": pa.array(lid, pa.int64()),
+            "user_id": pa.array(lu, pa.int64()),
+            "n_right": pa.array(hi - lo, pa.int64()),
+        }
+    )

@@ -1024,3 +1024,49 @@ def test_periphery_filter_geometric_cases():
     )
     kept = periphery_filter(blocks, diamond)
     assert kept.column("block_id").to_pylist() == ["inside", "outside"]
+
+
+def test_asof_and_range_join_edges():
+    """Tie and boundary semantics: an equal-ts click matches its
+    purchase (ts >= includes equality); a purchase with no prior click
+    drops from asof but keeps count 0 in the range join; the range
+    window is [ts-1h, ts) — left-closed, right-open."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.events import asof_join_group, range_join_group
+
+    H = 3_600_000_000
+    t0 = 1_700_000_000_000_000
+    rows = [
+        # user 1: click@t0, purchase@t0 (equal ts -> matches, gap 0)
+        (10, t0, 1, "click"),
+        (11, t0, 1, "purchase"),
+        # user 2: purchase with NO prior click (click comes later)
+        (20, t0, 2, "purchase"),
+        (21, t0 + 1, 2, "click"),
+        # user 3: clicks at exactly ts-1h (in) and ts (out of range,
+        # but the asof match), plus one mid-window
+        (30, t0, 3, "click"),
+        (31, t0 + H // 2, 3, "click"),
+        (32, t0 + H, 3, "click"),
+        (33, t0 + H, 3, "purchase"),
+    ]
+    g = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    asof = asof_join_group(g)
+    got = {
+        r["event_id"]: (r["right_ts_us"], r["gap_us"]) for r in asof.to_pylist()
+    }
+    assert got == {11: (t0, 0), 33: (t0 + H, 0)}  # user-2 purchase dropped
+    rng = range_join_group(g)
+    counts = {r["event_id"]: r["n_right"] for r in rng.to_pylist()}
+    # user 1: click@ts not < ts -> 0; user 2: no prior -> 0;
+    # user 3: t0 (== ts-1h, in) + t0+H/2 (in) + t0+H (== ts, out) -> 2
+    assert counts == {11: 0, 20: 0, 33: 2}
