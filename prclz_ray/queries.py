@@ -1462,6 +1462,55 @@ FROM (SELECT unnest(range({world.N_BLOCKS})) AS bx), (SELECT unnest(range({world
 """
 
 
+def q_knn_parcels_k3_sharded(sf_dir: str):
+    """100 TB path of knn_parcels_k3: halo'd per-cell anchor slices,
+    rows routed by cell_r5. Same oracle as the broadcast path proves
+    the halo covers the k-th neighbor."""
+    import pyarrow.parquet as pq
+
+    from .pipelines import derive
+    from .stages.spatial import make_knn_topk_sharded_fn, put_anchors_side_by_cell
+
+    refs = _epoch_cached(
+        "knn_shards", lambda: put_anchors_side_by_cell(pq.read_table(derive.parcels_path()))
+    )
+    ds = _pages(sf_dir).filter(expr="has_geo")
+    return ds.map_batches(make_knn_topk_sharded_fn(refs, k=3), batch_format="pyarrow")
+
+
+def q_pip_join_holes_sharded(sf_dir: str):
+    """100 TB path of pip_join_holes: the donut MultiPolygon side table
+    sharded per partitioning cell (exterior-cover routing), points
+    routed by their cell id. Same oracle as the broadcast donut path
+    proves hole/multi-part semantics survive sharding."""
+    from .geom.cells import RES_PARTITION, cell_id_e6
+    from .stages.spatial import make_pip_sharded_fn, put_blocks_side_by_cell
+
+    refs = _epoch_cached(
+        "donut_shards", lambda: put_blocks_side_by_cell(_donut_blocks_table())
+    )
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    span = _DNT_GRID * _DNT_PITCH
+
+    def to_points(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (d * 131) % span
+        lat = (d * 137) % span
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lon_e6": pa.array(lon, pa.int64()),
+                "lat_e6": pa.array(lat, pa.int64()),
+                "has_geo": pa.array(np.ones(len(d), bool)),
+                "cell_r5": pa.array(cell_id_e6(lat, lon, RES_PARTITION), pa.int64()),
+            }
+        )
+
+    ds = docs.map_batches(to_points, batch_format="pyarrow")
+    ds = ds.map_batches(make_pip_sharded_fn(refs), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "block_id"])
+
+
 # --- M8 periphery filter -------------------------------------------------
 # Region-of-interest rectangle (µdeg) whose BUFFERED boundary cuts
 # straight through block interiors on all four sides: x = 350000 lands
@@ -2311,6 +2360,8 @@ QUERIES: Dict[str, Callable] = {
     "blocks_periphery": q_blocks_periphery,
     "events_asof": q_events_asof,
     "events_range": q_events_range,
+    "knn_parcels_k3_sharded": q_knn_parcels_k3_sharded,
+    "pip_join_holes_sharded": q_pip_join_holes_sharded,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2367,6 +2418,8 @@ ORACLES: Dict[str, str] = {
     "blocks_periphery": _sql_blocks_periphery(),
     "events_asof": SQL_EVENTS_ASOF,
     "events_range": SQL_EVENTS_RANGE,
+    "knn_parcels_k3_sharded": SQL_KNN_K3,  # halo'd shards ≡ broadcast
+    "pip_join_holes_sharded": SQL_PIP_HOLES,  # cell shards ≡ broadcast
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }
