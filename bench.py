@@ -86,13 +86,23 @@ def _amplified_pages(sf_dir: str, amplify: int, n_docs: int):
     return ds.map_batches(index_cells, batch_format="pyarrow", batch_size=8192)
 
 
-def run_headline(sf_dir: str, amplify: int, num_cpus: int = 32) -> dict:
-    """Joined rows/sec for the flagship join, fully streamed."""
+def run_headline(sf_dir: str, amplify: int, num_cpus: int = 32, mode: str = "task") -> dict:
+    """Joined rows/sec for the flagship join, fully streamed.
+
+    ``mode="task"`` (default): stateless tasks + per-worker index cache.
+    ``mode="actor"``: explicit actor pools for the join stages — the
+    placement-controlled shape a real multi-node cluster would use;
+    measured here as the second scaling data point (BASELINE.md)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from prclz_ray.pipelines.flagship import load_side_tables
-    from prclz_ray.stages.spatial import make_knn_fn, make_pip_fn
+    from prclz_ray.stages.spatial import (
+        KNNAnchorActor,
+        PIPJoinActor,
+        make_knn_fn,
+        make_pip_fn,
+    )
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     blocks_ref, anchors_ref = load_side_tables()
@@ -101,8 +111,19 @@ def run_headline(sf_dir: str, amplify: int, num_cpus: int = 32) -> dict:
 
     t0 = time.time()
     ds = _amplified_pages(sf_dir, amplify, n_docs)
-    ds = ds.map_batches(make_pip_fn(blocks_ref), batch_size=8192, batch_format="pyarrow")
-    ds = ds.map_batches(make_knn_fn(anchors_ref), batch_size=8192, batch_format="pyarrow")
+    if mode == "actor":
+        pool = (1, max(2, num_cpus // 2))  # two join stages share the node
+        ds = ds.map_batches(
+            PIPJoinActor, fn_constructor_args=(blocks_ref,), concurrency=pool,
+            batch_size=8192, batch_format="pyarrow", num_cpus=1,
+        )
+        ds = ds.map_batches(
+            KNNAnchorActor, fn_constructor_args=(anchors_ref,), concurrency=pool,
+            batch_size=8192, batch_format="pyarrow", num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(make_pip_fn(blocks_ref), batch_size=8192, batch_format="pyarrow")
+        ds = ds.map_batches(make_knn_fn(anchors_ref), batch_size=8192, batch_format="pyarrow")
     # consume streaming: per-batch row counts summed (no driver pull)
     counted = ds.map_batches(
         lambda b: pa.table({"n": pa.array([b.num_rows])}), batch_format="pyarrow"
@@ -121,6 +142,11 @@ def run_secondary(sf_dir: str) -> dict:
         "tile_rollup",
         "match_count_qc",
         "top_blocks",
+        "knn_parcels_k3",
+        "pip_join_holes",
+        "blocks_periphery",
+        "events_asof",
+        "events_range",
         "dedup_exact",
         "dedup_minhash",
         "dedup_jaccard",
@@ -149,7 +175,8 @@ def run_secondary(sf_dir: str) -> dict:
     return out
 
 
-def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dict:
+def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool,
+               mode: str = "task") -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -161,10 +188,10 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dic
             DataContext.get_current().enable_progress_bars = False
         except Exception:
             pass
-    run_headline(sf_dir, min(2, amplify), num_cpus)  # warmup: worker imports
+    run_headline(sf_dir, min(2, amplify), num_cpus, mode)  # warmup: worker imports
     # best-of-2: single-node timing variance here is large (±40%)
-    head = run_headline(sf_dir, amplify, num_cpus)
-    second = run_headline(sf_dir, amplify, num_cpus)
+    head = run_headline(sf_dir, amplify, num_cpus, mode)
+    second = run_headline(sf_dir, amplify, num_cpus, mode)
     if second["wall_s"] < head["wall_s"]:
         head = second
     queries = {"flagship_join": round(head["wall_s"], 3)}
@@ -180,12 +207,13 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool) -> dic
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": num_cpus,
         "amplify": amplify,
+        "mode": mode,
     }
     ray.shutdown()
     return result
 
 
-def scaling_run(sf_dir: str, amplify: int) -> dict:
+def scaling_run(sf_dir: str, amplify: int, mode: str = "task") -> dict:
     """Same job at 8 and 32 CPUs in fresh processes; efficiency =
     rows/s(32) / (4 * rows/s(8))."""
     if "--amplify" not in sys.argv:  # explicit flag wins; else scale up
@@ -195,7 +223,8 @@ def scaling_run(sf_dir: str, amplify: int) -> dict:
         time.sleep(5)  # let the previous Ray session finish teardown
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--json-only",
-             "--num-cpus", str(cpus), "--amplify", str(amplify)],
+             "--num-cpus", str(cpus), "--amplify", str(amplify),
+             "--mode", mode],
             env={**os.environ, "GRAFT_SF_DIR": sf_dir},
             capture_output=True, text=True, timeout=1800,
         )
@@ -230,6 +259,7 @@ def scaling_run(sf_dir: str, amplify: int) -> dict:
                     "flagship_join_32cpu": results[32]["value"]},
         "sf": results[32]["sf"],
         "num_cpus": 32,
+        "mode": mode,
     }
 
 
@@ -245,13 +275,16 @@ def main():
     # throughput by ~2×); the scaling mode uses the same size
     ap.add_argument("--amplify", type=int,
                     default=int(os.environ.get("GRAFT_AMPLIFY", "2000")))
+    ap.add_argument("--mode", choices=("task", "actor"),
+                    default=os.environ.get("GRAFT_MODE", "task"),
+                    help="join-stage execution: task (per-worker cache) or actor pools")
     args = ap.parse_args()
 
     if args.scaling:
-        result = scaling_run(args.sf_dir, args.amplify)
+        result = scaling_run(args.sf_dir, args.amplify, args.mode)
     else:
         result = single_run(args.sf_dir, args.num_cpus, args.amplify,
-                            secondary=not args.json_only)
+                            secondary=not args.json_only, mode=args.mode)
     print(json.dumps(result))
 
 

@@ -192,7 +192,9 @@ def range_join_group(
         return empty
     tmin = int(ts.min())
     span = int(ts.max()) - tmin + 3  # offsets live in [1, span-1]
-    if u.max() * span >= (1 << 62):  # packed-key width guard
+    # guard in PYTHON ints — a numpy int64 product would wrap before
+    # the comparison could catch it
+    if int(u.max()) * span >= (1 << 62):
         raise ValueError("range_join_group: user_id × ts-span exceeds int64 packing")
     ru, rts = u[is_r], ts[is_r]
     rkey = np.sort(ru * span + (rts - tmin + 1))

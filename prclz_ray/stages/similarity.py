@@ -35,6 +35,9 @@ def embedding_matrix(col) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
+    if col.null_count:
+        # flatten() silently skips null lists → row misalignment
+        raise ValueError("embedding_matrix: null embedding rows not supported")
     lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
     d = int(lens[0])
     if (lens != d).any():
