@@ -226,11 +226,13 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
     out = [tuple(p) for p in subject]
     n = len(clip)
+    applied = False
     for i in range(n):
         ax, ay = clip[i]
         bx, by = clip[(i + 1) % n]
         if abs(bx - ax) < 1e-12 and abs(by - ay) < 1e-12:
             continue  # (near-)zero-length clip edge, no constraint
+        applied = True
         inp, out = out, []
         if not inp:
             return np.empty((0, 2))
@@ -259,4 +261,9 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
             elif inside(s):
                 out.append(intersect(s, p))
             s = p
+    if not applied:
+        # every clip edge was degenerate → the clip ring is a point:
+        # its intersection with anything has no area (returning the
+        # subject unclipped would violate area(result) ≤ area(clip))
+        return np.empty((0, 2))
     return np.asarray(out, dtype=np.float64) if out else np.empty((0, 2))

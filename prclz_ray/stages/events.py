@@ -64,13 +64,14 @@ def sliding_window_counts(batch: pa.Table) -> pa.Table:
             }
         )
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    types = batch.column("event_type").to_pylist()
     k = SLIDE_WIDTH_US // SLIDE_STEP_US
     base = (ts // SLIDE_STEP_US) * SLIDE_STEP_US
     starts = base[:, None] - np.arange(k)[None, :] * SLIDE_STEP_US  # (n, 4)
+    # ×k type column via Arrow take (dictionary-friendly, no Python list)
+    rep = np.repeat(np.arange(len(ts), dtype=np.int64), k)
     t = pa.table(
         {
-            "event_type": pa.array(np.repeat(types, k)),
+            "event_type": batch.column("event_type").take(pa.array(rep)),
             "window_us": pa.array(starts.ravel()),
         }
     )

