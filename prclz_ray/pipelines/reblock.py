@@ -516,9 +516,14 @@ def run_reblock(out_dir: str, limit_blocks: int | None = None) -> dict:
 
     The solved dataset is small (one row per block), so it is
     materialized once and the three sinks are cheap projections — no
-    re-execution of the solver. Idempotent: existing sink dirs are
-    cleared first (write_parquet appends, never truncates), so a
-    re-run with the same out_dir replaces rather than duplicates."""
+    re-execution of the solver. Size note: one row ≈ 1–10 KB of WKB,
+    so the materialization holds ~1 GB per 10⁶ blocks in the OBJECT
+    STORE (not the driver heap — blocks stay distributed and spill);
+    beyond ~10⁸ blocks switch to three solver passes (or write one
+    wide sink and project with three column-pruned reads) instead.
+    Idempotent: existing sink dirs are cleared first (write_parquet
+    appends, never truncates), so a re-run with the same out_dir
+    replaces rather than duplicates."""
     import os
     import shutil
 
