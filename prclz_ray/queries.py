@@ -1092,11 +1092,9 @@ sh AS (
 """
 
 
-def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH candidate pairs: signature map → ONE shuffle on the
-    bounded band-key hash bucket → vectorized per-band-bucket pairs →
-    distinct (constant group count; per-group overhead on ~|corpus|
-    raw band keys dominated the old shape)."""
+def _minhash_pairs(sf_dir: str):
+    """Distinct MinHash+LSH candidate pairs as a Dataset — the shared
+    front half of dedup_minhash and dedup_clusters."""
     from .stages.dedup import add_bucket_hash, band_bucket_pairs, minhash_signatures
 
     ds = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
@@ -1112,12 +1110,25 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
-def _sql_dedup_minhash() -> str:
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH candidate pairs: signature map → ONE shuffle on the
+    bounded band-key hash bucket → vectorized per-band-bucket pairs →
+    distinct (constant group count; per-group overhead on ~|corpus|
+    raw band keys dominated the old shape)."""
+    return _minhash_pairs(sf_dir)
+
+
+_SQL_MINHASH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+def _sql_minhash_ctes() -> str:
+    """The shingle→signature→band CTE chain (no WITH keyword), shared
+    by the minhash-pairs oracle and the cluster oracle built on it."""
     from .stages.dedup import BAND
     from .stages.hashing import P31, sql_h31, sql_salt_table
 
-    return f"""
-WITH {_SQL_SHINGLES},
+    return f"""{_SQL_SHINGLES},
 shu AS (SELECT doc_id, unnest(sh_list) AS s FROM sh),
 shh AS (SELECT doc_id, {sql_h31('s')} AS hs FROM shu),
 sig AS (
@@ -1129,10 +1140,11 @@ band AS (
   SELECT doc_id, salt // {BAND} AS band,
          string_agg(CAST(h AS VARCHAR), ':' ORDER BY salt) AS key
   FROM sig GROUP BY 1, 2
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-"""
+)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"WITH {_sql_minhash_ctes()} {_SQL_MINHASH_PAIRS_SELECT}"
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -2297,6 +2309,209 @@ def q_complexity_hist(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation (host caps, line dedup, repetition, clusters, tf-idf)
+
+_SQL_WORDS = """w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+)"""
+
+
+def _sql_lines() -> str:
+    from .stages.curation import LINE_W
+
+    return f"""{_SQL_WORDS},
+l AS (
+  SELECT doc_id, CAST((ord - 1) // {LINE_W} AS BIGINT) AS line_idx,
+         string_agg(word, ' ' ORDER BY ord) AS line
+  FROM w GROUP BY 1, 2
+)"""
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host corpus stats (doc count, char volume) — the profiling
+    step before any Common-Crawl-style per-site cap. Map-side partial
+    aggregation → one small groupby; hosts never land on the driver."""
+    from .stages.curation import host_partial_stats
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    agg = (
+        ds.map_batches(host_partial_stats, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["nd_", "ch_"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "host": b.column("host"),
+                "n_docs": b.column("sum(nd_)"),
+                "sum_chars": b.column("sum(ch_)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HOST_STATS = """
+SELECT source AS host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_host_cap(sf_dir: str):
+    """Per-host document cap (keep each host's first HOST_CAP docs by
+    doc_id): ONE bounded shuffle on ``hash(host) % HOST_BUCKETS`` —
+    never a Ray group per host (hosts are ~10^7 with heavy skew at web
+    scale) — with the per-host rank computed by vectorized run
+    arithmetic inside the bucket."""
+    from .stages.curation import host_cap_rows, host_rank_keep
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    rows = ds.map_batches(host_cap_rows, batch_format="pyarrow")
+    return rows.groupby("hb").map_groups(host_rank_keep, batch_format="pyarrow")
+
+
+def _sql_host_cap() -> str:
+    from .stages.curation import HOST_CAP
+
+    return f"""
+SELECT doc_id, source AS host FROM (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {HOST_CAP}
+"""
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide LINE-level dedup (CCNet shape): documents → fixed
+    LINE_W-word lines → ONE shuffle on the line-hash bucket flags every
+    occurrence of a corpus-duplicated line → ONE shuffle on the doc
+    bucket reassembles each document's cleaned text in line order. Two
+    bounded all-to-alls, no broadcast line set, no driver compute.
+    Output: (doc_id, clean_text, n_lines, n_dropped)."""
+    from .stages.curation import doc_line_rows, line_flag_rows, reassemble_docs
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = ds.map_batches(doc_line_rows, batch_format="pyarrow")
+    flagged = rows.groupby("lb").map_groups(line_flag_rows, batch_format="pyarrow")
+    return flagged.groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
+
+
+def _sql_line_dedup() -> str:
+    return f"""
+WITH {_sql_lines()},
+c AS (SELECT line, COUNT(*) AS cnt FROM l GROUP BY 1),
+f AS (SELECT l.doc_id, l.line_idx, l.line,
+             CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END AS dup
+      FROM l JOIN c USING (line))
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN dup = 0 THEN line END, ' ' ORDER BY line_idx), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(dup) AS BIGINT) AS n_dropped
+FROM f GROUP BY 1
+"""
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style per-document repetition signals (duplicate-line and
+    top-bigram character fractions) — pure map-side, exact-integer
+    x1000 fractions."""
+    from .stages.curation import repetition_signals
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_signals, batch_format="pyarrow")
+
+
+def _sql_repetition() -> str:
+    return f"""
+WITH {_sql_lines()},
+lc AS (SELECT doc_id, line, COUNT(*) AS cnt, strlen(line) AS sl FROM l GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(cnt - 1) AS BIGINT) AS dup_occ,
+         CAST(SUM((cnt - 1) * sl) AS BIGINT) AS dup_chars
+  FROM lc GROUP BY 1
+),
+b AS (
+  SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+  FROM w QUALIFY bg IS NOT NULL
+),
+bcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+tb AS (
+  SELECT doc_id, c * strlen(bg) AS top_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+  FROM bcnt
+)
+SELECT d.doc_id, p.n_lines,
+       CAST(p.dup_occ * 1000 // GREATEST(p.n_lines, 1) AS BIGINT) AS dup_line_frac_x1000,
+       CAST(p.dup_chars * 1000 // GREATEST(strlen(d.text), 1) AS BIGINT) AS dup_char_frac_x1000,
+       CAST(COALESCE(t.top_chars, 0) * 1000 // GREATEST(strlen(d.text), 1) AS BIGINT) AS top_bigram_frac_x1000
+FROM documents d
+JOIN per_doc p USING (doc_id)
+LEFT JOIN (SELECT * FROM tb WHERE rn = 1) t USING (doc_id)
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: MinHash+LSH candidate pairs →
+    distributed connected components (iterative min-label propagation
+    as Ray join+groupby rounds; convergence via a 1-row sum-of-labels
+    fixpoint witness). cluster_id = the component's minimum doc_id —
+    the canonical-representative step real dedup pipelines run after
+    pair generation."""
+    from .stages.curation import connected_components
+
+    return connected_components(_minhash_pairs(sf_dir))
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+pairs AS ({_SQL_MINHASH_PAIRS_SELECT}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM walk w JOIN edges e ON e.b = w.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY 1
+"""
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-k TF-IDF terms: map-side term frequencies (a
+    doc is one row, so its words never straddle batches) → ONE bounded
+    shuffle on the word-hash bucket completes each word's document
+    frequency and scores rows → ONE bounded shuffle on the doc bucket
+    selects each doc's top-k by (score desc, word asc) with rank."""
+    from .stages.curation import doc_topk, tf_score_rows, word_tf_rows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf = ds.map_batches(word_tf_rows, batch_format="pyarrow")
+    scored = tf.groupby("wb").map_groups(tf_score_rows, batch_format="pyarrow")
+    return scored.groupby("db").map_groups(doc_topk, batch_format="pyarrow")
+
+
+def _sql_tfidf_topk() -> str:
+    from .stages.curation import SCORE_SCALE, TFIDF_K
+
+    return f"""
+WITH {_SQL_WORDS},
+tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+s AS (SELECT doc_id, t.word, t.tf, CAST(t.tf * {SCORE_SCALE} // d.df AS BIGINT) AS score
+      FROM tf t JOIN df d USING (word)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM s)
+SELECT doc_id, word, tf, score, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= {TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: Dict[str, Callable] = {
@@ -2362,6 +2577,12 @@ QUERIES: Dict[str, Callable] = {
     "events_range": q_events_range,
     "knn_parcels_k3_sharded": q_knn_parcels_k3_sharded,
     "pip_join_holes_sharded": q_pip_join_holes_sharded,
+    "host_stats": q_host_stats,
+    "host_cap": q_host_cap,
+    "line_dedup": q_line_dedup,
+    "repetition_signals": q_repetition_signals,
+    "dedup_clusters": q_dedup_clusters,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2420,6 +2641,12 @@ ORACLES: Dict[str, str] = {
     "events_range": SQL_EVENTS_RANGE,
     "knn_parcels_k3_sharded": SQL_KNN_K3,  # halo'd shards ≡ broadcast
     "pip_join_holes_sharded": SQL_PIP_HOLES,  # cell shards ≡ broadcast
+    "host_stats": SQL_HOST_STATS,
+    "host_cap": _sql_host_cap(),
+    "line_dedup": _sql_line_dedup(),
+    "repetition_signals": _sql_repetition(),
+    "dedup_clusters": _sql_dedup_clusters(),
+    "tfidf_topk": _sql_tfidf_topk(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

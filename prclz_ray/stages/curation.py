@@ -1,0 +1,545 @@
+"""Corpus-curation stages: host caps, line-level dedup, repetition
+signals, near-dup clustering, TF-IDF keywords.
+
+The operators a web-scale training-data pipeline runs AFTER extraction
+and BEFORE tokenization, each expressed Ray-Data-first with the repo's
+standard scale shapes:
+
+- **host stats / host cap** (Common-Crawl-style per-site limits):
+  map-side partial aggregation → one small groupby for the stats; a
+  bounded-bucket shuffle on ``hash(host) % N`` for the per-host rank
+  cap (never one Ray group per host — hosts are ~10^7 with heavy skew
+  at web scale; the run-length rank inside the bucket is vectorized).
+- **line-level dedup** (CCNet-style): documents → fixed-width word
+  "lines" → corpus-wide duplicate-line detection via ONE shuffle on
+  the line-hash bucket → flagged rows → ONE shuffle on the doc bucket
+  to reassemble the cleaned text in line order. Two bounded
+  all-to-alls, no broadcast line set, no driver compute.
+- **repetition signals** (Gopher-style quality heuristics): per-doc
+  duplicate-line and top-bigram character fractions — pure map-side,
+  no shuffle, exact-integer ``x1000`` fractions so the DuckDB oracle
+  hashes bit-for-bit.
+- **connected components** over near-dup candidate pairs: iterative
+  min-label propagation as Ray join+groupby rounds. Labels only ever
+  decrease, so ``sum(label)`` is a strictly decreasing fixpoint
+  witness — convergence detection is one tiny aggregate per round,
+  no driver-side diff of the label table.
+- **TF-IDF top-k terms**: per-doc term frequencies map-side (a doc is
+  one row, so its words never straddle batches), document frequencies
+  as a small groupby, one hash join tf⋈df, then a bounded-bucket
+  per-doc top-k selection.
+
+Lines are chunks of ``LINE_W`` consecutive words (the synthetic corpus
+is single-line; at 100 TB the splitter would be ``\\n`` and nothing
+downstream changes). Reference analogue: the reference dedups nodes /
+edges / block ids (`prclz/utils.py:33-34`) — corpus-level text dedup
+is engine-new surface.
+
+All kernels are flat-Arrow/numpy vectorized; list offsets use int32
+ListArray (a single batch holds < 2^31 words by construction —
+``target_max_block_size`` caps blocks far below that).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _sorted_runs
+from .hashing import hash_strings
+
+LINE_W = 10          # words per "line" of the synthetic single-line corpus
+LINE_BUCKETS = 1024  # shuffle-key buckets for corpus-wide line df
+DOC_BUCKETS = 256    # shuffle-key buckets for per-doc regrouping
+HOST_BUCKETS = 64    # shuffle-key buckets for per-host ranking
+HOST_CAP = 15        # max documents kept per host (host_cap query)
+TFIDF_K = 3          # top terms kept per document
+WORD_BUCKETS = 64    # shuffle-key buckets for document-frequency runs
+SCORE_SCALE = 1_000_000  # tf-idf score = tf * SCALE // df (exact integer)
+
+
+def _i64(x: np.ndarray) -> pa.Array:
+    return pa.array(x.astype(np.int64, copy=False), pa.int64())
+
+
+def _combined(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _split_words(batch: pa.Table):
+    """(flat word array, word→row index, words-per-row) for the batch's
+    ``text`` column, null-filled to '' (same equivalence the COALESCE
+    oracle fragment would use)."""
+    text = pc.fill_null(batch.column("text"), "")
+    words = pc.split_pattern(text, " ")
+    flat = _combined(pc.list_flatten(words))
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, par, nw
+
+
+def _line_arrays(batch: pa.Table):
+    """Chunk each doc's words into LINE_W-word lines, vectorized: the
+    flat word array is re-grouped by computed line offsets (lines tile
+    the flat array contiguously, so starts alone define the list) and
+    joined per line. Returns (line strings, line→row index, line index
+    within doc)."""
+    flat, _, nw = _split_words(batch)
+    n = len(batch)
+    nlines = -(-nw // LINE_W)  # ceil; split('') == [''] so nw >= 1 always
+    doc_word_start = np.concatenate([[0], np.cumsum(nw)])
+    line_doc = np.repeat(np.arange(n, dtype=np.int64), nlines)
+    line_cum = np.concatenate([[0], np.cumsum(nlines)])
+    local = np.arange(int(nlines.sum()), dtype=np.int64) - line_cum[line_doc]
+    starts = doc_word_start[line_doc] + local * LINE_W
+    offsets = np.concatenate([starts, [doc_word_start[-1]]])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    return _combined(pc.binary_join(lists, " ")), line_doc, local
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet shape)
+
+def doc_line_rows(batch: pa.Table) -> pa.Table:
+    """documents → one row per line with the bounded shuffle key
+    ``lb = hash(line) % LINE_BUCKETS``."""
+    lines, line_doc, local = _line_arrays(batch)
+    doc_ids = _combined(batch.column("doc_id").take(pa.array(line_doc)))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "line_idx": _i64(local),
+            "line": lines,
+            "lb": _i64(hash_strings(lines) % LINE_BUCKETS),
+        }
+    )
+
+
+def line_flag_rows(group: pa.Table) -> pa.Table:
+    """One line-hash bucket: mark every occurrence of a line whose
+    corpus-wide count is ≥ 2 (string-exact df inside the bucket — a
+    line's occurrences all share its hash bucket). Rows pass through
+    with the flag plus the next shuffle's doc bucket key."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "line_idx": pa.array([], pa.int64()),
+            "line": pa.array([], pa.string()),
+            "dup": pa.array([], pa.int64()),
+            "db": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "line")
+    counts = np.diff(run_start)
+    dup = np.repeat(counts >= 2, counts).astype(np.int64)
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "line_idx": g.column("line_idx"),
+            "line": g.column("line"),
+            "dup": _i64(dup),
+            "db": _i64(doc % DOC_BUCKETS),
+        }
+    )
+
+
+def reassemble_docs(group: pa.Table) -> pa.Table:
+    """One doc bucket: rebuild each document's cleaned text from its
+    kept lines in line order (vectorized: sort → per-doc kept-line
+    lists → binary_join). Docs whose every line was dropped emit
+    ``clean_text = ''`` (the COALESCE('') contract)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("line_idx", "ascending")]
+    )
+    g = group.take(order)
+    d = g.column("doc_id").to_numpy(zero_copy_only=False)
+    dup = g.column("dup").to_numpy(zero_copy_only=False)
+    run_start = np.concatenate([[0], np.flatnonzero(d[1:] != d[:-1]) + 1, [len(d)]])
+    n_lines = np.diff(run_start)
+    csum_dup = np.concatenate([[0], np.cumsum(dup)])
+    n_dropped = csum_dup[run_start[1:]] - csum_dup[run_start[:-1]]
+    keep = dup == 0
+    kept_lines = _combined(g.column("line").filter(pa.array(keep)))
+    kept_per_doc = n_lines - n_dropped
+    offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_lines)
+    clean = _combined(pc.binary_join(lists, " "))
+    return pa.table(
+        {
+            "doc_id": _i64(d[run_start[:-1]]),
+            "clean_text": clean,
+            "n_lines": _i64(n_lines),
+            "n_dropped": _i64(n_dropped),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# host stats / cap
+
+def host_partial_stats(batch: pa.Table) -> pa.Table:
+    """Map-side partial per-host (doc count, char sum) — the combiner
+    half of the host_stats aggregate."""
+    t = pa.table({"host": batch.column("source"), "n_chars": batch.column("n_chars")})
+    return (
+        t.group_by("host")
+        .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        .rename_columns(["host", "nd_", "ch_"])
+    )
+
+
+def host_cap_rows(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, host, hb) rows keyed by the bounded host
+    hash bucket."""
+    host = _combined(batch.column("source"))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "host": host,
+            "hb": _i64(hash_strings(host) % HOST_BUCKETS),
+        }
+    )
+
+
+def host_rank_keep(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
+    """One host bucket: keep each host's first ``cap`` documents by
+    doc_id (deterministic rank via run arithmetic, no per-host Python)."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "host": pa.array([], pa.string())}
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "host")  # sorts by (host, doc_id)
+    counts = np.diff(run_start)
+    pos = np.arange(len(g), dtype=np.int64) - np.repeat(run_start[:-1], counts)
+    keep = pa.array(pos < cap)
+    return pa.table(
+        {"doc_id": g.column("doc_id").filter(keep), "host": g.column("host").filter(keep)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style)
+
+def repetition_signals(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition quality signals, pure map-side:
+
+    - ``dup_line_frac_x1000``  — beyond-first occurrences of repeated
+      LINE_W-word lines / total lines
+    - ``dup_char_frac_x1000``  — chars of those beyond-first line
+      occurrences / doc chars
+    - ``top_bigram_frac_x1000`` — occurrences×length of the most
+      frequent word bigram / doc chars (ties → lexicographically
+      first bigram, mirroring the oracle's ORDER BY c DESC, b)
+
+    All floor-divided x1000 integers for bit-exact oracle parity.
+    """
+    n = len(batch)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "dup_line_frac_x1000": pa.array([], pa.int64()),
+            "dup_char_frac_x1000": pa.array([], pa.int64()),
+            "top_bigram_frac_x1000": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    text = pc.fill_null(batch.column("text"), "")
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chars = np.maximum(n_chars, 1)  # '' guard: fractions of nothing are 0/1
+
+    # --- duplicate lines within each doc
+    lines, line_doc, _ = _line_arrays(batch)
+    lt = pa.table({"d": _i64(line_doc), "s": lines})
+    g, run_start = _sorted_runs_2(lt, "d", "s")
+    counts = np.diff(run_start)
+    sl = pc.utf8_length(g.column("s")).to_numpy(zero_copy_only=False).astype(np.int64)
+    run_doc = g.column("d").to_numpy(zero_copy_only=False)[run_start[:-1]]
+    run_sl = sl[run_start[:-1]]
+    n_lines = np.bincount(run_doc, weights=counts, minlength=n).astype(np.int64)
+    dup_occ = np.bincount(run_doc, weights=counts - 1, minlength=n).astype(np.int64)
+    dup_chars = np.bincount(
+        run_doc, weights=(counts - 1) * run_sl, minlength=n
+    ).astype(np.int64)
+
+    # --- top bigram per doc
+    flat, par, nw = _split_words(batch)
+    m = len(flat)
+    top_chars = np.zeros(n, dtype=np.int64)
+    if m >= 2:
+        valid = par[: m - 1] == par[1:]
+        if valid.any():
+            vmask = pa.array(valid)
+            bg = _combined(
+                pc.binary_join_element_wise(
+                    flat.slice(0, m - 1).filter(vmask),
+                    flat.slice(1, m - 1).filter(vmask),
+                    " ",
+                )
+            )
+            bt = pa.table({"d": _i64(par[: m - 1][valid]), "s": bg})
+            gb, bstart = _sorted_runs_2(bt, "d", "s")
+            bc = np.diff(bstart)
+            bdoc = gb.column("d").to_numpy(zero_copy_only=False)[bstart[:-1]]
+            bsl = pc.utf8_length(gb.column("s")).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )[bstart[:-1]]
+            # first run per doc in (count desc, bigram asc) order: runs are
+            # already bigram-asc within doc, so a stable sort on -count
+            # keeps the lexicographically first among ties
+            best = np.lexsort((np.arange(len(bc)), -bc, bdoc))
+            first = np.concatenate(
+                [[0], np.flatnonzero(bdoc[best][1:] != bdoc[best][:-1]) + 1]
+            )
+            sel = best[first]
+            top_chars[bdoc[sel]] = bc[sel] * bsl[sel]
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": _i64(n_lines),
+            "dup_line_frac_x1000": _i64(dup_occ * 1000 // np.maximum(n_lines, 1)),
+            "dup_char_frac_x1000": _i64(dup_chars * 1000 // n_chars),
+            "top_bigram_frac_x1000": _i64(top_chars * 1000 // n_chars),
+        }
+    )
+
+
+def _sorted_runs_2(t: pa.Table, k1: str, k2: str):
+    """Sort by (k1, k2) and return (sorted table, run starts of equal
+    (k1,k2) pairs) — the two-key sibling of dedup._sorted_runs."""
+    order = pc.sort_indices(t, sort_keys=[(k1, "ascending"), (k2, "ascending")])
+    g = t.take(order)
+    a = g.column(k1)
+    b = g.column(k2)
+    neq = pc.or_(
+        pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)),
+        pc.not_equal(b.slice(1), b.slice(0, len(b) - 1)),
+    ).to_numpy(zero_copy_only=False)
+    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [t.num_rows]])
+    return g, run_start
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k
+
+def word_tf_rows(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, word, tf, wb) — per-doc term frequencies
+    are complete map-side (one document per input row); ``wb`` is the
+    bounded shuffle key for the document-frequency pass."""
+    flat, par, _ = _split_words(batch)
+    t = pa.table({"d": _i64(par), "word": flat})
+    g, run_start = _sorted_runs_2(t, "d", "word")
+    counts = np.diff(run_start)
+    heads = run_start[:-1]
+    doc_ids = _combined(
+        batch.column("doc_id").take(
+            pa.array(g.column("d").to_numpy(zero_copy_only=False)[heads])
+        )
+    )
+    words = _combined(g.column("word").take(pa.array(heads)))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "word": words,
+            "tf": _i64(counts),
+            "wb": _i64(hash_strings(words) % WORD_BUCKETS),
+        }
+    )
+
+
+def tf_score_rows(group: pa.Table) -> pa.Table:
+    """One word bucket of tf rows: a word's rows all share its hash
+    bucket, so its document frequency is complete here — score =
+    ``tf * SCORE_SCALE // df`` (exact integer), rows leave keyed by
+    the per-doc top-k shuffle's doc bucket."""
+    from .dedup import _sorted_runs
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "db": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "word")
+    counts = np.diff(run_start)
+    df = np.repeat(counts, counts)
+    tf = g.column("tf").to_numpy(zero_copy_only=False)
+    d = g.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "word": g.column("word"),
+            "tf": g.column("tf"),
+            "score": _i64(tf * SCORE_SCALE // df),
+            "db": _i64(d % DOC_BUCKETS),
+        }
+    )
+
+
+def doc_topk(group: pa.Table, k: int = TFIDF_K) -> pa.Table:
+    """One doc bucket of scored term rows → each doc's top-k terms by
+    (score desc, word asc) with a 1-based rank column."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("score", "descending"),
+            ("word", "ascending"),
+        ],
+    )
+    g = group.take(order)
+    d = g.column("doc_id").to_numpy(zero_copy_only=False)
+    run_start = np.concatenate([[0], np.flatnonzero(d[1:] != d[:-1]) + 1, [len(d)]])
+    counts = np.diff(run_start)
+    pos = np.arange(len(d), dtype=np.int64) - np.repeat(run_start[:-1], counts)
+    keep = pa.array(pos < k)
+    g = pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "word": g.column("word"),
+            "tf": g.column("tf"),
+            "score": g.column("score"),
+            "rank": _i64(pos + 1),
+        }
+    ).filter(keep)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# connected components over candidate pairs
+
+CC_MAX_ROUNDS = 32  # propagation bound; star/clique-shaped LSH clusters
+# converge in 2-3 rounds, and label chasing halves path lengths, so 32
+# covers components of diameter ~2^31 — effectively a safety assert
+
+
+def connected_components(pairs, num_partitions: int = 8):
+    """(doc_a, doc_b) candidate-pair Dataset → (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc_id.
+
+    Iterative min-label propagation, Ray-Data-native: each round is
+    one hash join (edge endpoint → its label) + one groupby(min).
+    Every table in the loop is O(edges) — nothing lands on the driver
+    but a per-round 1-row aggregate. Labels never increase, so
+    ``sum(label)`` strictly decreases until the fixpoint; equality of
+    consecutive sums IS convergence (no join-diff needed).
+    Pre-groupby ``repartition(num_partitions)`` keeps shuffle
+    partitions ≤ group count — empty aggregate partitions emit
+    partial-schema bundles that break the next round's join. Rounds are
+    materialized — they are near-dup-pair-sized, not corpus-sized, and
+    an unmaterialized loop would re-execute the whole lineage each
+    round. Label chasing (joining labels with themselves) is folded in
+    by symmetrizing edges and including self-labels in the min, giving
+    the usual O(log diameter) convergence of simple label propagation
+    with path halving.
+    """
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = _combined(b.column("doc_a"))
+        c = _combined(b.column("doc_b"))
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, c]),
+                "nbr": pa.concat_arrays([c, a]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_label(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "lbl": pc.min_element_wise(b.column("node"), b.column("min(nbr)")),
+            }
+        )
+
+    labels = (
+        edges.repartition(num_partitions)
+        .groupby("node")
+        .min("nbr")
+        .map_batches(init_label, batch_format="pyarrow")
+        .materialize()
+    )
+    prev = labels.sum("lbl")
+    for _ in range(CC_MAX_ROUNDS):
+        lbl_of_nbr = labels.map_batches(
+            lambda b: pa.table({"nbr": b.column("node"), "nbr_lbl": b.column("lbl")}),
+            batch_format="pyarrow",
+        )
+        via_edges = edges.join(
+            lbl_of_nbr, join_type="inner", num_partitions=num_partitions, on=("nbr",)
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("node"), "lbl": b.column("nbr_lbl")}),
+            batch_format="pyarrow",
+        )
+        # label chasing: node's label adopts its label's label
+        lbl_of_lbl = labels.map_batches(
+            lambda b: pa.table({"lbl": b.column("node"), "lbl2": b.column("lbl")}),
+            batch_format="pyarrow",
+        )
+        via_chase = labels.join(
+            lbl_of_lbl, join_type="inner", num_partitions=num_partitions, on=("lbl",)
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("node"), "lbl": b.column("lbl2")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(via_edges)
+            .union(via_chase)
+            .repartition(num_partitions)
+            .groupby("node")
+            .min("lbl")
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "lbl": b.column("min(lbl)")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = labels.sum("lbl")
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("connected_components: no fixpoint in CC_MAX_ROUNDS")
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("lbl")}
+        ),
+        batch_format="pyarrow",
+    )

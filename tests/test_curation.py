@@ -1,0 +1,148 @@
+"""Corpus-curation kernels: line chunking/dedup, host caps, repetition
+signals, TF-IDF top-k, connected components."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prclz_ray.stages import curation as C
+
+
+def _docs_table(texts, doc_ids=None):
+    ids = doc_ids if doc_ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def _ref_lines(text):
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + C.LINE_W]) for i in range(0, len(words), C.LINE_W)
+    ]
+
+
+def test_line_arrays_chunking_matches_reference():
+    texts = [
+        " ".join(f"w{i}" for i in range(25)),
+        "single",
+        " ".join(f"x{i}" for i in range(10)),
+        "",
+    ]
+    t = _docs_table(texts)
+    lines, line_doc, local = C._line_arrays(t)
+    got = {}
+    for s, d, l in zip(lines.to_pylist(), line_doc, local):
+        got.setdefault(int(d), []).append((int(l), s))
+    for d, text in enumerate(texts):
+        exp = list(enumerate(_ref_lines(text)))
+        assert sorted(got[d]) == exp, (d, got[d], exp)
+
+
+def test_line_dedup_drops_corpus_duplicate_lines():
+    dup = " ".join(f"d{i}" for i in range(C.LINE_W))
+    uniq_a = " ".join(f"a{i}" for i in range(C.LINE_W))
+    uniq_b = " ".join(f"b{i}" for i in range(C.LINE_W))
+    texts = [f"{dup} {uniq_a}", f"{uniq_b} {dup}", dup]
+    t = _docs_table(texts)
+    rows = C.doc_line_rows(t)
+    flagged = []
+    for lb in np.unique(rows.column("lb").to_numpy(zero_copy_only=False)):
+        flagged.append(C.line_flag_rows(rows.filter(pc.equal(rows.column("lb"), lb))))
+    fl = pa.concat_tables(flagged)
+    out = []
+    for db in np.unique(fl.column("db").to_numpy(zero_copy_only=False)):
+        out.append(C.reassemble_docs(fl.filter(pc.equal(fl.column("db"), db))))
+    res = pa.concat_tables(out).sort_by([("doc_id", "ascending")])
+    assert res.column("clean_text").to_pylist() == [uniq_a, uniq_b, ""]
+    assert res.column("n_lines").to_pylist() == [2, 2, 1]
+    assert res.column("n_dropped").to_pylist() == [1, 1, 1]
+    # empty-group passthrough keeps the schema
+    assert C.line_flag_rows(rows.slice(0, 0)).schema == fl.schema
+
+
+def test_host_rank_keep_caps_per_host_by_doc_id():
+    hosts = ["h1"] * 5 + ["h2"] * 2
+    ids = [9, 3, 7, 1, 5, 20, 21]
+    g = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "host": pa.array(hosts)}
+    )
+    kept = C.host_rank_keep(g, cap=3)
+    got = sorted(
+        zip(kept.column("host").to_pylist(), kept.column("doc_id").to_pylist())
+    )
+    assert got == [("h1", 1), ("h1", 3), ("h1", 5), ("h2", 20), ("h2", 21)]
+
+
+def test_repetition_signals_exact_values():
+    # doc 0: two identical LINE_W-word lines -> dup_line_frac 1/2
+    base = [f"t{i}" for i in range(C.LINE_W)]
+    d0 = " ".join(base * 2)
+    # doc 1: dominant bigram "a b" (2 of 3 bigrams), no dup lines
+    d1 = "a b a b"
+    t = _docs_table([d0, d1])
+    out = C.repetition_signals(t).sort_by([("doc_id", "ascending")])
+    line_len = len(" ".join(base))
+    n0 = len(d0)
+    assert out.column("n_lines").to_pylist() == [2, 1]
+    assert out.column("dup_line_frac_x1000").to_pylist() == [1 * 1000 // 2, 0]
+    assert out.column("dup_char_frac_x1000").to_pylist() == [
+        line_len * 1000 // n0,
+        0,
+    ]
+    # top bigram of d1: "a b" occurs twice, len 3 -> 6*1000//7
+    assert out.column("top_bigram_frac_x1000").to_pylist()[1] == 6 * 1000 // len(d1)
+
+
+def test_tf_score_and_topk_tie_break():
+    # one word bucket: df complete inside
+    g = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "word": pa.array(["aa", "bb", "aa", "cc"]),
+            "tf": pa.array([2, 2, 1, 3], pa.int64()),
+            "wb": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    s = C.tf_score_rows(g)
+    by = {
+        (d, w): sc
+        for d, w, sc in zip(
+            s.column("doc_id").to_pylist(),
+            s.column("word").to_pylist(),
+            s.column("score").to_pylist(),
+        )
+    }
+    # df(aa)=2, df(bb)=1, df(cc)=1
+    assert by[(1, "aa")] == 2 * C.SCORE_SCALE // 2
+    assert by[(1, "bb")] == 2 * C.SCORE_SCALE // 1
+    assert by[(2, "cc")] == 3 * C.SCORE_SCALE // 1
+    # topk with equal scores -> word-ascending tie break, rank 1-based
+    eq = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 7], pa.int64()),
+            "word": pa.array(["zz", "mm", "aa"]),
+            "tf": pa.array([1, 1, 1], pa.int64()),
+            "score": pa.array([5, 5, 5], pa.int64()),
+            "db": pa.array([0, 0, 0], pa.int64()),
+        }
+    )
+    top = C.doc_topk(eq, k=2)
+    assert top.column("word").to_pylist() == ["aa", "mm"]
+    assert top.column("rank").to_pylist() == [1, 2]
+
+
+def test_connected_components_path_and_isolated(ray_session):
+    import ray.data
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([0, 1, 2, 3, 4, 10], pa.int64()),
+            "doc_b": pa.array([1, 2, 3, 4, 5, 11], pa.int64()),
+        }
+    )
+    out = (
+        C.connected_components(ray.data.from_arrow(pairs), num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
