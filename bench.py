@@ -159,6 +159,13 @@ def run_secondary(sf_dir: str) -> dict:
         "doc_fingerprint",
         "quality_filter",
         "decontaminate",
+        "line_dedup",
+        "dedup_clusters",
+        "tfidf_topk",
+        "host_cap",
+        "repetition_signals",
+        "ngram_topk",
+        "dup_spans",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

@@ -2511,6 +2511,81 @@ SELECT doc_id, word, tf, score, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= {T
 """
 
 
+def q_ngram_topk(sf_dir: str):
+    """Corpus-wide top-k most frequent word n-grams (the classic
+    Common-Crawl boilerplate report): map-side partial counts (one
+    Arrow group_by per batch — occurrences never hit the wire
+    row-per-occurrence) → ONE bounded shuffle on the gram-hash bucket
+    sums and keeps per-bucket top-k candidates (a gram lives in
+    exactly one bucket, so the global top-k is inside the candidate
+    union) → one final task selects the global top-k."""
+    from .stages.curation import bucket_topk_grams, global_topk_grams, ngram_partial_counts
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partial = ds.map_batches(ngram_partial_counts, batch_format="pyarrow")
+    cands = partial.groupby("gb").map_groups(bucket_topk_grams, batch_format="pyarrow")
+    return cands.repartition(1).map_batches(global_topk_grams, batch_format="pyarrow")
+
+
+def _sql_ngram_topk() -> str:
+    from .stages.curation import NGRAM_TOPK
+
+    return f"""
+WITH {_SQL_WORDS},
+g AS (
+  SELECT doc_id, word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw AS gram
+  FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY gram IS NOT NULL
+),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+r AS (SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram) AS rn FROM c)
+SELECT gram, n FROM r WHERE rn <= {NGRAM_TOPK}
+"""
+
+
+def q_dup_spans(sf_dir: str):
+    """Corpus-duplicated SUBSTRING spans per document (the
+    repeated-passage detection behind substring-level training-data
+    dedup): every DUP_G-word gram occurrence with its position → ONE
+    bounded shuffle on the gram-hash bucket keeps occurrences of
+    corpus-repeated grams → ONE shuffle on the doc bucket merges each
+    doc's surviving gram intervals into maximal spans (vectorized
+    doc-lifted running-max union). Output per affected doc: words
+    covered by duplicated material + span count."""
+    from .stages.curation import dup_flag_rows, dup_span_agg, gram_pos_rows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = ds.map_batches(gram_pos_rows, batch_format="pyarrow")
+    flagged = rows.groupby("gb").map_groups(dup_flag_rows, batch_format="pyarrow")
+    return flagged.groupby("db").map_groups(dup_span_agg, batch_format="pyarrow")
+
+
+def _sql_dup_spans() -> str:
+    from .stages.curation import DUP_G
+
+    return f"""
+WITH {_SQL_WORDS},
+g AS (
+  SELECT doc_id, ord AS p,
+         word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+              || ' ' || lead(word, 3) OVER dw || ' ' || lead(word, 4) OVER dw AS gram
+  FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY gram IS NOT NULL
+),
+c AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+d AS (SELECT g.doc_id, g.p FROM g JOIN c USING (gram)),
+cov AS (SELECT DISTINCT doc_id, p + s.x AS pos
+        FROM d, (SELECT unnest(generate_series(0, {DUP_G - 1})) AS x) s),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cov)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_word_cover,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+FROM isl GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2583,6 +2658,8 @@ QUERIES: Dict[str, Callable] = {
     "repetition_signals": q_repetition_signals,
     "dedup_clusters": q_dedup_clusters,
     "tfidf_topk": q_tfidf_topk,
+    "ngram_topk": q_ngram_topk,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2647,6 +2724,8 @@ ORACLES: Dict[str, str] = {
     "repetition_signals": _sql_repetition(),
     "dedup_clusters": _sql_dedup_clusters(),
     "tfidf_topk": _sql_tfidf_topk(),
+    "ngram_topk": _sql_ngram_topk(),
+    "dup_spans": _sql_dup_spans(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

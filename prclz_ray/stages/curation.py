@@ -439,6 +439,196 @@ def doc_topk(group: pa.Table, k: int = TFIDF_K) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# corpus n-gram statistics + duplicated-substring spans
+
+NGRAM_N = 3          # words per n-gram for corpus-wide counting
+NGRAM_TOPK = 20      # global top-k most frequent n-grams
+GRAM_BUCKETS = 256   # shuffle-key buckets for n-gram counting
+DUP_G = 5            # gram width for duplicated-substring detection
+DUP_BUCKETS = 512    # shuffle-key buckets for the dup-gram df pass
+
+
+def _flat_words(batch: pa.Table):
+    """(flat word array, word→row index, words-per-row) — shared by
+    the gram kernels (same null→'' contract as _split_words)."""
+    return _split_words(batch)
+
+
+def _gram_strings(flat, par: np.ndarray, n: int):
+    """All n-word grams over the flat word array: n shifted slices
+    joined element-wise, masked to grams that stay within one row.
+    Returns (gram strings, gram→row index) — loop-free in the gram
+    count."""
+    m = len(flat)
+    if m < n:
+        return pa.array([], pa.string()), np.zeros(0, dtype=np.int64)
+    valid = par[: m - n + 1] == par[n - 1 :]
+    parts = [flat.slice(i, m - n + 1) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(valid))
+    return grams, par[: m - n + 1][valid]
+
+
+def ngram_partial_counts(batch: pa.Table, n: int = NGRAM_N) -> pa.Table:
+    """documents → map-side partial n-gram counts (gram, n, gb) — the
+    combiner half of the corpus-wide count; one Arrow group_by per
+    batch, never a row per occurrence on the wire."""
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "gb": pa.array([], pa.int64()),
+        }
+    )
+    flat, par, _ = _flat_words(batch)
+    grams, _ = _gram_strings(flat, par, n)
+    if len(grams) == 0:
+        return empty
+    agg = (
+        pa.table({"gram": grams})
+        .group_by("gram")
+        .aggregate([([], "count_all")])
+        .rename_columns(["gram", "n"])
+    )
+    g = _combined(agg.column("gram"))
+    return pa.table(
+        {
+            "gram": g,
+            "n": pc.cast(agg.column("n"), pa.int64()),
+            "gb": _i64(hash_strings(g) % GRAM_BUCKETS),
+        }
+    )
+
+
+def bucket_topk_grams(group: pa.Table, k: int = NGRAM_TOPK) -> pa.Table:
+    """One gram bucket: sum partial counts per gram and keep the
+    bucket's top-k by (count desc, gram asc). A gram lives in exactly
+    one bucket, so the global top-k is contained in the union of
+    per-bucket top-k candidates."""
+    empty = pa.table(
+        {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0:
+        return empty
+    agg = (
+        pa.table({"gram": group.column("gram"), "n": group.column("n")})
+        .group_by("gram")
+        .aggregate([("n", "sum")])
+        .rename_columns(["gram", "n"])
+    )
+    srt = agg.sort_by([("n", "descending"), ("gram", "ascending")])
+    return srt.slice(0, k)
+
+
+def global_topk_grams(batch: pa.Table, k: int = NGRAM_TOPK) -> pa.Table:
+    """Final selection over the ≤ GRAM_BUCKETS×k candidate rows (one
+    small task after repartition(1))."""
+    return batch.sort_by([("n", "descending"), ("gram", "ascending")]).slice(0, k)
+
+
+def gram_pos_rows(batch: pa.Table, n: int = DUP_G) -> pa.Table:
+    """documents → one row per DUP_G-word gram occurrence with its
+    1-based word position, keyed by the bounded gram-hash bucket."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "p": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            "gb": pa.array([], pa.int64()),
+        }
+    )
+    flat, par, nw = _flat_words(batch)
+    grams, vpar = _gram_strings(flat, par, n)
+    if len(grams) == 0:
+        return empty
+    m = len(flat)
+    starts = np.concatenate([[0], np.cumsum(nw)])[:-1]
+    valid_idx = np.flatnonzero(par[: m - n + 1] == par[n - 1 :])
+    pos = valid_idx - starts[vpar] + 1
+    ids = _combined(batch.column("doc_id").take(pa.array(vpar)))
+    return pa.table(
+        {
+            "doc_id": ids,
+            "p": _i64(pos),
+            "gram": grams,
+            "gb": _i64(hash_strings(grams) % DUP_BUCKETS),
+        }
+    )
+
+
+def dup_flag_rows(group: pa.Table) -> pa.Table:
+    """One gram bucket: keep occurrences of grams whose corpus-wide
+    count is ≥ 2 (a gram's occurrences all share its hash bucket);
+    survivors leave keyed by the per-doc span shuffle's doc bucket."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "p": pa.array([], pa.int64()),
+            "db": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "gram")
+    counts = np.diff(run_start)
+    dup = pa.array(np.repeat(counts >= 2, counts))
+    d = g.column("doc_id").filter(dup)
+    dn = _combined(d).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": d,
+            "p": g.column("p").filter(dup),
+            "db": _i64(dn % DOC_BUCKETS),
+        }
+    )
+
+
+def dup_span_agg(group: pa.Table, g: int = DUP_G) -> pa.Table:
+    """One doc bucket of flagged gram positions → per-doc maximal
+    duplicated spans, fully vectorized: positions are lifted to
+    ``doc_id * 2^32 + p`` so a single global running-max interval
+    merge can never join spans across documents (doc gaps exceed any
+    span length), then span starts/ends fold back to per-doc counts
+    with run arithmetic. Output: (doc_id, dup_word_cover, n_spans)
+    for documents containing ≥ 1 corpus-duplicated DUP_G-gram."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "dup_word_cover": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("p", "ascending")]
+    )
+    srt = group.take(order)
+    d = srt.column("doc_id").to_numpy(zero_copy_only=False)
+    p = srt.column("p").to_numpy(zero_copy_only=False)
+    q = d * (np.int64(1) << 32) + p  # doc-lifted positions
+    endmax = np.maximum.accumulate(q + g)
+    newspan = np.concatenate([[True], q[1:] > endmax[:-1]])
+    span_heads = np.flatnonzero(newspan)
+    span_start = q[span_heads]
+    span_end = np.concatenate([endmax[span_heads[1:] - 1], [endmax[-1]]])
+    cover = span_end - span_start
+    span_doc = d[span_heads]
+    doc_start = np.concatenate(
+        [[0], np.flatnonzero(span_doc[1:] != span_doc[:-1]) + 1, [len(span_doc)]]
+    )
+    n_spans = np.diff(doc_start)
+    csum = np.concatenate([[0], np.cumsum(cover)])
+    doc_cover = csum[doc_start[1:]] - csum[doc_start[:-1]]
+    return pa.table(
+        {
+            "doc_id": _i64(span_doc[doc_start[:-1]]),
+            "dup_word_cover": _i64(doc_cover),
+            "n_spans": _i64(n_spans),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components over candidate pairs
 
 CC_MAX_ROUNDS = 32  # propagation bound; star/clique-shaped LSH clusters

@@ -130,6 +130,63 @@ def test_tf_score_and_topk_tie_break():
     assert top.column("rank").to_pylist() == [1, 2]
 
 
+def test_dup_span_merge_overlap_adjacent_separate():
+    # doc 0: positions 1,3 overlap (g=5); 1..6 and 9 adjacent-gap merge
+    # check: [1,6)+[3,8) -> [1,8); 9 -> [9,14): 2 spans, cover 7+5
+    # doc 1: single flag; doc boundary must NOT merge with doc 0
+    g = pa.table(
+        {
+            "doc_id": pa.array([0, 0, 0, 1], pa.int64()),
+            "p": pa.array([1, 3, 9, 1], pa.int64()),
+            "db": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    out = C.dup_span_agg(g).sort_by([("doc_id", "ascending")])
+    assert out.column("doc_id").to_pylist() == [0, 1]
+    assert out.column("n_spans").to_pylist() == [2, 1]
+    assert out.column("dup_word_cover").to_pylist() == [7 + 5, 5]
+    # exactly-touching intervals merge: [1,6) + [6,11) -> one span
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 5], pa.int64()),
+            "p": pa.array([1, 6], pa.int64()),
+            "db": pa.array([0, 0], pa.int64()),
+        }
+    )
+    out2 = C.dup_span_agg(t)
+    assert out2.column("n_spans").to_pylist() == [1]
+    assert out2.column("dup_word_cover").to_pylist() == [10]
+
+
+def test_ngram_bucket_topk_contains_global():
+    # partial counts split across two "batches"; per-bucket topk union
+    # must contain the true global topk regardless of split
+    texts = ["a b c a b c a b c", "x y z x y z", "a b c x y z"]
+    t = _docs_table(texts)
+    p1 = C.ngram_partial_counts(t.slice(0, 2))
+    p2 = C.ngram_partial_counts(t.slice(2, 1))
+    merged = pa.concat_tables([p1, p2])
+    cands = []
+    for gb in np.unique(merged.column("gb").to_numpy(zero_copy_only=False)):
+        cands.append(
+            C.bucket_topk_grams(
+                merged.filter(pc.equal(merged.column("gb"), gb)), k=3
+            )
+        )
+    final = C.global_topk_grams(pa.concat_tables(cands), k=3)
+    # brute force over the whole corpus
+    import collections
+
+    cnt = collections.Counter()
+    for txt in texts:
+        ws = txt.split(" ")
+        for i in range(len(ws) - 2):
+            cnt[" ".join(ws[i : i + 3])] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(final.column("gram").to_pylist(), final.column("n").to_pylist()))
+    assert got == exp
+
+
 def test_connected_components_path_and_isolated(ray_session):
     import ray.data
 
