@@ -2333,26 +2333,19 @@ l AS (
 def q_host_stats(sf_dir: str):
     """Per-host corpus stats (doc count, char volume) — the profiling
     step before any Common-Crawl-style per-site cap. Map-side partial
-    aggregation → one small groupby; hosts never land on the driver."""
-    from .stages.curation import host_partial_stats
+    aggregation → ONE bounded shuffle on ``hash(host) % HOST_BUCKETS``
+    with the per-host reduce vectorized inside the bucket — never a
+    Ray group per host (~10^7 hosts with heavy skew at web scale);
+    hosts never land on the driver."""
+    from .stages.curation import host_combine_stats, host_partial_stats
 
     ds = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
     )
-    agg = (
+    return (
         ds.map_batches(host_partial_stats, batch_format="pyarrow")
-        .groupby("host")
-        .sum(["nd_", "ch_"])
-    )
-    return agg.map_batches(
-        lambda b: pa.table(
-            {
-                "host": b.column("host"),
-                "n_docs": b.column("sum(nd_)"),
-                "sum_chars": b.column("sum(ch_)"),
-            }
-        ),
-        batch_format="pyarrow",
+        .groupby("hb")
+        .map_groups(host_combine_stats, batch_format="pyarrow")
     )
 
 

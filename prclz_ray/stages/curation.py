@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup import _sorted_runs
-from .hashing import hash_strings
+from .hashing import _string_view, hash_strings
 
 LINE_W = 10          # words per "line" of the synthetic single-line corpus
 LINE_BUCKETS = 1024  # shuffle-key buckets for corpus-wide line df
@@ -193,12 +193,44 @@ def reassemble_docs(group: pa.Table) -> pa.Table:
 
 def host_partial_stats(batch: pa.Table) -> pa.Table:
     """Map-side partial per-host (doc count, char sum) — the combiner
-    half of the host_stats aggregate."""
+    half of the host_stats aggregate. COUNT(*) semantics (count_all,
+    not count-non-null — a null n_chars row still counts, matching the
+    oracle); partials leave keyed by the bounded host hash bucket so
+    the reduce is ONE shuffle over HOST_BUCKETS groups, never a Ray
+    group per host (~10^7 hosts at web scale — the CLAUDE.md
+    tiny-groups rule)."""
     t = pa.table({"host": batch.column("source"), "n_chars": batch.column("n_chars")})
-    return (
+    agg = (
         t.group_by("host")
-        .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        .aggregate([([], "count_all"), ("n_chars", "sum")])
         .rename_columns(["host", "nd_", "ch_"])
+    )
+    host = _combined(agg.column("host"))
+    return agg.set_column(0, "host", host).append_column(
+        "hb", _i64(hash_strings(host) % HOST_BUCKETS)
+    )
+
+
+def host_combine_stats(group: pa.Table) -> pa.Table:
+    """One host bucket of partials: sum to final per-host (n_docs,
+    sum_chars) — a host's partials all share its hash bucket, so the
+    final stats are complete here (vectorized Arrow group_by inside
+    the bucket)."""
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_chars": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    return (
+        pa.table({"host": group.column("host"), "nd_": group.column("nd_"),
+                  "ch_": group.column("ch_")})
+        .group_by("host")
+        .aggregate([("nd_", "sum"), ("ch_", "sum")])
+        .rename_columns(["host", "n_docs", "sum_chars"])
     )
 
 
@@ -260,7 +292,17 @@ def repetition_signals(batch: pa.Table) -> pa.Table:
     )
     if n == 0:
         return empty
-    text = pc.fill_null(batch.column("text"), "")
+    text = _combined(pc.fill_null(batch.column("text"), ""))
+    # ASCII-only contract (same rule hash_strings enforces): this stage
+    # measures lengths in codepoints while its DuckDB oracle uses
+    # strlen() bytes — identical only for ASCII, so raise instead of
+    # silently diverging
+    data, offsets = _string_view(text)
+    lo, hi = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
+    if hi > lo and int(data[lo:hi].max()) > 127:
+        raise ValueError(
+            "repetition_signals: non-ASCII input breaks DuckDB oracle parity"
+        )
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chars = np.maximum(n_chars, 1)  # '' guard: fractions of nothing are 0/1
 
@@ -369,8 +411,6 @@ def tf_score_rows(group: pa.Table) -> pa.Table:
     bucket, so its document frequency is complete here — score =
     ``tf * SCORE_SCALE // df`` (exact integer), rows leave keyed by
     the per-doc top-k shuffle's doc bucket."""
-    from .dedup import _sorted_runs
-
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -448,24 +488,20 @@ DUP_G = 5            # gram width for duplicated-substring detection
 DUP_BUCKETS = 512    # shuffle-key buckets for the dup-gram df pass
 
 
-def _flat_words(batch: pa.Table):
-    """(flat word array, word→row index, words-per-row) — shared by
-    the gram kernels (same null→'' contract as _split_words)."""
-    return _split_words(batch)
-
-
 def _gram_strings(flat, par: np.ndarray, n: int):
     """All n-word grams over the flat word array: n shifted slices
     joined element-wise, masked to grams that stay within one row.
-    Returns (gram strings, gram→row index) — loop-free in the gram
-    count."""
+    Returns (gram strings, gram→row index, flat start index of each
+    gram) — loop-free in the gram count; positions come from the same
+    mask so they can never misalign with the gram strings."""
     m = len(flat)
+    z = np.zeros(0, dtype=np.int64)
     if m < n:
-        return pa.array([], pa.string()), np.zeros(0, dtype=np.int64)
+        return pa.array([], pa.string()), z, z
     valid = par[: m - n + 1] == par[n - 1 :]
     parts = [flat.slice(i, m - n + 1) for i in range(n)]
     grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(valid))
-    return grams, par[: m - n + 1][valid]
+    return grams, par[: m - n + 1][valid], np.flatnonzero(valid)
 
 
 def ngram_partial_counts(batch: pa.Table, n: int = NGRAM_N) -> pa.Table:
@@ -479,8 +515,8 @@ def ngram_partial_counts(batch: pa.Table, n: int = NGRAM_N) -> pa.Table:
             "gb": pa.array([], pa.int64()),
         }
     )
-    flat, par, _ = _flat_words(batch)
-    grams, _ = _gram_strings(flat, par, n)
+    flat, par, _ = _split_words(batch)
+    grams, _, _ = _gram_strings(flat, par, n)
     if len(grams) == 0:
         return empty
     agg = (
@@ -536,13 +572,11 @@ def gram_pos_rows(batch: pa.Table, n: int = DUP_G) -> pa.Table:
             "gb": pa.array([], pa.int64()),
         }
     )
-    flat, par, nw = _flat_words(batch)
-    grams, vpar = _gram_strings(flat, par, n)
+    flat, par, nw = _split_words(batch)
+    grams, vpar, valid_idx = _gram_strings(flat, par, n)
     if len(grams) == 0:
         return empty
-    m = len(flat)
     starts = np.concatenate([[0], np.cumsum(nw)])[:-1]
-    valid_idx = np.flatnonzero(par[: m - n + 1] == par[n - 1 :])
     pos = valid_idx - starts[vpar] + 1
     ids = _combined(batch.column("doc_id").take(pa.array(vpar)))
     return pa.table(
@@ -585,11 +619,14 @@ def dup_flag_rows(group: pa.Table) -> pa.Table:
 def dup_span_agg(group: pa.Table, g: int = DUP_G) -> pa.Table:
     """One doc bucket of flagged gram positions → per-doc maximal
     duplicated spans, fully vectorized: positions are lifted to
-    ``doc_id * 2^32 + p`` so a single global running-max interval
-    merge can never join spans across documents (doc gaps exceed any
-    span length), then span starts/ends fold back to per-doc counts
-    with run arithmetic. Output: (doc_id, dup_word_cover, n_spans)
-    for documents containing ≥ 1 corpus-duplicated DUP_G-gram."""
+    ``dense_doc_rank * stride + p`` (stride > max position + g) so a
+    single global running-max interval merge can never join spans
+    across documents. The DENSE rank — not doc_id itself — keeps the
+    lift overflow-free for arbitrary int64 doc_ids (md5-hash ids
+    included): rank ≤ rows-in-bucket and stride ≤ longest doc in
+    words, so the product stays far under 2^63. Output: (doc_id,
+    dup_word_cover, n_spans) for documents containing ≥ 1
+    corpus-duplicated DUP_G-gram."""
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -605,7 +642,11 @@ def dup_span_agg(group: pa.Table, g: int = DUP_G) -> pa.Table:
     srt = group.take(order)
     d = srt.column("doc_id").to_numpy(zero_copy_only=False)
     p = srt.column("p").to_numpy(zero_copy_only=False)
-    q = d * (np.int64(1) << 32) + p  # doc-lifted positions
+    newdoc = np.concatenate([[True], d[1:] != d[:-1]])
+    di = np.cumsum(newdoc) - 1  # dense doc rank within the sorted bucket
+    stride = np.int64(int(p.max()) + g + 1)  # > any within-doc end offset
+    assert int(di[-1]) < (1 << 62) // int(stride), "dup_span_agg lift overflow"
+    q = di * stride + p  # doc-lifted positions
     endmax = np.maximum.accumulate(q + g)
     newspan = np.concatenate([[True], q[1:] > endmax[:-1]])
     span_heads = np.flatnonzero(newspan)
@@ -668,6 +709,20 @@ def connected_components(pairs, num_partitions: int = 8):
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # the round-1 join on a fully-empty, schema-less Dataset raises
+        # ArrowInvalid (the docstring's empty-partition hazard, extreme
+        # case) — and an empty pair set means no clusters by definition
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def init_label(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -4,6 +4,7 @@ signals, TF-IDF top-k, connected components."""
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pytest
 
 from prclz_ray.stages import curation as C
 
@@ -203,3 +204,46 @@ def test_connected_components_path_and_isolated(ray_session):
     )
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_pairs(ray_session):
+    # an all-unique corpus yields zero LSH candidate pairs; the result
+    # must be an empty, correctly-schemed table, not an ArrowInvalid
+    # from joining a schema-less empty Dataset
+    import ray.data
+
+    pairs = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    out = C.connected_components(ray.data.from_arrow(pairs), num_partitions=2)
+    assert sorted(out.schema().names) == ["cluster_id", "doc_id"]
+    assert out.count() == 0
+
+
+def test_dup_span_agg_large_doc_ids():
+    # md5-int64-scale doc_ids must not overflow the doc-lift (dense
+    # rank × stride, not doc_id × 2^32)
+    big = np.int64(2**62)
+    grp = pa.table(
+        {
+            "doc_id": pa.array([big, big, big, 5], pa.int64()),
+            "p": pa.array([1, 3, 20, 1], pa.int64()),
+            "db": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    out = C.dup_span_agg(grp)
+    got = {
+        d: (c, s)
+        for d, c, s in zip(
+            out.column("doc_id").to_pylist(),
+            out.column("dup_word_cover").to_pylist(),
+            out.column("n_spans").to_pylist(),
+        )
+    }
+    # doc big: positions 1,3 merge ([1,8) = 7 words), 20 separate (5)
+    assert got == {5: (5, 1), int(big): (12, 2)}
+
+
+def test_repetition_signals_rejects_non_ascii():
+    with pytest.raises(ValueError, match="non-ASCII"):
+        C.repetition_signals(pa.table({"doc_id": [1], "text": ["café au lait"]}))
