@@ -166,6 +166,8 @@ def run_secondary(sf_dir: str) -> dict:
         "repetition_signals",
         "ngram_topk",
         "dup_spans",
+        "seq_pack",
+        "shuffle_rank",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

@@ -2579,6 +2579,93 @@ FROM isl GROUP BY 1
 """
 
 
+def q_seq_pack(sf_dir: str):
+    """Sequence packing (GPT-style concat-and-chunk): documents in
+    doc_id order are concatenated and cut into fixed SEQ_LEN-token
+    training windows; output is the pack manifest — one row per
+    (sequence, document) overlap with its token count. The global
+    token offsets come from the engine's distributed prefix-sum scan
+    (stages/packing.py): text dies at the projection, per-range-bucket
+    sums reduce in one bounded groupby, the driver cumsums only the
+    PACK_BUCKETS bucket totals, and each bucket finishes vectorized.
+    Output: (seq_id, doc_id, tok_in_seq)."""
+    import ray
+
+    from .stages.packing import (
+        PACK_BUCKETS,
+        bucket_bases,
+        make_pack_fn,
+        token_count_rows,
+    )
+
+    max_id = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).max("doc_id")
+    width = max_id // PACK_BUCKETS + 1
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tok = ds.map_batches(
+        lambda b: token_count_rows(b, width), batch_format="pyarrow"
+    ).materialize()  # (doc_id, nt, pb) — 24 B/row scan state, read text once
+    bases_ref = ray.put(bucket_bases(tok, "nt", "pb"))
+    return tok.groupby("pb").map_groups(
+        make_pack_fn(bases_ref), batch_format="pyarrow"
+    )
+
+
+def _sql_seq_pack() -> str:
+    from .stages.packing import SEQ_LEN
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS nt
+  FROM documents
+), off AS (
+  SELECT doc_id, nt,
+         CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM tok
+)
+SELECT CAST(g AS BIGINT) AS seq_id, doc_id,
+       LEAST((g + 1) * {SEQ_LEN}, st + nt) - GREATEST(g * {SEQ_LEN}, st) AS tok_in_seq
+FROM (
+  SELECT doc_id, nt, st,
+         unnest(generate_series(st // {SEQ_LEN}, (st + nt - 1) // {SEQ_LEN})) AS g
+  FROM off
+)
+"""
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle for training order: dense 1-based
+    rank under (hash62(text), doc_id) — a reproducible corpus-wide
+    permutation with no RNG state and NO single-node sort: the 62-bit
+    hash is uniform, so its range buckets are balanced by construction;
+    bucket bases come from the same prefix-sum scan as seq_pack and
+    each bucket ranks its own rows vectorized.
+    Output: (doc_id, shuffle_pos)."""
+    import ray
+
+    from .stages.packing import bucket_bases, make_rank_fn, shuffle_key_rows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = ds.map_batches(shuffle_key_rows, batch_format="pyarrow").materialize()
+    bases_ref = ray.put(bucket_bases(rows, "one", "sb"))
+    return rows.groupby("sb").map_groups(
+        make_rank_fn(bases_ref), batch_format="pyarrow"
+    )
+
+
+def _sql_shuffle_rank() -> str:
+    from .stages.hashing import sql_h62
+
+    h = sql_h62("COALESCE(text, '')")
+    return f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY {h}, doc_id) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2653,6 +2740,8 @@ QUERIES: Dict[str, Callable] = {
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
+    "seq_pack": q_seq_pack,
+    "shuffle_rank": q_shuffle_rank,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2719,6 +2808,8 @@ ORACLES: Dict[str, str] = {
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),
+    "seq_pack": _sql_seq_pack(),
+    "shuffle_rank": _sql_shuffle_rank(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -1,0 +1,205 @@
+"""Distributed prefix-sum (scan) operators: sequence packing and
+global shuffle ranks.
+
+Trainer-facing steps that need a GLOBAL running total — something no
+single `map_batches` can see. The engine's scan shape, Ray-Data-first:
+
+1. project the scan input down to a tiny per-row table (drop text
+   immediately — the scan state is (key, weight), ~24 B/row) and
+   materialize it once, so the corpus is read exactly once;
+2. range-bucket the key (``key // width`` — contiguous key ranges, so
+   bucket order IS key order) and reduce per-bucket weight sums with a
+   map-side partial + one bounded groupby (≤ PACK_BUCKETS groups);
+3. the per-bucket totals — PACK_BUCKETS rows, bytes — come to the
+   driver for an exclusive cumsum (the ONLY driver compute: O(buckets),
+   independent of corpus size) and the base offsets broadcast via
+   ``ray.put``;
+4. one groupby(bucket) finishes the scan vectorized inside each range:
+   sort by key, local cumsum + bucket base = exact global offsets.
+
+On a 256-node cluster each range bucket is one reducer's worth of
+(key, weight) rows — the documented assumption is a bucket's SCAN ROWS
+fit one worker (the text never ships), same contract as every other
+bounded-bucket shuffle in this repo.
+
+Built on it:
+
+- **sequence packing** (`seq_pack`): concatenate documents in doc_id
+  order and cut fixed SEQ_LEN-token training windows; emit one row per
+  (sequence, document) overlap — the pack manifest a loader needs to
+  build attention-masked training batches. A document spanning a window
+  boundary appears in both windows with its split token counts.
+- **global shuffle rank** (`shuffle_rank`): deterministic training
+  order = dense 1-based rank under ``(hash62(text), doc_id)`` — a
+  reproducible corpus-wide shuffle with no RNG state, assigned without
+  any single-node sort (hash ranges are uniform, so the range buckets
+  are balanced by construction).
+
+Reference analogue: the reference's per-country work ordering is a
+driver-side sort (`midway/midway_blocks.py`); corpus-scale enumeration
+is engine-new surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash_strings62
+
+SEQ_LEN = 128        # tokens per packed training sequence
+PACK_BUCKETS = 256   # range buckets for the prefix-sum scan
+HASH_SPAN = 1 << 62  # hash_strings62 codomain (for uniform range buckets)
+
+
+def _i64(x: np.ndarray) -> pa.Array:
+    return pa.array(x.astype(np.int64, copy=False), pa.int64())
+
+
+def _combined(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+# ---------------------------------------------------------------------------
+# scan machinery
+
+def bucket_bases(rows, weight_col: str, bucket_col: str) -> np.ndarray:
+    """Exclusive prefix sum of per-bucket weight totals.
+
+    One bounded groupby (≤ PACK_BUCKETS groups) reduces the weights;
+    the PACK_BUCKETS-row result is the only thing the driver touches.
+    Returns base[b] = total weight of all buckets < b (empty buckets
+    contribute 0)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({bucket_col: batch.column(bucket_col),
+                      "w": batch.column(weight_col)})
+        return (
+            t.group_by(bucket_col)
+            .aggregate([("w", "sum")])
+            .rename_columns([bucket_col, "w"])
+        )
+
+    totals = (
+        rows.map_batches(partial, batch_format="pyarrow")
+        .groupby(bucket_col)
+        .sum("w")
+        .to_pandas()  # ≤ PACK_BUCKETS rows — bytes, not data
+    )
+    sums = np.zeros(PACK_BUCKETS, dtype=np.int64)
+    sums[totals[bucket_col].to_numpy()] = totals["sum(w)"].to_numpy()
+    return np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+def token_count_rows(batch: pa.Table, width: int) -> pa.Table:
+    """documents → (doc_id, nt, pb): whitespace token count plus the
+    doc_id-range scan bucket. The text column dies here — only the
+    24 B/row scan state travels."""
+    text = pc.fill_null(batch.column("text"), "")
+    nt = pc.list_value_length(pc.split_pattern(text, " "))
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "nt": pc.cast(nt, pa.int64()),
+            "pb": _i64(d // width),
+        }
+    )
+
+
+def make_pack_fn(bases_ref, seq_len: int = SEQ_LEN):
+    """Group fn for one doc_id-range bucket: exact global token offsets
+    (bucket base + local cumsum) → every (sequence, document) overlap,
+    loop-free: spans explode by repeat/arange, overlap lengths by
+    clamped window arithmetic."""
+    import ray
+
+    empty = pa.table(
+        {
+            "seq_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "tok_in_seq": pa.array([], pa.int64()),
+        }
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        bases = ray.get(bases_ref)
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(order)
+        nt = g.column("nt").to_numpy(zero_copy_only=False)
+        pb = int(g.column("pb")[0].as_py())
+        st = bases[pb] + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        first = st // seq_len
+        last = (st + nt - 1) // seq_len
+        nspan = last - first + 1
+        total = int(nspan.sum())
+        doc_rep = np.repeat(np.arange(len(g), dtype=np.int64), nspan)
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nspan)[:-1]]), nspan
+        )
+        seq = first[doc_rep] + local
+        lo = np.maximum(seq * seq_len, st[doc_rep])
+        hi = np.minimum((seq + 1) * seq_len, (st + nt)[doc_rep])
+        return pa.table(
+            {
+                "seq_id": _i64(seq),
+                "doc_id": _combined(g.column("doc_id").take(pa.array(doc_rep))),
+                "tok_in_seq": _i64(hi - lo),
+            }
+        )
+
+    return pack
+
+
+# ---------------------------------------------------------------------------
+# global shuffle rank
+
+def shuffle_key_rows(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, h, sb, one): the 62-bit content hash, its
+    uniform range bucket, and the unit scan weight."""
+    text = _combined(pc.fill_null(batch.column("text"), ""))
+    h = hash_strings62(text)
+    n = len(batch)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "h": _i64(h),
+            "sb": _i64(h // (HASH_SPAN // PACK_BUCKETS)),
+            "one": _i64(np.ones(n, dtype=np.int64)),
+        }
+    )
+
+
+def make_rank_fn(bases_ref):
+    """Group fn for one hash-range bucket: global 1-based rank under
+    (h, doc_id) = bucket base + local dense position."""
+    import ray
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "shuffle_pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        bases = ray.get(bases_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        sb = int(g.column("sb")[0].as_py())
+        pos = bases[sb] + np.arange(1, len(g) + 1, dtype=np.int64)
+        return pa.table(
+            {"doc_id": g.column("doc_id"), "shuffle_pos": _i64(pos)}
+        )
+
+    return rank

@@ -1,0 +1,82 @@
+"""Distributed prefix-sum scan: sequence packing + shuffle rank."""
+
+import numpy as np
+import pyarrow as pa
+
+from prclz_ray.stages import packing as P
+
+
+def _ref_pack(texts, seq_len):
+    """Naive single-process reference: concatenate, cut, record
+    (seq, doc, overlap)."""
+    out = []
+    off = 0
+    for d, t in enumerate(texts):
+        nt = len(t.split(" "))
+        for s in range(off // seq_len, (off + nt - 1) // seq_len + 1):
+            lo = max(s * seq_len, off)
+            hi = min((s + 1) * seq_len, off + nt)
+            out.append((s, d, hi - lo))
+        off += nt
+    return out
+
+
+def test_seq_pack_matches_reference_across_buckets(ray_session):
+    import ray
+
+    rng = np.random.RandomState(7)
+    texts = [" ".join("w" * 1 for _ in range(int(n))) for n in rng.randint(1, 40, 97)]
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(97)), pa.int64()), "text": pa.array(texts)}
+    )
+    width = 96 // P.PACK_BUCKETS + 1  # forces one doc per bucket mostly
+    rows = P.token_count_rows(docs, width)
+    ds = ray.data.from_arrow(rows).materialize()
+    bases = P.bucket_bases(ds, "nt", "pb")
+    ref = ray.put(bases)
+    got = (
+        ds.groupby("pb")
+        .map_groups(P.make_pack_fn(ref, seq_len=16), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+    )
+    exp = sorted(_ref_pack(texts, 16))
+    assert list(map(tuple, got[["seq_id", "doc_id", "tok_in_seq"]].values)) == exp
+    # windows are exactly full except possibly the last
+    per_seq = got.groupby("seq_id")["tok_in_seq"].sum()
+    assert (per_seq.iloc[:-1] == 16).all()
+
+
+def test_bucket_bases_exclusive_cumsum_with_gaps(ray_session):
+    import ray
+
+    rows = pa.table(
+        {
+            "pb": pa.array([0, 0, 3, 5], pa.int64()),
+            "nt": pa.array([4, 6, 10, 1], pa.int64()),
+        }
+    )
+    bases = P.bucket_bases(ray.data.from_arrow(rows), "nt", "pb")
+    assert bases[0] == 0 and bases[1] == 10 and bases[3] == 10
+    assert bases[4] == 20 and bases[5] == 20 and bases[6] == 21
+
+
+def test_shuffle_rank_is_a_permutation(ray_session):
+    import ray
+
+    texts = [f"doc number {i} body" for i in range(50)] + ["doc number 7 body"]
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(51)), pa.int64()), "text": pa.array(texts)}
+    )
+    rows = ray.data.from_arrow(P.shuffle_key_rows(docs)).materialize()
+    ref = ray.put(P.bucket_bases(rows, "one", "sb"))
+    got = (
+        rows.groupby("sb")
+        .map_groups(P.make_rank_fn(ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert sorted(got["shuffle_pos"]) == list(range(1, 52))
+    # duplicate text (doc 7 vs 50) must tie-break by doc_id: 7 first
+    h = P.hash_strings62(docs.column("text"))
+    dup_pos = {d: p for d, p in zip(got["doc_id"], got["shuffle_pos"])}
+    assert dup_pos[7] == dup_pos[50] - 1 or h[7] != h[50]
