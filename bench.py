@@ -168,6 +168,8 @@ def run_secondary(sf_dir: str) -> dict:
         "dup_spans",
         "seq_pack",
         "shuffle_rank",
+        "lines_routed",
+        "lines_sharded",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

@@ -2666,6 +2666,145 @@ FROM documents
 """
 
 
+def _lines_e6_table() -> pa.Table:
+    """Both street fixtures (grid + diagonal) as µdeg integer segments
+    WITHOUT their pre-keyed gadm column — the routing queries must
+    re-derive region membership spatially."""
+    from .pipelines.derive import diagonal_streets_table, streets_table
+
+    t = pa.concat_tables([streets_table(), diagonal_streets_table()])
+
+    def e6(c: str) -> pa.Array:
+        v = pc.multiply(pc.cast(t.column(c), pa.float64()), 1e6)
+        return pc.cast(pc.round(v), pa.int64())
+
+    return pa.table(
+        {
+            "line_id": t.column("line_id").combine_chunks(),
+            "x0_e6": e6("x0"),
+            "y0_e6": e6("y0"),
+            "x1_e6": e6("x1"),
+            "y1_e6": e6("y1"),
+        }
+    )
+
+
+def _sql_lines_cte() -> str:
+    """Closed-form SQL reconstruction of _lines_e6_table (same id
+    scheme, same µdeg coords)."""
+    from .pipelines.derive import DIAG_CHORD
+
+    N = world.N_GADM_AXIS
+    G = world.GADM_E6
+    B = world.BLOCK_E6
+    C = int(round(DIAG_CHORD * 1e6))
+    return f"""
+ax AS (SELECT unnest(range({N})) AS gx),
+ay AS (SELECT unnest(range({N})) AS gy),
+ii AS (SELECT unnest(range({G // B + 1})) AS i),
+lines AS (
+  SELECT 'G'||gx||'_'||gy||'_v'||i AS line_id,
+         gx*{G}+i*{B} AS x0_e6, gy*{G} AS y0_e6,
+         gx*{G}+i*{B} AS x1_e6, (gy+1)*{G} AS y1_e6 FROM ax, ay, ii
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_h'||i,
+         gx*{G}, gy*{G}+i*{B}, (gx+1)*{G}, gy*{G}+i*{B} FROM ax, ay, ii
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_s', gx*{G}, gy*{G}, (gx+1)*{G}, gy*{G} FROM ax, ay
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_n', gx*{G}, (gy+1)*{G}, (gx+1)*{G}, (gy+1)*{G} FROM ax, ay
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_w', gx*{G}, gy*{G}, gx*{G}, (gy+1)*{G} FROM ax, ay
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_e', (gx+1)*{G}, gy*{G}, (gx+1)*{G}, (gy+1)*{G} FROM ax, ay
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_d1', gx*{G}, gy*{G}, (gx+1)*{G}, (gy+1)*{G} FROM ax, ay
+  UNION ALL
+  SELECT 'G'||gx||'_'||gy||'_c', gx*{G}+{C}, gy*{G}, gx*{G}+{C}, (gy+1)*{G} FROM ax, ay
+)"""
+
+
+def q_lines_routed(sf_dir: str):
+    """J3 real spatial routing: street segments (pre-key DROPPED) →
+    every 1° admin cell their geometry intersects with positive
+    length, via the map-side bbox-cover + exact integer Liang-Barsky
+    kernel (stages/routing.py) — no shuffle; a segment running along
+    a shared cell border honestly lands in BOTH cells.
+    Output: (line_id, gadm) pairs."""
+    import ray
+
+    from .stages.routing import make_route_fn
+
+    ds = ray.data.from_arrow(_lines_e6_table())
+    return ds.map_batches(
+        make_route_fn(world.GADM_E6, world.N_GADM_AXIS), batch_format="pyarrow"
+    )
+
+
+def _sql_lines_routed() -> str:
+    from .stages.routing import sql_segment_rect
+
+    G = world.GADM_E6
+    pred = sql_segment_rect(
+        "x0_e6", "y0_e6", "x1_e6", "y1_e6",
+        f"cgx*{G}", f"cgy*{G}", f"(cgx+1)*{G}", f"(cgy+1)*{G}",
+    )
+    return f"""
+WITH {_sql_lines_cte()},
+cells AS (SELECT a.gx AS cgx, b.gy AS cgy FROM ax a, ay b)
+SELECT line_id, 'G'||cgx||'_'||cgy AS gadm
+FROM lines, cells
+WHERE {pred}
+"""
+
+
+def q_lines_sharded(sf_dir: str):
+    """J4 dilated-lines ⋈ blocks shard map: segments dilated by
+    2×STREET_EPS (L∞) against the street-inset block rectangles —
+    the per-block street shard each reblock task needs; a block's
+    bounding streets land in its shard from both sides of the border.
+    Same kernel as J3 with the dilation moved onto the rectangles
+    (Minkowski). Output: (line_id, block_id) pairs."""
+    import ray
+
+    from .stages.routing import block_ids_vec, make_route_fn
+
+    ds = ray.data.from_arrow(_lines_e6_table())
+    return ds.map_batches(
+        make_route_fn(
+            world.BLOCK_E6,
+            world.N_BLOCKS,
+            dilate_e6=2 * world.STREET_EPS_E6,
+            inset_e6=world.STREET_EPS_E6,
+            ids_vec=block_ids_vec,
+            out_col="block_id",
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_lines_sharded() -> str:
+    from .stages.routing import sql_segment_rect
+
+    e = world.STREET_EPS_E6
+    pred = sql_segment_rect(
+        "x0_e6", "y0_e6", "x1_e6", "y1_e6",
+        f"(xmin_e6 - {2 * e})", f"(ymin_e6 - {2 * e})",
+        f"(xmax_e6 + {2 * e})", f"(ymax_e6 + {2 * e})",
+    )
+    return f"""
+WITH {_sql_lines_cte()},
+blocks AS ({SQL_BLOCKS_DERIVED})
+SELECT line_id, block_id
+FROM lines, blocks
+WHERE xmin_e6 - {2 * e} <= GREATEST(x0_e6, x1_e6)
+  AND xmax_e6 + {2 * e} >= LEAST(x0_e6, x1_e6)
+  AND ymin_e6 - {2 * e} <= GREATEST(y0_e6, y1_e6)
+  AND ymax_e6 + {2 * e} >= LEAST(y0_e6, y1_e6)
+  AND {pred}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2742,6 +2881,8 @@ QUERIES: Dict[str, Callable] = {
     "dup_spans": q_dup_spans,
     "seq_pack": q_seq_pack,
     "shuffle_rank": q_shuffle_rank,
+    "lines_routed": q_lines_routed,
+    "lines_sharded": q_lines_sharded,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2810,6 +2951,8 @@ ORACLES: Dict[str, str] = {
     "dup_spans": _sql_dup_spans(),
     "seq_pack": _sql_seq_pack(),
     "shuffle_rank": _sql_shuffle_rank(),
+    "lines_routed": _sql_lines_routed(),
+    "lines_sharded": _sql_lines_sharded(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }
