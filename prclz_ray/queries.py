@@ -1306,9 +1306,11 @@ def _load_query_vectors(sf_dir: str):
 
     from .stages.similarity import put_queries
 
+    from .stages.similarity import embedding_matrix
+
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = embedding_matrix(t.column("embedding"))
     qsel = ids % 100 == 0
     return put_queries(emb[qsel], ids[qsel]), emb, emb[qsel], ids[qsel]
 
