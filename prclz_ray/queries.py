@@ -1304,9 +1304,7 @@ def _load_query_vectors(sf_dir: str):
     the query-set table)."""
     import pyarrow.parquet as pq
 
-    from .stages.similarity import put_queries
-
-    from .stages.similarity import embedding_matrix
+    from .stages.similarity import embedding_matrix, put_queries
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2595,21 +2593,30 @@ def q_seq_pack(sf_dir: str):
 
     from .stages.packing import (
         PACK_BUCKETS,
+        add_range_bucket,
         bucket_bases,
         make_pack_fn,
         token_count_rows,
     )
 
-    max_id = _read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).max("doc_id")
-    width = max_id // PACK_BUCKETS + 1
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     tok = ds.map_batches(
-        lambda b: token_count_rows(b, width), batch_format="pyarrow"
-    ).materialize()  # (doc_id, nt, pb) — 24 B/row scan state, read text once
-    bases_ref = ray.put(bucket_bases(tok, "nt", "pb"))
-    return tok.groupby("pb").map_groups(
+        token_count_rows, batch_format="pyarrow"
+    ).materialize()  # (doc_id, nt) — 16 B/row scan state, corpus read ONCE
+    if tok.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok_in_seq": pa.array([], pa.int64()),
+                }
+            )
+        )
+    width = tok.max("doc_id") // PACK_BUCKETS + 1
+    keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
+    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
+    return keyed.groupby("pb").map_groups(
         make_pack_fn(bases_ref), batch_format="pyarrow"
     )
 

@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup import _sorted_runs
-from .hashing import _string_view, hash_strings
+from .hashing import ensure_ascii, hash_strings
 
 LINE_W = 10          # words per "line" of the synthetic single-line corpus
 LINE_BUCKETS = 1024  # shuffle-key buckets for corpus-wide line df
@@ -293,16 +293,9 @@ def repetition_signals(batch: pa.Table) -> pa.Table:
     if n == 0:
         return empty
     text = _combined(pc.fill_null(batch.column("text"), ""))
-    # ASCII-only contract (same rule hash_strings enforces): this stage
-    # measures lengths in codepoints while its DuckDB oracle uses
-    # strlen() bytes — identical only for ASCII, so raise instead of
-    # silently diverging
-    data, offsets = _string_view(text)
-    lo, hi = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
-    if hi > lo and int(data[lo:hi].max()) > 127:
-        raise ValueError(
-            "repetition_signals: non-ASCII input breaks DuckDB oracle parity"
-        )
+    # codepoint lengths here vs strlen() bytes in the oracle — gate on
+    # the shared ASCII-only contract
+    ensure_ascii(text, "repetition_signals")
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chars = np.maximum(n_chars, 1)  # '' guard: fractions of nothing are 0/1
 

@@ -118,18 +118,25 @@ def _hash_segments(
     return ((csum[ends - lo] - csum[starts - lo]) % p).astype(np.int64)
 
 
-def hash_strings(arr, a: int = A_CHAR, p: int = P31) -> np.ndarray:
-    """int64 polynomial hash per string (H('') = 0), fully vectorized.
-
-    ASCII-only contract enforced: the numpy side hashes BYTES while
-    the SQL side (`sql_h31`) hashes CODEPOINTS — identical only for
-    ASCII, so non-ASCII input raises instead of silently diverging
-    from its oracle. (One vectorized comparison pass; at 100 TB use a
-    byte-level SQL expression and drop the check.)"""
+def ensure_ascii(arr, who: str):
+    """THE ASCII-only contract gate, shared by every kernel whose
+    numpy side works on BYTES while its SQL oracle works on CODEPOINTS
+    (identical only for ASCII — so non-ASCII raises instead of
+    silently diverging). Returns the (data, offsets) flat view so
+    callers don't re-slice. At 100 TB: switch the oracles to
+    byte-level SQL and drop this one comparison pass — there is
+    exactly one site to change."""
     data, offsets = _string_view(arr)
     lo, hi = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
     if hi > lo and int(data[lo:hi].max()) > 127:
-        raise ValueError("hash_strings: non-ASCII input breaks DuckDB oracle parity")
+        raise ValueError(f"{who}: non-ASCII input breaks DuckDB oracle parity")
+    return data, offsets
+
+
+def hash_strings(arr, a: int = A_CHAR, p: int = P31) -> np.ndarray:
+    """int64 polynomial hash per string (H('') = 0), fully vectorized;
+    ASCII-only contract enforced via ensure_ascii."""
+    data, offsets = ensure_ascii(arr, "hash_strings")
     return _hash_segments(data, offsets[:-1], offsets[1:], a, p)
 
 

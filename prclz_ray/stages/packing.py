@@ -95,20 +95,30 @@ def bucket_bases(rows, weight_col: str, bucket_col: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # sequence packing
 
-def token_count_rows(batch: pa.Table, width: int) -> pa.Table:
-    """documents → (doc_id, nt, pb): whitespace token count plus the
-    doc_id-range scan bucket. The text column dies here — only the
-    24 B/row scan state travels."""
+def token_count_rows(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, nt): whitespace token count. The text
+    column dies here — only the 16 B/row scan state travels (the
+    range bucket is attached afterwards by add_range_bucket, once the
+    key range is known FROM this table, so the corpus is read once)."""
     text = pc.fill_null(batch.column("text"), "")
     nt = pc.list_value_length(pc.split_pattern(text, " "))
-    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "nt": pc.cast(nt, pa.int64()),
-            "pb": _i64(d // width),
         }
     )
+
+
+def add_range_bucket(width: int, key: str = "doc_id", out: str = "pb"):
+    """map_batches fn attaching the key-range scan bucket — a cheap
+    map over the materialized scan state, never over the corpus."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        return batch.append_column(out, _i64(k // width))
+
+    return add
 
 
 def make_pack_fn(bases_ref, seq_len: int = SEQ_LEN):

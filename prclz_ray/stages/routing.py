@@ -130,8 +130,13 @@ def make_route_fn(cell_e6: int, n_axis: int, dilate_e6: int = 0,
     Candidate cover stays a superset whenever dilate_e6 ≥ inset_e6."""
     ids_vec = ids_vec or gadm_ids_vec
     grow = dilate_e6 - inset_e6
+    empty = pa.table(
+        {"line_id": pa.array([], pa.string()), out_col: pa.array([], pa.string())}
+    )
 
     def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
         px = batch.column("x0_e6").to_numpy(zero_copy_only=False)
         py = batch.column("y0_e6").to_numpy(zero_copy_only=False)
         qx = batch.column("x1_e6").to_numpy(zero_copy_only=False)

@@ -211,7 +211,7 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     buffer: FP_GRAM shifted adds produce every gram hash at once, then
     a per-document ``minimum.reduceat`` (only the whole-text md5 column
     remains per-row — one digest per document)."""
-    from .hashing import A_CHAR, P31, _powers, _string_view, hash_strings
+    from .hashing import A_CHAR, P31, _powers, ensure_ascii, hash_strings
 
     texts_col = batch.column("text")
     texts = texts_col.to_pylist()
@@ -219,16 +219,11 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     n = len(batch)
     mins = np.zeros(n, dtype=np.int64)
     if n:
-        data, offsets = _string_view(texts_col)
+        # gram pass hashes bytes, oracle hashes codepoints → shared gate
+        data, offsets = ensure_ascii(texts_col, "fingerprint")
         starts, ends = offsets[:-1], offsets[1:]
         lens = ends - starts
         lo, hi = int(starts[0]), int(ends[-1])
-        if hi > lo and int(data[lo:hi].max()) > 127:
-            # same ASCII-only contract as hash_strings: the gram SQL
-            # oracle hashes CODEPOINTS (ord), this pass hashes BYTES —
-            # identical only for ASCII, so raise instead of silently
-            # diverging from the oracle
-            raise ValueError("fingerprint: non-ASCII input breaks DuckDB oracle parity")
         g = FP_GRAM
         big = np.flatnonzero(lens >= g)
         if len(big) and hi - lo >= g:

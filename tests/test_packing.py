@@ -30,7 +30,7 @@ def test_seq_pack_matches_reference_across_buckets(ray_session):
         {"doc_id": pa.array(list(range(97)), pa.int64()), "text": pa.array(texts)}
     )
     width = 96 // P.PACK_BUCKETS + 1  # forces one doc per bucket mostly
-    rows = P.token_count_rows(docs, width)
+    rows = P.add_range_bucket(width)(P.token_count_rows(docs))
     ds = ray.data.from_arrow(rows).materialize()
     bases = P.bucket_bases(ds, "nt", "pb")
     ref = ray.put(bases)

@@ -51,6 +51,20 @@ def test_segment_rect_edge_cases():
     assert not R.segment_rect_mask(*map(np.int64, (11, 2, 11, 8, 0, 0, 10, 10)))
 
 
+def test_route_fn_empty_batch():
+    empty = pa.table(
+        {
+            "line_id": pa.array([], pa.string()),
+            "x0_e6": pa.array([], pa.int64()),
+            "y0_e6": pa.array([], pa.int64()),
+            "x1_e6": pa.array([], pa.int64()),
+            "y1_e6": pa.array([], pa.int64()),
+        }
+    )
+    out = R.make_route_fn(100, 3)(empty)
+    assert out.num_rows == 0 and out.column_names == ["line_id", "gadm"]
+
+
 def test_route_fn_grid_lines_cover_both_sides():
     # one vertical line on the border x=100 of a 100-pitch 3x3 grid:
     # belongs to cells (0,*) and (1,*) it spans
