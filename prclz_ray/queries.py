@@ -2616,7 +2616,9 @@ def q_seq_pack(sf_dir: str):
     width = tok.max("doc_id") // PACK_BUCKETS + 1
     keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
     bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
-    return keyed.groupby("pb").map_groups(
+    from .stages.packing import compact_for_bucket_groupby
+
+    return compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
         make_pack_fn(bases_ref), batch_format="pyarrow"
     )
 
@@ -2654,12 +2656,17 @@ def q_shuffle_rank(sf_dir: str):
     Output: (doc_id, shuffle_pos)."""
     import ray
 
-    from .stages.packing import bucket_bases, make_rank_fn, shuffle_key_rows
+    from .stages.packing import (
+        bucket_bases,
+        compact_for_bucket_groupby,
+        make_rank_fn,
+        shuffle_key_rows,
+    )
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = ds.map_batches(shuffle_key_rows, batch_format="pyarrow").materialize()
     bases_ref = ray.put(bucket_bases(rows, "one", "sb"))
-    return rows.groupby("sb").map_groups(
+    return compact_for_bucket_groupby(rows, rows).groupby("sb").map_groups(
         make_rank_fn(bases_ref), batch_format="pyarrow"
     )
 

