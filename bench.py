@@ -170,6 +170,7 @@ def run_secondary(sf_dir: str) -> dict:
         "shuffle_rank",
         "lines_routed",
         "lines_sharded",
+        "curate_corpus",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

@@ -2821,6 +2821,131 @@ WHERE xmin_e6 - {2 * e} <= GREATEST(x0_e6, x1_e6)
 """
 
 
+def q_curate_corpus(sf_dir: str):
+    """END-TO-END curation pipeline — the composed webtext flagship:
+
+      documents → per-host cap (first HOST_CAP by doc_id)
+                → corpus-wide line dedup (CCNet) → cleaned text
+                → quality gate (Gopher/C4 rules on the CLEANED text)
+                → exact dedup (keep min doc_id per distinct clean text)
+
+    Four bounded all-to-alls (host bucket, line bucket, doc bucket,
+    text-hash bucket), each a shuffle the standalone operators already
+    use; no joins back to the corpus (text rides the host shuffle), no
+    broadcast sets, no driver compute. Output: (doc_id, clean_text)
+    of the surviving training corpus."""
+    from .stages.curation import (
+        DOC_BUCKETS,
+        HOST_BUCKETS,
+        dedup_keep_min,
+        doc_line_rows,
+        host_rank_keep_text,
+        line_flag_rows,
+        reassemble_docs,
+    )
+    from .stages.hashing import hash_strings, hash_strings62
+    from .stages.textops import quality_score
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def host_key(b: pa.Table) -> pa.Table:
+        host = b.column("source").combine_chunks() if isinstance(
+            b.column("source"), pa.ChunkedArray
+        ) else b.column("source")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "host": host,
+                "text": b.column("text"),
+                "hb": pa.array(hash_strings(host) % HOST_BUCKETS, pa.int64()),
+            }
+        )
+
+    capped = (
+        ds.map_batches(host_key, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(host_rank_keep_text, batch_format="pyarrow")
+    )
+    lines = capped.map_batches(doc_line_rows, batch_format="pyarrow")
+    flagged = lines.groupby("lb").map_groups(line_flag_rows, batch_format="pyarrow")
+    cleaned = flagged.groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        q = quality_score(
+            pa.table({"doc_id": b.column("doc_id"), "text": b.column("clean_text")})
+        )
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(q.column("n_words"), 20),
+                pc.greater_equal(q.column("stopword_hits"), 1),
+            ),
+            pc.less_equal(q.column("mean_wlen_x100"), 900),
+        )
+        kept = pa.table(
+            {"doc_id": b.column("doc_id"), "clean_text": b.column("clean_text")}
+        ).filter(mask)
+        ct = kept.column("clean_text").combine_chunks() if isinstance(
+            kept.column("clean_text"), pa.ChunkedArray
+        ) else kept.column("clean_text")
+        return kept.append_column(
+            "kb", pa.array(hash_strings62(ct) % 512, pa.int64())
+        )
+
+    return (
+        cleaned.map_batches(quality_gate, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dedup_keep_min, batch_format="pyarrow")
+    )
+
+
+def _sql_curate_corpus() -> str:
+    from .stages.curation import HOST_CAP, LINE_W
+    from .stages.textops import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH capped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= {HOST_CAP}
+),
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM capped
+),
+l AS (
+  SELECT doc_id, CAST((ord - 1) // {LINE_W} AS BIGINT) AS line_idx,
+         string_agg(word, ' ' ORDER BY ord) AS line
+  FROM w GROUP BY 1, 2
+),
+c AS (SELECT line, COUNT(*) AS cnt FROM l GROUP BY 1),
+cleaned AS (
+  SELECT l.doc_id,
+         COALESCE(string_agg(CASE WHEN c.cnt < 2 THEN l.line END, ' '
+                             ORDER BY l.line_idx), '') AS clean_text
+  FROM l JOIN c USING (line) GROUP BY 1
+),
+qw AS (
+  SELECT doc_id, clean_text, string_split(clean_text, ' ') AS words,
+         strlen(clean_text) AS n_chars
+  FROM cleaned
+),
+kept AS (
+  SELECT doc_id, clean_text FROM qw
+  WHERE len(words) >= 20
+    AND len(list_filter(words, x -> x IN ({stops}))) >= 1
+    AND (n_chars - (len(words) - 1)) * 100 // len(words) <= 900
+)
+SELECT doc_id, clean_text FROM kept
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY clean_text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2899,6 +3024,7 @@ QUERIES: Dict[str, Callable] = {
     "shuffle_rank": q_shuffle_rank,
     "lines_routed": q_lines_routed,
     "lines_sharded": q_lines_sharded,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2969,6 +3095,7 @@ ORACLES: Dict[str, str] = {
     "shuffle_rank": _sql_shuffle_rank(),
     "lines_routed": _sql_lines_routed(),
     "lines_sharded": _sql_lines_sharded(),
+    "curate_corpus": _sql_curate_corpus(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -264,6 +264,57 @@ def host_rank_keep(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
     )
 
 
+def host_rank_keep_text(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
+    """host_rank_keep variant for the end-to-end curation pipeline:
+    same first-``cap``-docs-per-host rule, but the document TEXT rides
+    through the host shuffle so the next stage needs no join back to
+    the corpus (one bounded all-to-all carrying the corpus — the same
+    tradeoff line_dedup makes)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "host": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "host")
+    counts = np.diff(run_start)
+    pos = np.arange(len(g), dtype=np.int64) - np.repeat(run_start[:-1], counts)
+    keep = pa.array(pos < cap)
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id").filter(keep),
+            "host": g.column("host").filter(keep),
+            "text": g.column("text").filter(keep),
+        }
+    )
+
+
+def dedup_keep_min(group: pa.Table, text_col: str = "clean_text") -> pa.Table:
+    """One text-hash bucket: keep each distinct text's minimum-doc_id
+    row (string-exact inside the bucket; a text's occurrences all
+    share its hash bucket). The keep-first half of exact dedup, as a
+    pipeline stage."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            text_col: pa.array([], pa.string()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, text_col)  # (text, doc_id) asc
+    heads = pa.array(run_start[:-1])
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id").take(heads),
+            text_col: g.column(text_col).take(heads),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style)
 

@@ -247,3 +247,29 @@ def test_dup_span_agg_large_doc_ids():
 def test_repetition_signals_rejects_non_ascii():
     with pytest.raises(ValueError, match="non-ASCII"):
         C.repetition_signals(pa.table({"doc_id": [1], "text": ["café au lait"]}))
+
+
+def test_host_rank_keep_text_passes_text_through():
+    g = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 9], pa.int64()),
+            "host": pa.array(["a", "a", "a", "b"]),
+            "text": pa.array(["t3", "t1", "t2", "t9"]),
+        }
+    )
+    out = C.host_rank_keep_text(g, cap=2)
+    got = sorted(zip(out["doc_id"].to_pylist(), out["text"].to_pylist()))
+    assert got == [(1, "t1"), (2, "t2"), (9, "t9")]
+
+
+def test_dedup_keep_min_keeps_first_doc_per_text():
+    g = pa.table(
+        {
+            "doc_id": pa.array([5, 2, 7, 1], pa.int64()),
+            "clean_text": pa.array(["x", "x", "y", "y"]),
+            "kb": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    out = C.dedup_keep_min(g)
+    got = sorted(zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()))
+    assert got == [(1, "y"), (2, "x")]
