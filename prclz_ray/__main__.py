@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     t.add_argument("--output", required=True)
     t.add_argument("--num-cpus", type=int, default=None)
 
+    c = sub.add_parser("curate", help="run the end-to-end corpus-curation pipeline to parquet")
+    c.add_argument("--input", required=True, help="dir containing documents.parquet")
+    c.add_argument("--output", required=True, help="output dir (Hive-partitioned by kb)")
+    c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+
     q = sub.add_parser("query", help="run a named query and print row count + head")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -75,6 +81,11 @@ def main(argv=None) -> int:
             from .pipelines.flagship import run_tiles
 
             print(json.dumps(run_tiles(args.input, args.output)))
+        elif args.cmd == "curate":
+            from .pipelines.curate import run_curate
+
+            print(json.dumps(run_curate(args.input, args.output,
+                                        resume=not args.no_resume)))
         elif args.cmd == "reblock":
             from .pipelines.reblock import run_reblock
 

@@ -1,0 +1,99 @@
+"""Curation job runner: the end-to-end webtext pipeline → partitioned
+parquet + lineage manifest.
+
+Same sink contract as ``run_flagship`` / ``run_tiles``
+(pipelines/flagship.py): one Hive directory per partition (here the
+512 text-hash buckets ``kb``), a fingerprint-validated manifest row
+per completed bucket, atomic tmp+rename manifest writes, and crash
+cleanup that deletes partition dirs without a matching manifest row
+before recomputing.
+
+Resume semantics — stated honestly: completed buckets are filtered
+out ONLY at the sink. The curation lineage (host ranks, corpus-wide
+line frequencies, the dedup min) is CORPUS-COUPLED — every output
+bucket is a function of the whole input — so a resumed run recomputes
+the stream and re-skips finished buckets' writes. That is still worth
+having: a crash mid-write never duplicates or loses rows, and the
+recomputed stream is deterministic for the same input fingerprint, so
+resumed output is bit-identical to a clean run. (Contrast the
+flagship, whose per-row-independent join lets it skip compute too.)
+
+Reference analogue: the reference resumes per-GADM work by completed-
+set difference (`prclz/parcelization/midway_parcelization_residual.sh`);
+the corpus-coupled variant here is the honest equivalent for
+whole-corpus statistics.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.manifest import Manifest
+from .flagship import _partition_counts, _write_run_metrics
+
+KB_BUCKETS = 512  # matches q_curate_corpus's final text-hash bucket
+
+
+def _with_kb(batch: pa.Table) -> pa.Table:
+    """Re-derive the text-hash bucket as the write partition column
+    (dedup_keep_min consumed it; same hash → same value)."""
+    from ..stages.hashing import hash_strings62
+
+    ct = batch.column("clean_text")
+    ct = ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct
+    return batch.append_column(
+        "kb", pa.array(hash_strings62(ct) % KB_BUCKETS, pa.int64())
+    )
+
+
+def run_curate(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
+    """documents.parquet under ``input_dir`` → curated corpus at
+    ``out_dir`` (Hive dirs ``kb=N``) + manifest. Returns
+    {partitions, rows, new_rows, skipped, wall_s}."""
+    from ..queries import q_curate_corpus
+
+    t0 = time.time()
+    manifest = Manifest(out_dir)
+    done = manifest.completed(fingerprint=input_dir) if resume else set()
+
+    # crash cleanup: partition dirs without a fingerprint-matching
+    # manifest row are partial writes (or another input's output)
+    for d in glob.glob(os.path.join(out_dir, "kb=*")):
+        if d.rsplit("=", 1)[-1] not in done:
+            shutil.rmtree(d)
+    for key in manifest.completed() - done:
+        manifest.unmark(key)
+
+    ds = q_curate_corpus(input_dir).map_batches(_with_kb, batch_format="pyarrow")
+    if done:
+        done_arr = pa.array(sorted(int(k) for k in done), pa.int64())
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b.column("kb"), value_set=done_arr))
+            ),
+            batch_format="pyarrow",
+        )
+    ds.write_parquet(out_dir, partition_cols=["kb"])
+
+    counts = _partition_counts(out_dir, "kb")  # parquet footers only
+    wall = time.time() - t0
+    new_rows = 0
+    for key, n in counts.items():
+        if key not in done:
+            manifest.mark(key, n, fingerprint=input_dir, wall_s=wall)
+            new_rows += n
+    stats = {
+        "partitions": len(counts),
+        "rows": int(sum(counts.values())),
+        "new_rows": int(new_rows),
+        "skipped": len(done),
+        "wall_s": round(wall, 3),
+    }
+    _write_run_metrics(out_dir, "curate", input_dir, stats)
+    return stats

@@ -262,6 +262,42 @@ def test_host_rank_keep_text_passes_text_through():
     assert got == [(1, "t1"), (2, "t2"), (9, "t9")]
 
 
+def test_run_curate_resume(ray_session, tmp_path):
+    """Kill-and-resume for the curation sink: delete two completed
+    kb buckets, resume, output matches a clean run bit-for-bit."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines.curate import run_curate
+    from prclz_ray.state.manifest import Manifest
+
+    SF = "/root/testdata/sf0.001"
+    full = str(tmp_path / "full")
+    res = str(tmp_path / "res")
+    r1 = run_curate(SF, full, resume=False)
+    r2 = run_curate(SF, res, resume=False)
+    assert r1["rows"] == r2["rows"] > 0
+
+    m = Manifest(res)
+    victims = sorted(m.completed())[:2]
+    for v in victims:
+        shutil.rmtree(os.path.join(res, f"kb={v}"))
+        os.remove(os.path.join(res, "_manifest", f"{v}.json"))
+
+    r3 = run_curate(SF, res, resume=True)
+    assert r3["skipped"] == len(Manifest(full).completed()) - 2
+    assert r3["rows"] == r1["rows"]
+
+    cols = ["doc_id", "clean_text"]
+    a = pq.read_table(full, columns=cols).to_pandas().sort_values("doc_id")
+    b = pq.read_table(res, columns=cols).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["clean_text"].values == b["clean_text"].values).all()
+
+
 def test_dedup_keep_min_keeps_first_doc_per_text():
     g = pa.table(
         {
