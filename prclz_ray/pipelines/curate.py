@@ -34,10 +34,9 @@ import time
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.curation import KB_BUCKETS
 from ..state.manifest import Manifest
 from .flagship import _partition_counts, _write_run_metrics
-
-KB_BUCKETS = 512  # matches q_curate_corpus's final text-hash bucket
 
 
 def _with_kb(batch: pa.Table) -> pa.Table:

@@ -2311,18 +2311,24 @@ def q_complexity_hist(sf_dir: str):
 # ---------------------------------------------------------------------------
 # corpus curation (host caps, line dedup, repetition, clusters, tf-idf)
 
-_SQL_WORDS = """w AS (
+def _sql_words(src: str = "documents") -> str:
+    """The word-split CTE (generate_subscripts alignment idiom) over
+    any doc-shaped source table — the ONE place this SQL lives."""
+    return f"""w AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS word,
          generate_subscripts(string_split(text, ' '), 1) AS ord
-  FROM documents
+  FROM {src}
 )"""
 
 
-def _sql_lines() -> str:
+_SQL_WORDS = _sql_words()
+
+
+def _sql_lines(src: str = "documents") -> str:
     from .stages.curation import LINE_W
 
-    return f"""{_SQL_WORDS},
+    return f"""{_sql_words(src)},
 l AS (
   SELECT doc_id, CAST((ord - 1) // {LINE_W} AS BIGINT) AS line_idx,
          string_agg(word, ' ' ORDER BY ord) AS line
@@ -2835,8 +2841,8 @@ def q_curate_corpus(sf_dir: str):
     broadcast sets, no driver compute. Output: (doc_id, clean_text)
     of the surviving training corpus."""
     from .stages.curation import (
-        DOC_BUCKETS,
         HOST_BUCKETS,
+        KB_BUCKETS,
         dedup_keep_min,
         doc_line_rows,
         host_rank_keep_text,
@@ -2890,7 +2896,7 @@ def q_curate_corpus(sf_dir: str):
             kept.column("clean_text"), pa.ChunkedArray
         ) else kept.column("clean_text")
         return kept.append_column(
-            "kb", pa.array(hash_strings62(ct) % 512, pa.int64())
+            "kb", pa.array(hash_strings62(ct) % KB_BUCKETS, pa.int64())
         )
 
     return (
@@ -2901,7 +2907,7 @@ def q_curate_corpus(sf_dir: str):
 
 
 def _sql_curate_corpus() -> str:
-    from .stages.curation import HOST_CAP, LINE_W
+    from .stages.curation import HOST_CAP
     from .stages.textops import STOPWORDS
 
     stops = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -2913,16 +2919,7 @@ WITH capped AS (
     FROM documents
   ) WHERE rn <= {HOST_CAP}
 ),
-w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-         generate_subscripts(string_split(text, ' '), 1) AS ord
-  FROM capped
-),
-l AS (
-  SELECT doc_id, CAST((ord - 1) // {LINE_W} AS BIGINT) AS line_idx,
-         string_agg(word, ' ' ORDER BY ord) AS line
-  FROM w GROUP BY 1, 2
-),
+{_sql_lines("capped")},
 c AS (SELECT line, COUNT(*) AS cnt FROM l GROUP BY 1),
 cleaned AS (
   SELECT l.doc_id,

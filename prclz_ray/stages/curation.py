@@ -54,6 +54,9 @@ LINE_BUCKETS = 1024  # shuffle-key buckets for corpus-wide line df
 DOC_BUCKETS = 256    # shuffle-key buckets for per-doc regrouping
 HOST_BUCKETS = 64    # shuffle-key buckets for per-host ranking
 HOST_CAP = 15        # max documents kept per host (host_cap query)
+KB_BUCKETS = 512     # text-hash buckets for exact keep-min dedup —
+                     # ALSO the curate sink's write-partition count
+                     # (pipelines/curate.py re-derives it by hash)
 TFIDF_K = 3          # top terms kept per document
 WORD_BUCKETS = 64    # shuffle-key buckets for document-frequency runs
 SCORE_SCALE = 1_000_000  # tf-idf score = tf * SCALE // df (exact integer)
@@ -247,6 +250,16 @@ def host_cap_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def _rank_cap(group: pa.Table, cap: int) -> pa.Table:
+    """Shared rank-cap core: sort one host bucket by (host, doc_id),
+    keep each host's first ``cap`` rows (vectorized run arithmetic),
+    return the filtered table with ALL its columns."""
+    g, run_start = _sorted_runs(group, "host")
+    counts = np.diff(run_start)
+    pos = np.arange(len(g), dtype=np.int64) - np.repeat(run_start[:-1], counts)
+    return g.filter(pa.array(pos < cap))
+
+
 def host_rank_keep(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
     """One host bucket: keep each host's first ``cap`` documents by
     doc_id (deterministic rank via run arithmetic, no per-host Python)."""
@@ -255,13 +268,7 @@ def host_rank_keep(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
     )
     if group.num_rows == 0:
         return empty
-    g, run_start = _sorted_runs(group, "host")  # sorts by (host, doc_id)
-    counts = np.diff(run_start)
-    pos = np.arange(len(g), dtype=np.int64) - np.repeat(run_start[:-1], counts)
-    keep = pa.array(pos < cap)
-    return pa.table(
-        {"doc_id": g.column("doc_id").filter(keep), "host": g.column("host").filter(keep)}
-    )
+    return _rank_cap(group, cap).select(["doc_id", "host"])
 
 
 def host_rank_keep_text(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
@@ -279,17 +286,7 @@ def host_rank_keep_text(group: pa.Table, cap: int = HOST_CAP) -> pa.Table:
     )
     if group.num_rows == 0:
         return empty
-    g, run_start = _sorted_runs(group, "host")
-    counts = np.diff(run_start)
-    pos = np.arange(len(g), dtype=np.int64) - np.repeat(run_start[:-1], counts)
-    keep = pa.array(pos < cap)
-    return pa.table(
-        {
-            "doc_id": g.column("doc_id").filter(keep),
-            "host": g.column("host").filter(keep),
-            "text": g.column("text").filter(keep),
-        }
-    )
+    return _rank_cap(group, cap).select(["doc_id", "host", "text"])
 
 
 def dedup_keep_min(group: pa.Table, text_col: str = "clean_text") -> pa.Table:
