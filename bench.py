@@ -171,6 +171,7 @@ def run_secondary(sf_dir: str) -> dict:
         "lines_routed",
         "lines_sharded",
         "curate_corpus",
+        "chunk_docs",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

@@ -2746,6 +2746,33 @@ lines AS (
 )"""
 
 
+def q_chunk_docs(sf_dir: str):
+    """RAG/embedding-prep chunking: every document → overlapping
+    CHUNK_W-word windows at CHUNK_STRIDE — entirely map-side (each doc
+    chunks independently; no shuffle, no state). Output: (doc_id,
+    chunk_idx, chunk_text)."""
+    from .stages.packing import chunk_rows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_rows, batch_format="pyarrow")
+
+
+def _sql_chunk_docs() -> str:
+    from .stages.packing import CHUNK_STRIDE, CHUNK_W
+
+    w, s = CHUNK_W, CHUNK_STRIDE
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       array_to_string(words[CAST(k * {s} + 1 AS BIGINT):CAST(LEAST(k * {s} + {w}, n) AS BIGINT)], ' ') AS chunk_text
+FROM (SELECT doc_id, words, n, unnest(generate_series(0, (n + {s} - 1) // {s} - 1)) AS k FROM d)
+"""
+
+
 def q_lines_routed(sf_dir: str):
     """J3 real spatial routing: street segments (pre-key DROPPED) →
     every 1° admin cell their geometry intersects with positive
@@ -3022,6 +3049,7 @@ QUERIES: Dict[str, Callable] = {
     "lines_routed": q_lines_routed,
     "lines_sharded": q_lines_sharded,
     "curate_corpus": q_curate_corpus,
+    "chunk_docs": q_chunk_docs,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3093,6 +3121,7 @@ ORACLES: Dict[str, str] = {
     "lines_routed": _sql_lines_routed(),
     "lines_sharded": _sql_lines_sharded(),
     "curate_corpus": _sql_curate_corpus(),
+    "chunk_docs": _sql_chunk_docs(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -181,6 +181,74 @@ def make_pack_fn(bases_ref, seq_len: int = SEQ_LEN):
 
 
 # ---------------------------------------------------------------------------
+# RAG chunking: overlapping word windows, pure map-side
+
+CHUNK_W = 40     # words per retrieval chunk
+CHUNK_STRIDE = 30  # window stride (CHUNK_W - CHUNK_STRIDE words overlap)
+
+
+def chunk_rows(batch: pa.Table, w: int = CHUNK_W, s: int = CHUNK_STRIDE) -> pa.Table:
+    """documents → overlapping retrieval chunks (doc_id, chunk_idx,
+    chunk_text): windows of ``w`` words at stride ``s``, the standard
+    RAG/embedding prep step. Entirely map-side (each document chunks
+    independently — no shuffle), loop-free: chunk counts explode by
+    repeat/arange and every chunk's text is one ListArray slice over
+    the shared flat word buffer + binary_join."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    text = pc.fill_null(batch.column("text"), "")
+    words = pc.split_pattern(text, " ")
+    flat_vals = pc.list_flatten(words)
+    flat_vals = (
+        flat_vals.combine_chunks()
+        if isinstance(flat_vals, pa.ChunkedArray)
+        else flat_vals
+    )
+    nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_start = np.concatenate([[0], np.cumsum(nw)])[:-1]
+    nchunks = (nw + s - 1) // s  # starts k*s for k*s < nw; nw >= 1 always
+    total = int(nchunks.sum())
+    doc_rep = np.repeat(np.arange(len(nw), dtype=np.int64), nchunks)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(nchunks)[:-1]]), nchunks
+    )
+    c_lo = doc_start[doc_rep] + local * s
+    c_hi = np.minimum(c_lo + w, (doc_start + nw)[doc_rep])
+    # overlapping windows can't share one offsets vector (offsets must
+    # be monotone), so gather each chunk's word indices explicitly —
+    # the w/s overlap factor (~1.33×) is inherent to the output anyway
+    clen = c_hi - c_lo
+    out_off = np.concatenate([[0], np.cumsum(clen)])
+    widx = (
+        np.arange(int(out_off[-1]), dtype=np.int64)
+        - np.repeat(out_off[:-1], clen)
+        + np.repeat(c_lo, clen)
+    )
+    gathered = flat_vals.take(pa.array(widx))
+    lists = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), gathered)
+    chunk_text = pc.binary_join(lists, " ")
+    chunk_text = (
+        chunk_text.combine_chunks()
+        if isinstance(chunk_text, pa.ChunkedArray)
+        else chunk_text
+    )
+    return pa.table(
+        {
+            "doc_id": _combined(batch.column("doc_id").take(pa.array(doc_rep))),
+            "chunk_idx": _i64(local),
+            "chunk_text": chunk_text,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # global shuffle rank
 
 def shuffle_key_rows(batch: pa.Table) -> pa.Table:

@@ -61,6 +61,38 @@ def test_bucket_bases_exclusive_cumsum_with_gaps(ray_session):
     assert bases[4] == 20 and bases[5] == 20 and bases[6] == 21
 
 
+def test_chunk_rows_matches_reference():
+    def ref(texts, w, s):
+        out = []
+        for d, t in enumerate(texts):
+            words = t.split(" ")
+            k = 0
+            while k * s < len(words):
+                out.append((d, k, " ".join(words[k * s : k * s + w])))
+                k += 1
+        return out
+
+    texts = [
+        " ".join(f"w{i}" for i in range(95)),   # multiple overlapping chunks
+        "single",                                # one short chunk
+        " ".join(f"x{i}" for i in range(40)),   # exactly one full window
+        " ".join(f"y{i}" for i in range(41)),   # one word spills into chunk 2
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(list(range(4)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = P.chunk_rows(batch)
+    got = list(
+        zip(
+            out["doc_id"].to_pylist(),
+            out["chunk_idx"].to_pylist(),
+            out["chunk_text"].to_pylist(),
+        )
+    )
+    assert got == ref(texts, P.CHUNK_W, P.CHUNK_STRIDE)
+    assert P.chunk_rows(batch.slice(0, 0)).num_rows == 0
+
+
 def test_shuffle_rank_is_a_permutation(ray_session):
     import ray
 
