@@ -2746,6 +2746,42 @@ lines AS (
 )"""
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid — the engine's VECTOR AGGREGATE:
+    dim-wise sums of the (n,64) embedding matrix per class label,
+    exact-integer (round(v·10⁶) per element before summing, so the
+    reduce is order-independent and float-summation-order parity
+    hazards never arise). Map-side partial (one row per label per
+    batch, the list column carrying the 64 partial sums) → one tiny
+    groupby(label). Output: (label, dim, sum_e6, n_vecs) — the exact
+    centroid numerator/denominator per dimension."""
+    from .stages.similarity import centroid_combine, centroid_partials
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return (
+        ds.map_batches(centroid_partials, batch_format="pyarrow")
+        .repartition(4)  # partials are label-count-sized; avoid the
+        # ~200 near-empty reduce tasks of the default shuffle
+        .groupby("label")
+        .map_groups(centroid_combine, batch_format="pyarrow")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+)
+SELECT label, dim, CAST(SUM(v) AS BIGINT) AS sum_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG/embedding-prep chunking: every document → overlapping
     CHUNK_W-word windows at CHUNK_STRIDE — entirely map-side (each doc
@@ -3050,6 +3086,7 @@ QUERIES: Dict[str, Callable] = {
     "lines_sharded": q_lines_sharded,
     "curate_corpus": q_curate_corpus,
     "chunk_docs": q_chunk_docs,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3122,6 +3159,7 @@ ORACLES: Dict[str, str] = {
     "lines_sharded": _sql_lines_sharded(),
     "curate_corpus": _sql_curate_corpus(),
     "chunk_docs": _sql_chunk_docs(),
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -327,3 +327,85 @@ def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
         )
 
     return topk
+
+
+# ---------------------------------------------------------------------------
+# vector aggregate: per-group embedding centroid (exact integer)
+
+def round_e6(v: np.ndarray) -> np.ndarray:
+    """round(v * 1e6) half-away-from-zero → int64, matching DuckDB's
+    ``CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)`` bit for bit
+    (both sides promote float32 → float64 before the multiply)."""
+    x = v * 1e6
+    return np.where(x < 0, np.ceil(x - 0.5), np.floor(x + 0.5)).astype(np.int64)
+
+
+def centroid_partials(batch: pa.Table) -> pa.Table:
+    """Map-side half of the per-label embedding centroid: one row per
+    label seen in the batch with the dim-wise int64 sum (list column)
+    and vector count. Sums are exact integers (round_e6 per element),
+    so the reduce is order-independent — float-summation-order parity
+    hazards never arise."""
+    empty = pa.table(
+        {
+            "label": pa.array([], pa.int64()),
+            "sums": pa.array([], pa.list_(pa.int64())),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    v = round_e6(embedding_matrix(batch.column("embedding")))
+    lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lab, kind="stable")
+    sl, sv = lab[order], v[order]
+    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
+    sums = np.add.reduceat(sv, heads, axis=0)
+    counts = np.diff(np.concatenate([heads, [len(sl)]]))
+    d = v.shape[1]
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(heads) + 1, dtype=np.int64) * d, pa.int32()),
+        pa.array(sums.reshape(-1), pa.int64()),
+    )
+    return pa.table(
+        {
+            "label": pa.array(sl[heads], pa.int64()),
+            "sums": lists,
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def centroid_combine(group: pa.Table) -> pa.Table:
+    """One label's partials → exploded (label, dim, sum_e6, n_vecs)
+    rows — the exact dim-wise centroid numerator/denominator."""
+    empty = pa.table(
+        {
+            "label": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "sum_e6": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    col = group.column("sums")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = len(col[0])
+    mat = np.asarray(col.flatten(), dtype=np.int64).reshape(len(col), d)
+    lab = group.column("label").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(lab, kind="stable")
+    sl, sv, sn = lab[order], mat[order], n[order]
+    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
+    sums = np.add.reduceat(sv, heads, axis=0)
+    counts = np.add.reduceat(sn, heads)
+    k = len(heads)
+    return pa.table(
+        {
+            "label": pa.array(np.repeat(sl[heads], d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k), pa.int64()),
+            "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
+        }
+    )

@@ -61,6 +61,37 @@ def test_bucket_bases_exclusive_cumsum_with_gaps(ray_session):
     assert bases[4] == 20 and bases[5] == 20 and bases[6] == 21
 
 
+def test_centroid_partials_and_combine_exact():
+    from prclz_ray.stages.similarity import centroid_combine, centroid_partials
+
+    rng = np.random.RandomState(3)
+    emb = rng.randn(30, 4).astype(np.float32)
+    lab = rng.randint(0, 3, 30)
+    batch = pa.table(
+        {
+            "label": pa.array(lab, pa.int32()),
+            "embedding": pa.array([list(map(float, r)) for r in emb]),
+        }
+    )
+    # split into two batches to exercise the partial+combine path
+    parts = pa.concat_tables(
+        [centroid_partials(batch.slice(0, 13)), centroid_partials(batch.slice(13))]
+    )
+    out = centroid_combine(parts)
+    v = np.where(
+        emb.astype(np.float64) * 1e6 < 0,
+        np.ceil(emb.astype(np.float64) * 1e6 - 0.5),
+        np.floor(emb.astype(np.float64) * 1e6 + 0.5),
+    ).astype(np.int64)
+    for label in range(3):
+        sel = lab == label
+        exp = v[sel].sum(axis=0)
+        rows = out.filter(pa.array(out["label"].to_numpy() == label))
+        got = dict(zip(rows["dim"].to_pylist(), rows["sum_e6"].to_pylist()))
+        assert [got[d] for d in range(4)] == exp.tolist()
+        assert set(rows["n_vecs"].to_pylist()) == {int(sel.sum())}
+
+
 def test_chunk_rows_matches_reference():
     def ref(texts, w, s):
         out = []
