@@ -172,6 +172,7 @@ def run_secondary(sf_dir: str) -> dict:
         "lines_sharded",
         "curate_corpus",
         "chunk_docs",
+        "embedding_centroids",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",
