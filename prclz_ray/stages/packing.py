@@ -205,12 +205,7 @@ def chunk_rows(batch: pa.Table, w: int = CHUNK_W, s: int = CHUNK_STRIDE) -> pa.T
         return empty
     text = pc.fill_null(batch.column("text"), "")
     words = pc.split_pattern(text, " ")
-    flat_vals = pc.list_flatten(words)
-    flat_vals = (
-        flat_vals.combine_chunks()
-        if isinstance(flat_vals, pa.ChunkedArray)
-        else flat_vals
-    )
+    flat_vals = _combined(pc.list_flatten(words))
     nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_start = np.concatenate([[0], np.cumsum(nw)])[:-1]
     nchunks = (nw + s - 1) // s  # starts k*s for k*s < nw; nw >= 1 always
@@ -233,12 +228,7 @@ def chunk_rows(batch: pa.Table, w: int = CHUNK_W, s: int = CHUNK_STRIDE) -> pa.T
     )
     gathered = flat_vals.take(pa.array(widx))
     lists = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), gathered)
-    chunk_text = pc.binary_join(lists, " ")
-    chunk_text = (
-        chunk_text.combine_chunks()
-        if isinstance(chunk_text, pa.ChunkedArray)
-        else chunk_text
-    )
+    chunk_text = _combined(pc.binary_join(lists, " "))
     return pa.table(
         {
             "doc_id": _combined(batch.column("doc_id").take(pa.array(doc_rep))),

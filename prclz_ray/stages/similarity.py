@@ -336,7 +336,8 @@ def round_e6(v: np.ndarray) -> np.ndarray:
     """round(v * 1e6) half-away-from-zero → int64, matching DuckDB's
     ``CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)`` bit for bit
     (both sides promote float32 → float64 before the multiply)."""
-    x = v * 1e6
+    x = np.asarray(v, dtype=np.float64) * 1e6  # enforce the promotion
+    # here, not at the caller — float32 math flips .5 boundaries
     return np.where(x < 0, np.ceil(x - 0.5), np.floor(x + 0.5)).astype(np.int64)
 
 
@@ -356,6 +357,10 @@ def centroid_partials(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
         return empty
     v = round_e6(embedding_matrix(batch.column("embedding")))
+    if batch.column("label").null_count:
+        # NaN→int64 silently yields INT64_MIN while the oracle keeps a
+        # NULL group — same contract as embedding_matrix's null guard
+        raise ValueError("centroid_partials: null label rows not supported")
     lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(lab, kind="stable")
     sl, sv = lab[order], v[order]

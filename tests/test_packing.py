@@ -92,6 +92,21 @@ def test_centroid_partials_and_combine_exact():
         assert set(rows["n_vecs"].to_pylist()) == {int(sel.sum())}
 
 
+def test_centroid_partials_rejects_null_label():
+    import pytest
+
+    from prclz_ray.stages.similarity import centroid_partials
+
+    batch = pa.table(
+        {
+            "label": pa.array([1, None], pa.int32()),
+            "embedding": pa.array([[0.5, 0.5], [0.25, 0.25]]),
+        }
+    )
+    with pytest.raises(ValueError, match="null label"):
+        centroid_partials(batch)
+
+
 def test_chunk_rows_matches_reference():
     def ref(texts, w, s):
         out = []
