@@ -47,6 +47,35 @@ def test_seq_pack_matches_reference_across_buckets(ray_session):
     assert (per_seq.iloc[:-1] == 16).all()
 
 
+def test_seq_pack_invariant_to_bucket_width(ray_session):
+    """The scan's defining property: the pack manifest is identical
+    whatever the range-bucket width — one bucket, one doc per bucket,
+    or anything between."""
+    import ray
+
+    rng = np.random.RandomState(11)
+    texts = [" ".join("w" for _ in range(int(n))) for n in rng.randint(1, 60, 83)]
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(83)), pa.int64()), "text": pa.array(texts)}
+    )
+    tok = P.token_count_rows(docs)
+    results = []
+    for width in (1, 7, 10**9):
+        rows = P.add_range_bucket(width)(tok)
+        ds = ray.data.from_arrow(rows).materialize()
+        ref = ray.put(P.bucket_bases(ds, "nt", "pb"))
+        out = (
+            ds.groupby("pb")
+            .map_groups(P.make_pack_fn(ref, seq_len=32), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["seq_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    assert results[0].equals(results[1])
+    assert results[0].equals(results[2])
+
+
 def test_bucket_bases_exclusive_cumsum_with_gaps(ray_session):
     import ray
 
