@@ -173,6 +173,7 @@ def run_secondary(sf_dir: str) -> dict:
         "curate_corpus",
         "chunk_docs",
         "embedding_centroids",
+        "dedup_delta",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

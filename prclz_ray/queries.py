@@ -2782,6 +2782,39 @@ FROM u GROUP BY 1, 2
 """
 
 
+DELTA_SNAPSHOT_MOD = 5  # doc_id % 5 == 0 rows play the prior crawl
+
+
+def q_dedup_delta(sf_dir: str):
+    """Snapshot-DELTA dedup — the incremental-crawl mode every
+    production pipeline runs monthly: drop new documents whose content
+    already appears in the prior snapshot (here the doc_id % 5 == 0
+    rows; in production a crawl-id column). ONE bounded shuffle on the
+    content-hash bucket; the text dies at the projection (32 B/row
+    travels), no broadcast snapshot index, no driver compute.
+    Output: surviving new doc_ids."""
+    from .stages.dedup import delta_hash_rows, delta_new_rows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = ds.map_batches(
+        lambda b: delta_hash_rows(b, DELTA_SNAPSHOT_MOD), batch_format="pyarrow"
+    )
+    return rows.groupby("db").map_groups(delta_new_rows, batch_format="pyarrow")
+
+
+def _sql_dedup_delta() -> str:
+    from .stages.hashing import sql_h62
+
+    h = sql_h62("COALESCE(text, '')")
+    m = DELTA_SNAPSHOT_MOD
+    return f"""
+WITH hashed AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id FROM hashed
+WHERE doc_id % {m} != 0
+  AND h NOT IN (SELECT h FROM hashed WHERE doc_id % {m} = 0)
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG/embedding-prep chunking: every document → overlapping
     CHUNK_W-word windows at CHUNK_STRIDE — entirely map-side (each doc
@@ -3087,6 +3120,7 @@ QUERIES: Dict[str, Callable] = {
     "curate_corpus": q_curate_corpus,
     "chunk_docs": q_chunk_docs,
     "embedding_centroids": q_embedding_centroids,
+    "dedup_delta": q_dedup_delta,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3160,6 +3194,7 @@ ORACLES: Dict[str, str] = {
     "curate_corpus": _sql_curate_corpus(),
     "chunk_docs": _sql_chunk_docs(),
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "dedup_delta": _sql_dedup_delta(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

@@ -485,3 +485,48 @@ def make_chunk_pair_fn(path: str, threshold: float = 0.9):
         )
 
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# snapshot-delta dedup (incremental crawl)
+
+DELTA_BUCKETS = 512  # shuffle-key buckets for the delta anti-join
+
+
+def delta_hash_rows(batch: pa.Table, snapshot_mod: int) -> pa.Table:
+    """documents → (doc_id, h, old, db): 62-bit content hash, the
+    prior-snapshot membership flag (``doc_id % snapshot_mod == 0`` in
+    the synthetic world; a crawl-id column in production), and the
+    bounded shuffle key. The text column dies here — only 32 B/row
+    travels to the anti-join."""
+    from .hashing import hash_strings62
+
+    text = batch.column("text")
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    h = hash_strings62(pc.fill_null(text, ""))
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(h, pa.int64()),
+            "old": pa.array((d % snapshot_mod == 0).astype(np.int64), pa.int64()),
+            "db": pa.array(h % DELTA_BUCKETS, pa.int64()),
+        }
+    )
+
+
+def delta_new_rows(group: pa.Table) -> pa.Table:
+    """One hash bucket: emit NEW docs whose content hash matches no
+    prior-snapshot doc (a hash's rows all share its bucket; vectorized
+    run pass — per-run old-flag max via cumsum difference)."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "h")
+    old = g.column("old").to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(old)])
+    run_has_old = (csum[run_start[1:]] - csum[run_start[:-1]]) > 0
+    counts = np.diff(run_start)
+    drop = np.repeat(run_has_old, counts)
+    keep = pa.array((old == 0) & ~drop)
+    return pa.table({"doc_id": g.column("doc_id").filter(keep)})

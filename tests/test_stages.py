@@ -1070,3 +1070,23 @@ def test_asof_and_range_join_edges():
     # user 1: click@ts not < ts -> 0; user 2: no prior -> 0;
     # user 3: t0 (== ts-1h, in) + t0+H/2 (in) + t0+H (== ts, out) -> 2
     assert counts == {11: 0, 20: 0, 33: 2}
+
+
+def test_delta_new_rows_drops_snapshot_matches():
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.dedup import delta_hash_rows, delta_new_rows
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 5, 7], pa.int64()),
+            # doc 1 duplicates snapshot doc 0; doc 2 duplicates doc 7 (both new)
+            "text": pa.array(["same A", "same A", "same B", "uniq old", "same B"]),
+        }
+    )
+    rows = delta_hash_rows(batch, 5)
+    assert rows.column("old").to_pylist() == [1, 0, 0, 1, 0]
+    out = delta_new_rows(rows)
+    # doc 1 dropped (matches old 0); docs 2 and 7 kept (dup only among new)
+    assert sorted(out.column("doc_id").to_pylist()) == [2, 7]
