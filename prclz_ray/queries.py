@@ -2782,6 +2782,28 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Product-quantization approximate top-k (scale path 3, beside
+    SRP-LSH and IVF): per-subspace k-means codebooks trained once and
+    broadcast; the scorer never touches a float embedding — each query
+    precomputes an (m, k) ADC lookup table per worker and a vector's
+    score is the LUT sum over its 8-byte code. At 100 TB the corpus is
+    stored as codes (32× smaller than float32) and the encode step is
+    a one-time map_batches. Approximate by design → rows-only check +
+    recall pytest."""
+    from .stages.similarity import make_pq_topk_fn, merge_topk, pq_codebooks
+
+    qref, emb, _, _ = _load_query_vectors(sf_dir)
+    books = pq_codebooks(emb)
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    local = ds.map_batches(make_pq_topk_fn(qref, books, k=10), batch_format="pyarrow")
+    return local.repartition(1).groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=10), batch_format="pyarrow"
+    )
+
+
 DELTA_SNAPSHOT_MOD = 5  # doc_id % 5 == 0 rows play the prior crawl
 
 
@@ -3121,6 +3143,7 @@ QUERIES: Dict[str, Callable] = {
     "chunk_docs": q_chunk_docs,
     "embedding_centroids": q_embedding_centroids,
     "dedup_delta": q_dedup_delta,
+    "ann_topk_pq": q_ann_topk_pq,
 }
 
 ORACLES: Dict[str, str] = {

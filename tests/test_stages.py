@@ -1090,3 +1090,23 @@ def test_delta_new_rows_drops_snapshot_matches():
     out = delta_new_rows(rows)
     # doc 1 dropped (matches old 0); docs 2 and 7 kept (dup only among new)
     assert sorted(out.column("doc_id").to_pylist()) == [2, 7]
+
+
+def test_ann_pq_recall_vs_bruteforce(ray_session):
+    """PQ-ADC top-10 must recover most of the exact top-10 (the 4-bit
+    8-subspace code is lossy but the fixture's label clusters are far
+    apart)."""
+    from prclz_ray.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["ann_topk"](sf).to_pandas()
+    pq = QUERIES["ann_topk_pq"](sf).to_pandas()
+    assert len(pq) == pq.query_id.nunique() * 10
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp.vec_id)
+        got = set(pq[pq.query_id == qid].vec_id)
+        hits += len(truth & got)
+        tot += len(truth)
+    recall = hits / tot
+    assert recall >= 0.55, f"PQ recall collapsed: {recall:.2f}"
