@@ -174,6 +174,8 @@ def run_secondary(sf_dir: str) -> dict:
         "chunk_docs",
         "embedding_centroids",
         "dedup_delta",
+        "ccnet_tiers",
+        "ann_topk_pq",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",

@@ -2585,6 +2585,32 @@ FROM isl GROUP BY 1
 """
 
 
+def q_ccnet_tiers(sf_dir: str):
+    """CCNet-style per-host head/middle/tail split: each host's
+    documents ranked by word count (the quality proxy; perplexity in
+    production) and cut into 3 exact-NTILE tiers — the relative
+    per-group filter CCNet applies before keeping head+middle. ONE
+    bounded shuffle on the host bucket, NTILE replicated with
+    vectorized run arithmetic. Output: (doc_id, host, tier)."""
+    from .stages.curation import ccnet_tier_assign, ccnet_tier_rows
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    rows = ds.map_batches(ccnet_tier_rows, batch_format="pyarrow")
+    return rows.groupby("hb").map_groups(ccnet_tier_assign, batch_format="pyarrow")
+
+
+SQL_CCNET_TIERS = """
+SELECT doc_id, source AS host,
+       CAST(NTILE(3) OVER (
+         PARTITION BY source
+         ORDER BY len(string_split(COALESCE(text, ''), ' ')) DESC, doc_id
+       ) AS BIGINT) AS tier
+FROM documents
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing (GPT-style concat-and-chunk): documents in
     doc_id order are concatenated and cut into fixed SEQ_LEN-token
@@ -3144,6 +3170,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_centroids": q_embedding_centroids,
     "dedup_delta": q_dedup_delta,
     "ann_topk_pq": q_ann_topk_pq,
+    "ccnet_tiers": q_ccnet_tiers,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3218,6 +3245,7 @@ ORACLES: Dict[str, str] = {
     "chunk_docs": _sql_chunk_docs(),
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "dedup_delta": _sql_dedup_delta(),
+    "ccnet_tiers": SQL_CCNET_TIERS,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

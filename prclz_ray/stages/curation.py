@@ -312,6 +312,67 @@ def dedup_keep_min(group: pa.Table, text_col: str = "clean_text") -> pa.Table:
     )
 
 
+def ccnet_tier_rows(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, host, nw, hb): word count + the bounded
+    host bucket for the per-host tier split."""
+    host = _combined(batch.column("source"))
+    text = pc.fill_null(batch.column("text"), "")
+    nw = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "host": host,
+            "nw": nw,
+            "hb": _i64(hash_strings(host) % HOST_BUCKETS),
+        }
+    )
+
+
+def ccnet_tier_assign(group: pa.Table, tiers: int = 3) -> pa.Table:
+    """One host bucket: CCNet-style head/middle/tail split — each
+    host's documents ranked by (quality proxy desc, doc_id) and cut
+    into ``tiers`` NTILE groups (exact NTILE semantics: the first
+    n % tiers groups take the extra row). Vectorized run arithmetic,
+    no per-host Python."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "host": pa.array([], pa.string()),
+            "tier": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("host", "ascending"),
+            ("nw", "descending"),
+            ("doc_id", "ascending"),
+        ],
+    )
+    g = group.take(order)
+    h = g.column("host")
+    neq = pc.not_equal(h.slice(1), h.slice(0, len(h) - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [len(g)]])
+    counts = np.diff(run_start)
+    pos = np.arange(len(g), dtype=np.int64) - np.repeat(run_start[:-1], counts)
+    n = np.repeat(counts, counts)
+    q, r = n // tiers, n % tiers
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiers
+    tier = np.where(pos < big, pos // np.maximum(q + 1, 1),
+                    r + (pos - big) // np.maximum(q, 1))
+    return pa.table(
+        {
+            "doc_id": g.column("doc_id"),
+            "host": g.column("host"),
+            "tier": _i64(tier + 1),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style)
 

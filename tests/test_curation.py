@@ -298,6 +298,21 @@ def test_run_curate_resume(ray_session, tmp_path):
     assert (a["clean_text"].values == b["clean_text"].values).all()
 
 
+def test_ccnet_tier_assign_exact_ntile():
+    # host a: 7 docs → NTILE(3) sizes 3,2,2; host b: 2 docs → 1,1
+    g = pa.table(
+        {
+            "doc_id": pa.array(list(range(9)), pa.int64()),
+            "host": pa.array(["a"] * 7 + ["b"] * 2),
+            "nw": pa.array([70, 60, 50, 40, 30, 20, 10, 5, 9], pa.int64()),
+            "hb": pa.array([0] * 9, pa.int64()),
+        }
+    )
+    out = C.ccnet_tier_assign(g)
+    got = dict(zip(out["doc_id"].to_pylist(), out["tier"].to_pylist()))
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 8: 1, 7: 2}
+
+
 def test_dedup_keep_min_keeps_first_doc_per_text():
     g = pa.table(
         {
