@@ -779,7 +779,45 @@ CC_MAX_ROUNDS = 32  # propagation bound; star/clique-shaped LSH clusters
 # covers components of diameter ~2^31 — effectively a safety assert
 
 
-def connected_components(pairs, num_partitions: int = 8):
+LOCAL_CC_EDGES = 2_000_000  # ≤ this many (symmetrized) edges → solve
+# locally: 2M × 16 B = 32 MB on the driver, milliseconds of numpy,
+# versus 3+ distributed join+groupby rounds at ~3 s fixed latency each
+
+
+def _cc_local(t: pa.Table) -> pa.Table:
+    """Driver-side min-label propagation over a small symmetrized edge
+    table: one ``np.minimum.at`` scatter per round + label chasing —
+    O(E) per round, O(log diameter) rounds. Same output contract as
+    the distributed loop (cluster_id = component min doc_id)."""
+    node = t.column("node").to_numpy(zero_copy_only=False)
+    nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+    ids, inv_node = np.unique(node, return_inverse=True)
+    inv_nbr = np.searchsorted(ids, nbr)  # symmetrized: same node set
+    lab = np.arange(len(ids), dtype=np.int64)
+    for _ in range(CC_MAX_ROUNDS):
+        new = lab.copy()
+        np.minimum.at(new, inv_node, lab[inv_nbr])
+        new = np.minimum(new, new[new])  # path-halving chase
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:
+        raise RuntimeError("_cc_local: no fixpoint in CC_MAX_ROUNDS")
+    while True:  # finish chasing labels to their component roots
+        n2 = lab[lab]
+        if np.array_equal(n2, lab):
+            break
+        lab = n2
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(ids[lab], pa.int64()),
+        }
+    )
+
+
+def connected_components(pairs, num_partitions: int = 8,
+                         local_threshold: int = LOCAL_CC_EDGES):
     """(doc_a, doc_b) candidate-pair Dataset → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc_id.
 
@@ -811,7 +849,21 @@ def connected_components(pairs, num_partitions: int = 8):
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if 0 < n_edges <= local_threshold:
+        # size-gated local↔distributed front door (the A6 pattern):
+        # the edge table is already materialized and counted; below the
+        # threshold the driver solves it in milliseconds of numpy
+        # instead of 3+ join+groupby rounds at seconds of fixed latency
+        import ray
+
+        t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        return ray.data.from_arrow(_cc_local(t))
+    # small candidate sets don't amortize 8-way join/groupby fan-out:
+    # size the rounds' partitioning to the edge count (the join's fixed
+    # per-task latency dominates every round at test scale)
+    num_partitions = max(2, min(num_partitions, n_edges // 50_000 + 2))
+    if n_edges == 0:
         # the round-1 join on a fully-empty, schema-less Dataset raises
         # ArrowInvalid (the docstring's empty-partition hazard, extreme
         # case) — and an empty pair set means no clusters by definition

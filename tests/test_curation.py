@@ -197,13 +197,20 @@ def test_connected_components_path_and_isolated(ray_session):
             "doc_b": pa.array([1, 2, 3, 4, 5, 11], pa.int64()),
         }
     )
-    out = (
-        C.connected_components(ray.data.from_arrow(pairs), num_partitions=2)
-        .to_pandas()
-        .sort_values("doc_id")
-    )
-    got = dict(zip(out["doc_id"], out["cluster_id"]))
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+    expected = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+    # both halves of the size-gated front door must agree
+    for threshold in (C.LOCAL_CC_EDGES, 0):
+        out = (
+            C.connected_components(
+                ray.data.from_arrow(pairs),
+                num_partitions=2,
+                local_threshold=threshold,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == expected, f"threshold={threshold}"
 
 
 def test_connected_components_empty_pairs(ray_session):
