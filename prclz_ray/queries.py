@@ -2813,8 +2813,8 @@ def q_ann_topk_pq(sf_dir: str):
     SRP-LSH and IVF): per-subspace k-means codebooks trained once and
     broadcast; the scorer never touches a float embedding — each query
     precomputes an (m, k) ADC lookup table per worker and a vector's
-    score is the LUT sum over its 8-byte code. At 100 TB the corpus is
-    stored as codes (32× smaller than float32) and the encode step is
+    score is the LUT sum over its 16-byte code. At 100 TB the corpus
+    is stored as codes (16× smaller than float32) and the encode is
     a one-time map_batches. Approximate by design → rows-only check +
     recall pytest."""
     from .stages.similarity import make_pq_topk_fn, merge_topk, pq_codebooks

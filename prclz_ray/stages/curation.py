@@ -803,11 +803,9 @@ def _cc_local(t: pa.Table) -> pa.Table:
         lab = new
     else:
         raise RuntimeError("_cc_local: no fixpoint in CC_MAX_ROUNDS")
-    while True:  # finish chasing labels to their component roots
-        n2 = lab[lab]
-        if np.array_equal(n2, lab):
-            break
-        lab = n2
+    # at the fixpoint labels are already constant-per-component at the
+    # component-min root: both edge directions are present, so
+    # lab[u] == lab[v] across every edge and lab[lab] == lab
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -859,10 +857,6 @@ def connected_components(pairs, num_partitions: int = 8,
 
         t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
         return ray.data.from_arrow(_cc_local(t))
-    # small candidate sets don't amortize 8-way join/groupby fan-out:
-    # size the rounds' partitioning to the edge count (the join's fixed
-    # per-task latency dominates every round at test scale)
-    num_partitions = max(2, min(num_partitions, n_edges // 50_000 + 2))
     if n_edges == 0:
         # the round-1 join on a fully-empty, schema-less Dataset raises
         # ArrowInvalid (the docstring's empty-partition hazard, extreme

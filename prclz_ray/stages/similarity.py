@@ -434,13 +434,14 @@ def pq_codebooks(vectors: np.ndarray, m: int = PQ_M, k: int = PQ_K,
     not embeddings."""
     x = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
     d = x.shape[1]
-    assert d % m == 0, "embedding dim must divide PQ_M"
+    assert d % m == 0, "PQ_M must divide the embedding dim"
+    assert len(x) >= k, "pq_codebooks: need at least PQ_K training vectors"
     ds = d // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, ds), dtype=np.float64)
     for i in range(m):
         sub = x[:, i * ds : (i + 1) * ds]
-        c = sub[rng.choice(len(sub), size=min(k, len(sub)), replace=False)].copy()
+        c = sub[rng.choice(len(sub), size=k, replace=False)].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)

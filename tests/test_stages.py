@@ -1093,8 +1093,8 @@ def test_delta_new_rows_drops_snapshot_matches():
 
 
 def test_ann_pq_recall_vs_bruteforce(ray_session):
-    """PQ-ADC top-10 must recover most of the exact top-10 (the 4-bit
-    8-subspace code is lossy but the fixture's label clusters are far
+    """PQ-ADC top-10 must recover most of the exact top-10 (the 5-bit
+    16-subspace code is lossy but the fixture's label clusters are far
     apart)."""
     from prclz_ray.queries import QUERIES
 
