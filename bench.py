@@ -175,6 +175,7 @@ def run_secondary(sf_dir: str) -> dict:
         "embedding_centroids",
         "dedup_delta",
         "ccnet_tiers",
+        "canonical_urls",
         "ann_topk_pq",
         "sessionize",
         "events_sliding",

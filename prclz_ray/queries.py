@@ -2830,6 +2830,68 @@ def q_ann_topk_pq(sf_dir: str):
     )
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization — the crawl pipeline's pre-dedup step:
+    lowercase scheme+host (path keeps case), strip ``www.``, drop the
+    fragment and ``utm_*`` tracking params, tidy dangling separators.
+    Messy URLs are synthesized deterministically from (source, doc_id)
+    identically in both engines (uppercase host, www., rotating
+    utm/query/fragment decorations), so the canonicalizer itself is
+    what the oracle checks. Pure map-side; RE2 regex + list-element
+    kernels. Output: (doc_id, url, canon_url)."""
+    from .stages.textops import canonicalize_urls
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def messy(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = pc.utf8_upper(b.column("source"))
+        ds_ = pc.cast(b.column("doc_id"), pa.string())
+        m7 = pc.cast(pa.array(d % 7, pa.int64()), pa.string())
+        q = pc.binary_join_element_wise("?utm_source=x&id=", m7, "")
+        q2 = pc.binary_join_element_wise("?id=", m7, "&utm_medium=y", "")
+        tail = pa.array(
+            np.where(d % 3 == 0, 0, np.where(d % 3 == 1, 1, 2)), pa.int64()
+        )
+        query = pc.if_else(
+            pc.equal(tail, 0), q, pc.if_else(pc.equal(tail, 1), q2, "")
+        )
+        frag = pc.if_else(pc.equal(pa.array(d % 4, pa.int64()), 0), "#frag", "")
+        url = pc.binary_join_element_wise(
+            "HTTPS://WWW.", src, "/p/", ds_, query, frag, ""
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "url": url})
+
+    return ds.map_batches(messy, batch_format="pyarrow").map_batches(
+        canonicalize_urls, batch_format="pyarrow"
+    )
+
+
+SQL_CANONICAL_URLS = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '/p/' || doc_id ||
+         CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 7)
+              WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 7) || '&utm_medium=y'
+              ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw
+)
+SELECT doc_id, url,
+       lower(regexp_extract(u, '^([^/]+)//', 1)) || '//' ||
+       regexp_replace(lower(regexp_extract(u, '^[^/]*//([^/]*)', 1)), '^www\.', '') ||
+       '/' ||
+       regexp_replace(regexp_replace(regexp_extract(u, '^[^/]*//[^/]*/(.*)$', 1),
+                                     'utm_[^&#]*&?', '', 'g'),
+                      '[?&]+$', '') AS canon_url
+FROM s
+"""
+
+
 DELTA_SNAPSHOT_MOD = 5  # doc_id % 5 == 0 rows play the prior crawl
 
 
@@ -3171,6 +3233,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_delta": q_dedup_delta,
     "ann_topk_pq": q_ann_topk_pq,
     "ccnet_tiers": q_ccnet_tiers,
+    "canonical_urls": q_canonical_urls,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3246,6 +3309,7 @@ ORACLES: Dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "dedup_delta": _sql_dedup_delta(),
     "ccnet_tiers": SQL_CCNET_TIERS,
+    "canonical_urls": SQL_CANONICAL_URLS,
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

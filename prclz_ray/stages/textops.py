@@ -253,3 +253,42 @@ def fingerprint(batch: pa.Table) -> pa.Table:
             "min_gram_h": pa.array(mins, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-pipeline pre-dedup step)
+
+def canonicalize_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Canonical URL per row, fully vectorized:
+
+    1. strip the fragment (``#...``),
+    2. lowercase the scheme and host ONLY (split on ``/`` with
+       max_splits=3 — the path/query keeps its case),
+    3. drop a leading ``www.`` from the host,
+    4. remove ``utm_*`` query parameters and tidy dangling ``?``/``&``.
+
+    All steps are RE2 regex / list-element kernels with an identical
+    regexp_replace+split_part chain in the SQL oracle (both engines
+    use RE2 semantics). Contract: URLs have a path component
+    (``scheme://host/...``) — the crawl synthesizer always emits one.
+    Output: (input passthrough id column, url, canon_url).
+    """
+    u = batch.column(url_col)
+    u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    parts = pc.split_pattern(u, "/", max_splits=3)
+    scheme = pc.utf8_lower(pc.list_element(parts, 0))
+    host = pc.utf8_lower(pc.list_element(parts, 2))
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    rest = pc.list_element(parts, 3)
+    rest = pc.replace_substring_regex(rest, r"utm_[^&#]*&?", "")
+    rest = pc.replace_substring_regex(rest, r"[?&]+$", "")
+    canon = pc.binary_join_element_wise(scheme, "//", host, "/", rest, "")
+    out = pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "url": batch.column(url_col),
+            "canon_url": canon,
+        }
+    )
+    return out

@@ -256,6 +256,38 @@ def test_repetition_signals_rejects_non_ascii():
         C.repetition_signals(pa.table({"doc_id": [1], "text": ["café au lait"]}))
 
 
+def test_line_dedup_chain_matches_naive_reference():
+    """Random corpora through doc_line_rows → line_flag_rows →
+    reassemble_docs (single-bucket locally) vs a pure-Python model."""
+    rng = np.random.RandomState(19)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(5):
+        n = int(rng.randint(2, 30))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(1, 35)))
+            for _ in range(n)
+        ]
+        docs = _docs_table(texts)
+
+        # reference: corpus-wide duplicate LINE_W-word lines dropped
+        ref_lines = {d: _ref_lines(t) for d, t in enumerate(texts)}
+        from collections import Counter
+
+        df = Counter(l for ls in ref_lines.values() for l in ls)
+        expect = {
+            d: " ".join(l for l in ls if df[l] < 2)
+            for d, ls in ref_lines.items()
+        }
+
+        rows = C.doc_line_rows(docs)
+        flagged = C.line_flag_rows(rows)  # one bucket = whole corpus
+        out = C.reassemble_docs(flagged)
+        got = dict(
+            zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist())
+        )
+        assert got == expect, f"trial {trial}"
+
+
 def test_host_rank_keep_text_passes_text_through():
     g = pa.table(
         {

@@ -1110,3 +1110,30 @@ def test_ann_pq_recall_vs_bruteforce(ray_session):
         tot += len(truth)
     recall = hits / tot
     assert recall >= 0.55, f"PQ recall collapsed: {recall:.2f}"
+
+
+def test_canonicalize_urls_rules():
+    import pyarrow as pa
+
+    from prclz_ray.stages.textops import canonicalize_urls
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "url": pa.array(
+                [
+                    "HTTPS://WWW.Ex.COM/Path/X?utm_source=a&id=3#frag",
+                    "http://ex.com/p?id=3&utm_medium=y",
+                    "https://www.ex.com/p?utm_only=1",
+                    "HTTP://HOST.ORG/CaseKeptPath",
+                ]
+            ),
+        }
+    )
+    out = canonicalize_urls(batch)
+    assert out.column("canon_url").to_pylist() == [
+        "https://ex.com/Path/X?id=3",
+        "http://ex.com/p?id=3",
+        "https://ex.com/p",
+        "http://host.org/CaseKeptPath",
+    ]
