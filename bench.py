@@ -176,6 +176,7 @@ def run_secondary(sf_dir: str) -> dict:
         "dedup_delta",
         "ccnet_tiers",
         "canonical_urls",
+        "robots_filter",
         "ann_topk_pq",
         "sessionize",
         "events_sliding",

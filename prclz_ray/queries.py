@@ -2892,6 +2892,78 @@ FROM s
 """
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots-style per-host disallow filter: hosts whose h31 hash ≡ 0
+    (mod 3) carry a disallow prefix ``p/<h31 % 10>``; documents whose
+    path starts with their host's prefix are dropped. The rule table
+    is tiny-per-host (broadcast via ``ray.put``); each batch resolves
+    its rows' prefixes by a sorted-hosts searchsorted lookup and one
+    vectorized ``starts_with`` — the scalable shape even at 10^7
+    rules, since the lookup is O(log R) per DISTINCT host, not a Ray
+    join. Output: surviving (doc_id, host, path)."""
+    import ray
+
+    from .stages.hashing import hash_strings
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def build_rules() -> "ray.ObjectRef":
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        hosts = np.unique(np.asarray(t.column("source").to_pylist()))
+        h = hash_strings(pa.array(hosts.tolist()))
+        sel = h % 3 == 0
+        return ray.put(
+            (
+                hosts[sel],  # sorted by construction (np.unique)
+                np.char.add("p/", (h[sel] % 10).astype(str)),
+            )
+        )
+
+    rules_ref = _epoch_cached(f"robots_rules:{sf_dir}", build_rules)
+
+    def keep(b: pa.Table) -> pa.Table:
+        rh, rp = ray.get(rules_ref)
+        host = b.column("source")
+        host = host.combine_chunks() if isinstance(host, pa.ChunkedArray) else host
+        path = pc.binary_join_element_wise(
+            "p/", pc.cast(b.column("doc_id"), pa.string()), ""
+        )
+        out = pa.table({"doc_id": b.column("doc_id"), "host": host, "path": path})
+        if len(rh) == 0:
+            return out
+        hv = np.asarray(host.to_pylist())
+        idx = np.minimum(np.searchsorted(rh, hv), len(rh) - 1)
+        has_rule = rh[idx] == hv
+        # disallow prefixes are fixed-width ('p/<digit>'), so the
+        # per-row varying-prefix match is one slice-equality kernel
+        row_prefix = pa.array(np.where(has_rule, rp[idx], ""))
+        head = pc.utf8_slice_codeunits(path, 0, 3)
+        hit = pc.and_(pa.array(has_rule), pc.equal(head, row_prefix))
+        return out.filter(pc.invert(hit))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_robots_filter() -> str:
+    from .stages.hashing import sql_h31
+
+    h = sql_h31("source")
+    return f"""
+WITH rules AS (
+  SELECT source AS host, 'p/' || CAST(({h}) % 10 AS VARCHAR) AS prefix
+  FROM (SELECT DISTINCT source FROM documents)
+  WHERE ({h}) % 3 = 0
+)
+SELECT d.doc_id, d.source AS host, 'p/' || CAST(d.doc_id AS VARCHAR) AS path
+FROM documents d LEFT JOIN rules r ON d.source = r.host
+WHERE r.prefix IS NULL OR NOT starts_with('p/' || CAST(d.doc_id AS VARCHAR), r.prefix)
+"""
+
+
 DELTA_SNAPSHOT_MOD = 5  # doc_id % 5 == 0 rows play the prior crawl
 
 
@@ -3234,6 +3306,7 @@ QUERIES: Dict[str, Callable] = {
     "ann_topk_pq": q_ann_topk_pq,
     "ccnet_tiers": q_ccnet_tiers,
     "canonical_urls": q_canonical_urls,
+    "robots_filter": q_robots_filter,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3310,6 +3383,7 @@ ORACLES: Dict[str, str] = {
     "dedup_delta": _sql_dedup_delta(),
     "ccnet_tiers": SQL_CCNET_TIERS,
     "canonical_urls": SQL_CANONICAL_URLS,
+    "robots_filter": _sql_robots_filter(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }
