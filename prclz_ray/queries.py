@@ -2852,9 +2852,7 @@ def q_canonical_urls(sf_dir: str):
         m7 = pc.cast(pa.array(d % 7, pa.int64()), pa.string())
         q = pc.binary_join_element_wise("?utm_source=x&id=", m7, "")
         q2 = pc.binary_join_element_wise("?id=", m7, "&utm_medium=y", "")
-        tail = pa.array(
-            np.where(d % 3 == 0, 0, np.where(d % 3 == 1, 1, 2)), pa.int64()
-        )
+        tail = pa.array(d % 3, pa.int64())  # mirrors the SQL CASE on doc_id % 3
         query = pc.if_else(
             pc.equal(tail, 0), q, pc.if_else(pc.equal(tail, 1), q2, "")
         )
@@ -2878,17 +2876,28 @@ WITH raw AS (
               ELSE '' END ||
          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
   FROM documents
+), s0 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM raw
 ), s AS (
-  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw
+  SELECT doc_id, url,
+         CASE WHEN length(u0) - length(replace(u0, '/', '')) < 3
+              THEN u0 || '/' ELSE u0 END AS u
+  FROM s0
+), r3 AS (
+  SELECT doc_id, url, u,
+         regexp_replace(regexp_replace(regexp_replace(
+             regexp_extract(u, '^[^/]*//[^/]*/(.*)$', 1),
+             '([?&])utm_[^&]*&?', '\1', 'g'),
+             '([?&])utm_[^&]*&?', '\1', 'g'),
+             '([?&])utm_[^&]*&?', '\1', 'g') AS rest
+  FROM s
 )
 SELECT doc_id, url,
        lower(regexp_extract(u, '^([^/]+)//', 1)) || '//' ||
        regexp_replace(lower(regexp_extract(u, '^[^/]*//([^/]*)', 1)), '^www\.', '') ||
        '/' ||
-       regexp_replace(regexp_replace(regexp_extract(u, '^[^/]*//[^/]*/(.*)$', 1),
-                                     'utm_[^&#]*&?', '', 'g'),
-                      '[?&]+$', '') AS canon_url
-FROM s
+       regexp_replace(rest, '[?&]+$', '') AS canon_url
+FROM r3
 """
 
 
@@ -2913,7 +2922,7 @@ def q_robots_filter(sf_dir: str):
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
-        hosts = np.unique(np.asarray(t.column("source").to_pylist()))
+        hosts = np.unique(t.column("source").to_numpy(zero_copy_only=False))
         h = hash_strings(pa.array(hosts.tolist()))
         sel = h % 3 == 0
         return ray.put(
@@ -2935,12 +2944,15 @@ def q_robots_filter(sf_dir: str):
         out = pa.table({"doc_id": b.column("doc_id"), "host": host, "path": path})
         if len(rh) == 0:
             return out
-        hv = np.asarray(host.to_pylist())
-        idx = np.minimum(np.searchsorted(rh, hv), len(rh) - 1)
-        has_rule = rh[idx] == hv
+        hv = host.to_numpy(zero_copy_only=False)
+        # O(log R) per DISTINCT host: dedup the batch's hosts first,
+        # then broadcast the per-unique verdicts back by inverse index
+        uh, inv = np.unique(hv, return_inverse=True)
+        idx = np.minimum(np.searchsorted(rh, uh), len(rh) - 1)
+        has_rule = (rh[idx] == uh)[inv]
         # disallow prefixes are fixed-width ('p/<digit>'), so the
         # per-row varying-prefix match is one slice-equality kernel
-        row_prefix = pa.array(np.where(has_rule, rp[idx], ""))
+        row_prefix = pa.array(np.where(has_rule, rp[idx][inv], ""))
         head = pc.utf8_slice_codeunits(path, 0, 3)
         hit = pc.and_(pa.array(has_rule), pc.equal(head, row_prefix))
         return out.filter(pc.invert(hit))

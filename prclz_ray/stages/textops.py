@@ -262,26 +262,35 @@ def canonicalize_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Canonical URL per row, fully vectorized:
 
     1. strip the fragment (``#...``),
-    2. lowercase the scheme and host ONLY (split on ``/`` with
+    2. pad a bare host with ``/`` so every URL has a path slot,
+    3. lowercase the scheme and host ONLY (split on ``/`` with
        max_splits=3 — the path/query keeps its case),
-    3. drop a leading ``www.`` from the host,
-    4. remove ``utm_*`` query parameters and tidy dangling ``?``/``&``.
+    4. drop a leading ``www.`` from the host,
+    5. remove ``utm_*`` query parameters — boundary-anchored
+       ``([?&])utm_[^&]*&?`` so path segments or params merely
+       containing "utm_" are untouched; the replace chains 3× (RE2
+       has no lookbehind, and one global pass consumes the boundary
+       of an immediately-following utm param — 3 passes clear ≥ 7
+       consecutive trackers),
+    6. tidy dangling ``?``/``&``.
 
     All steps are RE2 regex / list-element kernels with an identical
-    regexp_replace+split_part chain in the SQL oracle (both engines
-    use RE2 semantics). Contract: URLs have a path component
-    (``scheme://host/...``) — the crawl synthesizer always emits one.
+    regexp_replace chain in the SQL oracle (both engines use RE2).
     Output: (input passthrough id column, url, canon_url).
     """
     u = batch.column(url_col)
     u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
     u = pc.replace_substring_regex(u, r"#.*$", "")
+    # bare scheme://host (no third '/') → give it an empty path
+    bare = pc.less(pc.count_substring(u, "/"), 3)
+    u = pc.if_else(bare, pc.binary_join_element_wise(u, "/", ""), u)
     parts = pc.split_pattern(u, "/", max_splits=3)
     scheme = pc.utf8_lower(pc.list_element(parts, 0))
     host = pc.utf8_lower(pc.list_element(parts, 2))
     host = pc.replace_substring_regex(host, r"^www\.", "")
     rest = pc.list_element(parts, 3)
-    rest = pc.replace_substring_regex(rest, r"utm_[^&#]*&?", "")
+    for _ in range(3):
+        rest = pc.replace_substring_regex(rest, r"([?&])utm_[^&]*&?", r"\1")
     rest = pc.replace_substring_regex(rest, r"[?&]+$", "")
     canon = pc.binary_join_element_wise(scheme, "//", host, "/", rest, "")
     out = pa.table(

@@ -1137,3 +1137,25 @@ def test_canonicalize_urls_rules():
         "https://ex.com/p",
         "http://host.org/CaseKeptPath",
     ]
+    # review regressions: utm_ in path/param names untouched; bare
+    # hosts and consecutive trackers survive
+    hard = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "url": pa.array(
+                [
+                    "https://ex.com/utm_guide/page?id=1",
+                    "https://ex.com/p?a=1&butm_x=2",
+                    "https://EX.com#frag",
+                    "https://ex.com/p?utm_a=1&utm_b=2&utm_c=3&id=9",
+                ]
+            ),
+        }
+    )
+    got = canonicalize_urls(hard).column("canon_url").to_pylist()
+    assert got == [
+        "https://ex.com/utm_guide/page?id=1",
+        "https://ex.com/p?a=1&butm_x=2",
+        "https://ex.com/",
+        "https://ex.com/p?id=9",
+    ]
