@@ -40,6 +40,12 @@ def main(argv=None) -> int:
     c.add_argument("--no-resume", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
 
+    tp = sub.add_parser("train-prep", help="curate + sequence-pack into a sharded training manifest")
+    tp.add_argument("--input", required=True, help="dir containing documents.parquet")
+    tp.add_argument("--output", required=True, help="output dir (Hive-partitioned by shard)")
+    tp.add_argument("--no-resume", action="store_true")
+    tp.add_argument("--num-cpus", type=int, default=None)
+
     q = sub.add_parser("query", help="run a named query and print row count + head")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -86,6 +92,11 @@ def main(argv=None) -> int:
 
             print(json.dumps(run_curate(args.input, args.output,
                                         resume=not args.no_resume)))
+        elif args.cmd == "train-prep":
+            from .pipelines.curate import run_train_prep
+
+            print(json.dumps(run_train_prep(args.input, args.output,
+                                            resume=not args.no_resume)))
         elif args.cmd == "reblock":
             from .pipelines.reblock import run_reblock
 

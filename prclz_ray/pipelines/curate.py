@@ -96,3 +96,90 @@ def run_curate(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
     }
     _write_run_metrics(out_dir, "curate", input_dir, stats)
     return stats
+
+
+SEQS_PER_SHARD = 256  # pack-manifest rows group into seq_id ranges
+
+
+def run_train_prep(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
+    """The full corpus→trainer artifact job: curation pipeline →
+    sequence packing over the CLEANED text → pack manifest written as
+    Hive ``shard=N`` dirs (contiguous seq_id ranges, so a loader
+    streams shards in training order) + lineage manifest.
+
+    Same sink-only resume contract as ``run_curate`` (the pack offsets
+    are corpus-coupled through the prefix-sum scan); output is
+    deterministic for a fixed input, so resumed and clean runs are
+    bit-identical."""
+    import ray
+
+    from ..queries import q_curate_corpus
+    from ..stages.packing import (
+        PACK_BUCKETS,
+        add_range_bucket,
+        bucket_bases,
+        compact_for_bucket_groupby,
+        make_pack_fn,
+        token_count_rows,
+    )
+
+    t0 = time.time()
+    manifest = Manifest(out_dir)
+    done = manifest.completed(fingerprint=input_dir) if resume else set()
+    for d in glob.glob(os.path.join(out_dir, "shard=*")):
+        if d.rsplit("=", 1)[-1] not in done:
+            shutil.rmtree(d)
+    for key in manifest.completed() - done:
+        manifest.unmark(key)
+
+    curated = q_curate_corpus(input_dir)
+    tok = curated.map_batches(
+        lambda b: token_count_rows(
+            pa.table({"doc_id": b.column("doc_id"), "text": b.column("clean_text")})
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    stats: dict = {"rows": 0, "partitions": 0, "new_rows": 0,
+                   "skipped": len(done), "wall_s": 0.0}
+    if tok.count() > 0:
+        width = tok.max("doc_id") // PACK_BUCKETS + 1
+        keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
+        bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
+        packed = compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
+            make_pack_fn(bases_ref), batch_format="pyarrow"
+        )
+
+        def with_shard(b: pa.Table) -> pa.Table:
+            s = b.column("seq_id").to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "shard", pa.array(s // SEQS_PER_SHARD, pa.int64())
+            )
+
+        ds = packed.map_batches(with_shard, batch_format="pyarrow")
+        if done:
+            done_arr = pa.array(sorted(int(k) for k in done), pa.int64())
+            ds = ds.map_batches(
+                lambda b: b.filter(
+                    pc.invert(pc.is_in(b.column("shard"), value_set=done_arr))
+                ),
+                batch_format="pyarrow",
+            )
+        ds.write_parquet(out_dir, partition_cols=["shard"])
+
+    counts = _partition_counts(out_dir, "shard")
+    wall = time.time() - t0
+    new_rows = 0
+    for key, n in counts.items():
+        if key not in done:
+            manifest.mark(key, n, fingerprint=input_dir, wall_s=wall)
+            new_rows += n
+    stats.update(
+        {
+            "partitions": len(counts),
+            "rows": int(sum(counts.values())),
+            "new_rows": int(new_rows),
+            "wall_s": round(wall, 3),
+        }
+    )
+    _write_run_metrics(out_dir, "train_prep", input_dir, stats)
+    return stats

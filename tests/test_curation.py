@@ -352,6 +352,49 @@ def test_ccnet_tier_assign_exact_ntile():
     assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 8: 1, 7: 2}
 
 
+def test_run_train_prep_manifest_and_resume(ray_session, tmp_path):
+    """curate → pack → sharded manifest: windows are exactly SEQ_LEN
+    except the last, every curated doc appears, and kill-and-resume
+    reproduces the clean run bit-for-bit."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from prclz_ray.pipelines.curate import run_train_prep
+    from prclz_ray.stages.packing import SEQ_LEN
+    from prclz_ray.state.manifest import Manifest
+
+    SF = "/root/testdata/sf0.001"
+    full = str(tmp_path / "full")
+    res = str(tmp_path / "res")
+    r1 = run_train_prep(SF, full, resume=False)
+    assert r1["rows"] > 0
+    t = pq.read_table(full).to_pandas()
+    per_seq = t.groupby("seq_id")["tok_in_seq"].sum()
+    assert (per_seq.iloc[:-1] == SEQ_LEN).all()  # full windows
+    assert per_seq.index.max() + 1 == len(per_seq)  # contiguous seqs
+
+    run_train_prep(SF, res, resume=False)
+    m = Manifest(res)
+    v = sorted(m.completed())[0]
+    shutil.rmtree(os.path.join(res, f"shard={v}"))
+    os.remove(os.path.join(res, "_manifest", f"{v}.json"))
+    r3 = run_train_prep(SF, res, resume=True)
+    assert r3["rows"] == r1["rows"]
+    a = t.sort_values(["seq_id", "doc_id"]).reset_index(drop=True)
+    b = (
+        pq.read_table(res)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert a[["seq_id", "doc_id", "tok_in_seq"]].equals(
+        b[["seq_id", "doc_id", "tok_in_seq"]]
+    )
+
+
 def test_dedup_keep_min_keeps_first_doc_per_text():
     g = pa.table(
         {
