@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported; nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Surface: 82 queries — geospatial core (extract/geocode/PIP/kNN/tiles/
+Surface: 83 queries — geospatial core (extract/geocode/PIP/kNN/tiles/
 QC/quantiles/top-k/semi/anti joins, sharded 100TB variants,
 hole/MultiPolygon PIP `pip_join_holes`(+sharded), ranked k>1 kNN
 `knn_parcels_k3`(+sharded), M8 periphery filter `blocks_periphery`,
@@ -25,7 +25,7 @@ duplicated-substring spans, trainer ops: `seq_pack` concat-and-chunk
 manifest + `shuffle_rank` deterministic global order via the
 distributed prefix-sum scan), relational (joins, pricing, revenue)
 and skew-salted aggregation.
-74 have exact DuckDB oracles; the 8 rows-only ones are geometry- or
+75 have exact DuckDB oracles; the 8 rows-only ones are geometry- or
 approximation-valued (block_complexity, complexity_hist, reblock,
 reblock_interior, parcels_ladder, ann_topk_lsh, ann_topk_ivf,
 ann_topk_pq) and are pytest-golden-checked instead.

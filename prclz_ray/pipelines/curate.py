@@ -59,19 +59,25 @@ def run_curate(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
 
     t0 = time.time()
     manifest = Manifest(out_dir)
-    done = manifest.completed(fingerprint=input_dir) if resume else set()
 
+    # Manifest keys are JOB-TAGGED ("kb<N>") and every set below is
+    # scoped to THIS job's tag, so curate and train-prep sharing an
+    # out_dir can never consume or unmark each other's resume state
+    def _mine(keys):
+        return {k for k in keys if k.startswith("kb") and k[2:].isdigit()}
+
+    done = _mine(manifest.completed(fingerprint=input_dir)) if resume else set()
     # crash cleanup: partition dirs without a fingerprint-matching
     # manifest row are partial writes (or another input's output)
     for d in glob.glob(os.path.join(out_dir, "kb=*")):
-        if d.rsplit("=", 1)[-1] not in done:
+        if "kb" + d.rsplit("=", 1)[-1] not in done:
             shutil.rmtree(d)
-    for key in manifest.completed() - done:
+    for key in _mine(manifest.completed()) - done:
         manifest.unmark(key)
 
     ds = q_curate_corpus(input_dir).map_batches(_with_kb, batch_format="pyarrow")
     if done:
-        done_arr = pa.array(sorted(int(k) for k in done), pa.int64())
+        done_arr = pa.array(sorted(int(k[2:]) for k in done), pa.int64())
         ds = ds.map_batches(
             lambda b: b.filter(
                 pc.invert(pc.is_in(b.column("kb"), value_set=done_arr))
@@ -84,8 +90,8 @@ def run_curate(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
     wall = time.time() - t0
     new_rows = 0
     for key, n in counts.items():
-        if key not in done:
-            manifest.mark(key, n, fingerprint=input_dir, wall_s=wall)
+        if f"kb{key}" not in done:
+            manifest.mark(f"kb{key}", n, fingerprint=input_dir, wall_s=wall)
             new_rows += n
     stats = {
         "partitions": len(counts),
@@ -111,25 +117,20 @@ def run_train_prep(input_dir: str, out_dir: str, *, resume: bool = True) -> dict
     are corpus-coupled through the prefix-sum scan); output is
     deterministic for a fixed input, so resumed and clean runs are
     bit-identical."""
-    import ray
-
     from ..queries import q_curate_corpus
-    from ..stages.packing import (
-        PACK_BUCKETS,
-        add_range_bucket,
-        bucket_bases,
-        compact_for_bucket_groupby,
-        make_pack_fn,
-        token_count_rows,
-    )
+    from ..stages.packing import pack_dataset, token_count_rows
 
     t0 = time.time()
     manifest = Manifest(out_dir)
-    done = manifest.completed(fingerprint=input_dir) if resume else set()
+
+    def _mine(keys):  # job tag "s<N>" — see run_curate's collision note
+        return {k for k in keys if k.startswith("s") and k[1:].isdigit()}
+
+    done = _mine(manifest.completed(fingerprint=input_dir)) if resume else set()
     for d in glob.glob(os.path.join(out_dir, "shard=*")):
-        if d.rsplit("=", 1)[-1] not in done:
+        if "s" + d.rsplit("=", 1)[-1] not in done:
             shutil.rmtree(d)
-    for key in manifest.completed() - done:
+    for key in _mine(manifest.completed()) - done:
         manifest.unmark(key)
 
     curated = q_curate_corpus(input_dir)
@@ -139,15 +140,9 @@ def run_train_prep(input_dir: str, out_dir: str, *, resume: bool = True) -> dict
         ),
         batch_format="pyarrow",
     ).materialize()
-    stats: dict = {"rows": 0, "partitions": 0, "new_rows": 0,
-                   "skipped": len(done), "wall_s": 0.0}
+    stats: dict = {"skipped": len(done)}
     if tok.count() > 0:
-        width = tok.max("doc_id") // PACK_BUCKETS + 1
-        keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
-        bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
-        packed = compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
-            make_pack_fn(bases_ref), batch_format="pyarrow"
-        )
+        packed = pack_dataset(tok)
 
         def with_shard(b: pa.Table) -> pa.Table:
             s = b.column("seq_id").to_numpy(zero_copy_only=False)
@@ -157,7 +152,7 @@ def run_train_prep(input_dir: str, out_dir: str, *, resume: bool = True) -> dict
 
         ds = packed.map_batches(with_shard, batch_format="pyarrow")
         if done:
-            done_arr = pa.array(sorted(int(k) for k in done), pa.int64())
+            done_arr = pa.array(sorted(int(k[1:]) for k in done), pa.int64())
             ds = ds.map_batches(
                 lambda b: b.filter(
                     pc.invert(pc.is_in(b.column("shard"), value_set=done_arr))
@@ -170,8 +165,8 @@ def run_train_prep(input_dir: str, out_dir: str, *, resume: bool = True) -> dict
     wall = time.time() - t0
     new_rows = 0
     for key, n in counts.items():
-        if key not in done:
-            manifest.mark(key, n, fingerprint=input_dir, wall_s=wall)
+        if f"s{key}" not in done:
+            manifest.mark(f"s{key}", n, fingerprint=input_dir, wall_s=wall)
             new_rows += n
     stats.update(
         {

@@ -2623,13 +2623,7 @@ def q_seq_pack(sf_dir: str):
     Output: (seq_id, doc_id, tok_in_seq)."""
     import ray
 
-    from .stages.packing import (
-        PACK_BUCKETS,
-        add_range_bucket,
-        bucket_bases,
-        make_pack_fn,
-        token_count_rows,
-    )
+    from .stages.packing import pack_dataset, token_count_rows
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     tok = ds.map_batches(
@@ -2645,14 +2639,7 @@ def q_seq_pack(sf_dir: str):
                 }
             )
         )
-    width = tok.max("doc_id") // PACK_BUCKETS + 1
-    keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
-    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
-    from .stages.packing import compact_for_bucket_groupby
-
-    return compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
-        make_pack_fn(bases_ref), batch_format="pyarrow"
-    )
+    return pack_dataset(tok)
 
 
 def _sql_seq_pack() -> str:
@@ -2662,6 +2649,47 @@ def _sql_seq_pack() -> str:
 WITH tok AS (
   SELECT doc_id, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS nt
   FROM documents
+), off AS (
+  SELECT doc_id, nt,
+         CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM tok
+)
+SELECT CAST(g AS BIGINT) AS seq_id, doc_id,
+       LEAST((g + 1) * {SEQ_LEN}, st + nt) - GREATEST(g * {SEQ_LEN}, st) AS tok_in_seq
+FROM (
+  SELECT doc_id, nt, st,
+         unnest(generate_series(st // {SEQ_LEN}, (st + nt - 1) // {SEQ_LEN})) AS g
+  FROM off
+)
+"""
+
+
+def q_train_pack(sf_dir: str):
+    """The trainer-prep dataflow as an oracle-gated query: curation
+    pipeline → sequence packing over the CLEANED text (the same
+    composition run_train_prep writes to its sharded sink). Output:
+    (seq_id, doc_id, tok_in_seq) over the curated corpus."""
+    from .stages.packing import pack_dataset, token_count_rows
+
+    curated = q_curate_corpus(sf_dir)
+    tok = curated.map_batches(
+        lambda b: token_count_rows(
+            pa.table({"doc_id": b.column("doc_id"), "text": b.column("clean_text")})
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    return pack_dataset(tok)
+
+
+def _sql_train_pack() -> str:
+    from .stages.packing import SEQ_LEN
+
+    return f"""
+WITH k AS ({_sql_curate_corpus()}),
+tok AS (
+  SELECT doc_id, CAST(len(string_split(COALESCE(clean_text, ''), ' ')) AS BIGINT) AS nt
+  FROM k
 ), off AS (
   SELECT doc_id, nt,
          CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
@@ -3319,6 +3347,7 @@ QUERIES: Dict[str, Callable] = {
     "ccnet_tiers": q_ccnet_tiers,
     "canonical_urls": q_canonical_urls,
     "robots_filter": q_robots_filter,
+    "train_pack": q_train_pack,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3396,6 +3425,7 @@ ORACLES: Dict[str, str] = {
     "ccnet_tiers": SQL_CCNET_TIERS,
     "canonical_urls": SQL_CANONICAL_URLS,
     "robots_filter": _sql_robots_filter(),
+    "train_pack": _sql_train_pack(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

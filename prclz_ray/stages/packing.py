@@ -108,6 +108,22 @@ def compact_for_bucket_groupby(ds, scan_source, cap: int = 64, to: int = 16):
     return ds.repartition(to) if scan_source.num_blocks() < cap else ds
 
 
+def pack_dataset(tok):
+    """Materialized non-empty (doc_id, nt) scan table → pack-manifest
+    Dataset (seq_id, doc_id, tok_in_seq) — THE packing composition
+    (range-bucket width, bases broadcast, small-scale repartition
+    guard) shared by q_seq_pack / q_train_pack / run_train_prep so its
+    invariants live in one place."""
+    import ray
+
+    width = tok.max("doc_id") // PACK_BUCKETS + 1
+    keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
+    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
+    return compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
+        make_pack_fn(bases_ref), batch_format="pyarrow"
+    )
+
+
 def token_count_rows(batch: pa.Table) -> pa.Table:
     """documents → (doc_id, nt): whitespace token count. The text
     column dies here — only the 16 B/row scan state travels (the

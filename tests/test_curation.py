@@ -321,9 +321,9 @@ def test_run_curate_resume(ray_session, tmp_path):
     assert r1["rows"] == r2["rows"] > 0
 
     m = Manifest(res)
-    victims = sorted(m.completed())[:2]
+    victims = sorted(m.completed())[:2]  # job-tagged "kb<N>" keys
     for v in victims:
-        shutil.rmtree(os.path.join(res, f"kb={v}"))
+        shutil.rmtree(os.path.join(res, f"kb={v[2:]}"))
         os.remove(os.path.join(res, "_manifest", f"{v}.json"))
 
     r3 = run_curate(SF, res, resume=True)
@@ -378,8 +378,8 @@ def test_run_train_prep_manifest_and_resume(ray_session, tmp_path):
 
     run_train_prep(SF, res, resume=False)
     m = Manifest(res)
-    v = sorted(m.completed())[0]
-    shutil.rmtree(os.path.join(res, f"shard={v}"))
+    v = sorted(m.completed())[0]  # job-tagged "s<N>" key
+    shutil.rmtree(os.path.join(res, f"shard={v[1:]}"))
     os.remove(os.path.join(res, "_manifest", f"{v}.json"))
     r3 = run_train_prep(SF, res, resume=True)
     assert r3["rows"] == r1["rows"]
@@ -393,6 +393,23 @@ def test_run_train_prep_manifest_and_resume(ray_session, tmp_path):
     assert a[["seq_id", "doc_id", "tok_in_seq"]].equals(
         b[["seq_id", "doc_id", "tok_in_seq"]]
     )
+
+
+def test_curate_and_train_prep_share_out_dir(ray_session, tmp_path):
+    """Job-tagged manifest keys: running curate then train-prep into
+    the SAME out_dir must not skip or corrupt each other (untagged
+    integer keys previously collided — train-prep saw curate's kb
+    rows as completed shards and wrote an empty manifest)."""
+    from prclz_ray.pipelines.curate import run_curate, run_train_prep
+
+    SF = "/root/testdata/sf0.001"
+    shared = str(tmp_path / "shared")
+    solo = str(tmp_path / "solo")
+    run_curate(SF, shared, resume=False)
+    r_shared = run_train_prep(SF, shared, resume=True)
+    r_solo = run_train_prep(SF, solo, resume=False)
+    assert r_shared["rows"] == r_solo["rows"] > 0
+    assert r_shared["skipped"] == 0
 
 
 def test_dedup_keep_min_keeps_first_doc_per_text():
