@@ -54,7 +54,14 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        # SELFCHECK_CPUS: re-running the whole gate at a different
+        # parallelism evidences partition-count independence (results
+        # must not depend on how blocks split)
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("SELFCHECK_CPUS", "8")),
+            include_dashboard=False,
+        )
 
     import __ray_entry__ as e
 
