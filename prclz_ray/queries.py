@@ -2482,6 +2482,71 @@ SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY
 """
 
 
+# deterministic link fixture for the host PageRank query: each doc emits
+# one link source-host → 'src'||((doc_id²+3) % 20). Quadratic residues
+# mod 20 hit only 6 targets, so the graph is SKEWED — a uniform-PR
+# fixture would pass even with swapped edge direction. 20 = the
+# testdata host count (sources are 'src0'..'src19'); self-links drop.
+_SQL_PR_DST = "'src' || CAST((doc_id * doc_id + 3) % 20 AS VARCHAR)"
+
+
+def q_host_pagerank(sf_dir: str):
+    """Link-graph centrality: exact-integer host PageRank after
+    PR_ITERS rounds — the crawl-frontier / host-quality weighting
+    signal web curation runs next to the CCNet/Gopher content
+    signals. Links are synthesized deterministically from
+    (source, doc_id) identically in both engines (see _SQL_PR_DST);
+    the pagerank stage itself is what the oracle checks: raw links →
+    bounded-bucket weighted-edge combine → per-round hash join +
+    bounded groupby (or the size-gated driver solve — equality of
+    both paths is pytest-asserted). Engine-new surface (the reference
+    has no link graph). Output: (host, pr)."""
+    from .stages.curation import pagerank
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def links(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        dst = pc.binary_join_element_wise(
+            "src", pc.cast(pa.array((d * d + 3) % 20, pa.int64()), pa.string()), ""
+        )
+        t = pa.table({"src": b.column("source"), "dst": dst})
+        return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+
+    return pagerank(ds.map_batches(links, batch_format="pyarrow"))
+
+
+def _sql_host_pagerank() -> str:
+    from .stages.curation import PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
+
+    rounds, prev = [], "pr0"
+    for k in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""s{k} AS (SELECT e.dst AS host,
+  CAST(SUM(({PR_DAMP_NUM} * p.pr * e.w) // ({PR_DAMP_DEN} * o.ow)) AS BIGINT) AS c
+  FROM wedges e JOIN outw o ON o.src = e.src JOIN {prev} p ON p.host = e.src
+  GROUP BY e.dst),
+pr{k} AS (SELECT h.host, {PR_BASE} + COALESCE(s{k}.c, 0) AS pr
+  FROM hosts h LEFT JOIN s{k} ON s{k}.host = h.host)"""
+        )
+        prev = f"pr{k}"
+    return f"""
+WITH links AS (
+  SELECT source AS src, {_SQL_PR_DST} AS dst
+  FROM documents
+  WHERE source <> {_SQL_PR_DST}
+),
+wedges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM links GROUP BY src, dst),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM wedges GROUP BY src),
+hosts AS (SELECT src AS host FROM wedges UNION SELECT dst AS host FROM wedges),
+pr0 AS (SELECT host, CAST({PR_SCALE} AS BIGINT) AS pr FROM hosts),
+{','.join(rounds)}
+SELECT host, pr FROM {prev}
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Per-document top-k TF-IDF terms: map-side term frequencies (a
     doc is one row, so its words never straddle batches) → ONE bounded
@@ -3332,6 +3397,7 @@ QUERIES: Dict[str, Callable] = {
     "line_dedup": q_line_dedup,
     "repetition_signals": q_repetition_signals,
     "dedup_clusters": q_dedup_clusters,
+    "host_pagerank": q_host_pagerank,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3411,6 +3477,7 @@ ORACLES: Dict[str, str] = {
     "line_dedup": _sql_line_dedup(),
     "repetition_signals": _sql_repetition(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "host_pagerank": _sql_host_pagerank(),
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

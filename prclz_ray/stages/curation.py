@@ -936,3 +936,270 @@ def connected_components(pairs, num_partitions: int = 8,
         ),
         batch_format="pyarrow",
     )
+
+
+# --- link-graph centrality: host PageRank ---------------------------------
+
+PR_SCALE = 10**12     # initial per-host mass, integer micro-units; sized
+# so DAMP_NUM * pr * w stays far inside int64 for any corpus whose total
+# mass n_hosts * PR_SCALE is < ~2^56 / max-edge-weight (asserted per
+# kernel call below — numpy would overflow silently where DuckDB errors)
+PR_DAMP_NUM = 85      # damping 0.85 as an exact integer ratio
+PR_DAMP_DEN = 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+PR_ITERS = 3          # fixed iteration count — the oracle chains one
+# CTE per round, so the contract is "PR after exactly k rounds", not
+# "PR at convergence" (float PR never hashes bit-for-bit anyway)
+EDGE_BUCKETS = 256    # shuffle-key buckets for (src,dst) weight combine
+LOCAL_PR_EDGES = 2_000_000  # ≤ this many WEIGHTED host→host edges →
+# solve on the driver (the CC front-door pattern: 2M × ~40 B = 80 MB,
+# milliseconds of numpy, vs 2 joins + 1 groupby per round distributed)
+
+
+def _key_runs(group: pa.Table, key_col: str):
+    """(sorted table, run-start indices) for equal-key runs sorted by
+    ``key_col`` alone — the `_sorted_runs` skeleton without the doc_id
+    tiebreak, for reduces that are order-independent (sums)."""
+    order = pc.sort_indices(group, sort_keys=[(key_col, "ascending")])
+    g = group.take(order)
+    s = _combined(g.column(key_col))
+    neq = pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    run_start = np.concatenate([[0], np.flatnonzero(neq) + 1, [group.num_rows]])
+    return g, run_start
+
+
+def _pr_flow(pr_src: np.ndarray, w: np.ndarray, outw_src: np.ndarray) -> np.ndarray:
+    """Exact-integer PageRank flow along weighted edges:
+    ``(DAMP_NUM * pr(u) * w(u,v)) // (DAMP_DEN * outw(u))``. All
+    operands are positive, so numpy's floor division and DuckDB's
+    ``//`` agree; the product bound is asserted because numpy wraps
+    silently on int64 overflow where DuckDB raises."""
+    if len(pr_src) and int(pr_src.max()) * int(w.max()) * PR_DAMP_NUM >= 2**63:
+        raise OverflowError("pagerank: PR_SCALE too large for this corpus mass")
+    return (PR_DAMP_NUM * pr_src * w) // (PR_DAMP_DEN * outw_src)
+
+
+def _pr_local(wedges: pa.Table, iters: int = PR_ITERS) -> pa.Table:
+    """Driver-side PageRank over a small weighted edge table
+    (src, dst, w): dictionary-encode hosts once, then per round one
+    vectorized flow pass + one ``np.add.at`` scatter. Same output
+    contract as the distributed loop (host, pr after ``iters`` rounds,
+    dangling-in hosts at PR_BASE)."""
+    src = _combined(wedges.column("src")).cast(pa.string())
+    dst = _combined(wedges.column("dst")).cast(pa.string())
+    enc = pc.dictionary_encode(pa.concat_arrays([src, dst]))
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = enc.dictionary
+    m = len(wedges)
+    si, di = idx[:m], idx[m:]
+    w = wedges.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    outw = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(outw, si, w)
+    ow_safe = np.maximum(outw, 1)  # dangling hosts emit nothing anyway
+    pr = np.full(len(hosts), PR_SCALE, dtype=np.int64)
+    for _ in range(iters):
+        flow = _pr_flow(pr[si], w, ow_safe[si])
+        acc = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(acc, di, flow)
+        pr = PR_BASE + acc
+    return pa.table({"host": hosts, "pr": pa.array(pr, pa.int64())})
+
+
+def edge_weight_rows(batch: pa.Table) -> pa.Table:
+    """Map-side partial of the raw-link → weighted-edge combine:
+    per-batch ``group_by(src, dst).count`` keyed by the bounded
+    (src,dst) hash bucket — the reduce is ONE shuffle over
+    EDGE_BUCKETS groups, never a Ray group per edge (host×host edges
+    are ~10^9 at web scale; the CLAUDE.md tiny-groups rule)."""
+    t = pa.table({"src": batch.column("src"), "dst": batch.column("dst")})
+    agg = (
+        t.group_by(["src", "dst"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["src", "dst", "w"])
+    )
+    key = pc.binary_join_element_wise(agg.column("src"), agg.column("dst"), "|")
+    return agg.append_column("eb", _i64(hash_strings(key) % EDGE_BUCKETS))
+
+
+def edge_weight_combine(group: pa.Table) -> pa.Table:
+    """Reduce half of the weighted-edge combine: vectorized regroup of
+    one hash bucket's (src, dst, w) partials via sorted-run sums."""
+    key = pc.binary_join_element_wise(
+        _combined(group.column("src")), _combined(group.column("dst")), "|"
+    )
+    g = group.append_column("k_", key)
+    g, runs = _key_runs(g, "k_")
+    w = g.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    sums = np.add.reduceat(np.ascontiguousarray(w), runs[:-1])
+    first = runs[:-1]
+    return pa.table(
+        {
+            "src": _combined(g.column("src")).take(pa.array(first)),
+            "dst": _combined(g.column("dst")).take(pa.array(first)),
+            "w": _i64(sums),
+        }
+    )
+
+
+def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
+             local_threshold: int = LOCAL_PR_EDGES):
+    """Raw link Dataset (src, dst) → (host, pr) after ``iters``
+    exact-integer PageRank rounds over the weighted host graph.
+
+    Web-curation use: crawl frontier prioritization and host quality
+    weighting (the classic link-centrality signal next to the CCNet /
+    Gopher content signals above). Shapes:
+
+    - raw links → weighted edges: map-side partial count + ONE bounded
+      EDGE_BUCKETS shuffle (host×host edges never become Ray groups);
+    - out-weights: map-side partial + ONE bounded HOST_BUCKETS shuffle;
+    - each round: ONE hash join (edge src → its pr) + ONE bounded
+      HOST_BUCKETS groupby of the flow sums; hosts with no in-edges
+      are kept at PR_BASE via a zero-contribution host-list union —
+      never a driver-side host set.
+    - size-gated local↔distributed front door (the connected_components
+      / A6 pattern): ≤ ``local_threshold`` weighted edges solves on
+      the driver in numpy with the identical flow contract (pytest
+      asserts equality of both paths).
+
+    Reference analogue: engine-new surface (the reference has no link
+    graph); the iterative join+groupby shape mirrors
+    ``connected_components`` above."""
+    import ray
+
+    wedges = (
+        links.map_batches(edge_weight_rows, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(edge_weight_combine, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = wedges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"host": pa.array([], pa.string()),
+                      "pr": pa.array([], pa.int64())})
+        )
+    if n_edges <= local_threshold:
+        t = pa.concat_tables(ray.get(wedges.to_arrow_refs()))
+        return ray.data.from_arrow(_pr_local(t, iters))
+
+    def outw_rows(b: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"src": b.column("src"), "w": b.column("w")})
+            .group_by("src").aggregate([("w", "sum")])
+            .rename_columns(["src", "ow"])
+        )
+        return agg.append_column(
+            "hb", _i64(hash_strings(agg.column("src")) % HOST_BUCKETS)
+        )
+
+    def outw_combine(group: pa.Table) -> pa.Table:
+        g, runs = _key_runs(group, "src")
+        ow = g.column("ow").to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(np.ascontiguousarray(ow), runs[:-1])
+        return pa.table(
+            {
+                "src": _combined(g.column("src")).take(pa.array(runs[:-1])),
+                "ow": _i64(sums),
+            }
+        )
+
+    outw = (
+        wedges.map_batches(outw_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(outw_combine, batch_format="pyarrow")
+    )
+    edges_den = wedges.join(
+        outw, join_type="inner", num_partitions=num_partitions, on=("src",)
+    ).materialize()
+
+    def host_zero_rows(b: pa.Table) -> pa.Table:
+        hosts = pc.unique(
+            pa.concat_arrays(
+                [
+                    _combined(b.column("src")).cast(pa.string()),
+                    _combined(b.column("dst")).cast(pa.string()),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "host": hosts,
+                "c": pa.array(np.zeros(len(hosts), dtype=np.int64), pa.int64()),
+                "hb": _i64(hash_strings(hosts) % HOST_BUCKETS),
+            }
+        )
+
+    def dedup_hosts(group: pa.Table) -> pa.Table:
+        # host_zero_rows dedups per BATCH only; the round-0 pr table
+        # must be globally one-row-per-host or the per-round edge⋈pr
+        # join replicates every edge per duplicate row
+        g, runs = _key_runs(group, "host")
+        first = pa.array(runs[:-1])
+        return pa.table(
+            {
+                "host": _combined(g.column("host")).take(first),
+                "c": _combined(g.column("c")).take(first),
+                "hb": _combined(g.column("hb")).take(first),
+            }
+        )
+
+    zeros = (
+        wedges.map_batches(host_zero_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(dedup_hosts, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def sum_to_pr(group: pa.Table) -> pa.Table:
+        g, runs = _key_runs(group, "host")
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(np.ascontiguousarray(c), runs[:-1])
+        return pa.table(
+            {
+                "host": _combined(g.column("host")).take(pa.array(runs[:-1])),
+                "pr": _i64(PR_BASE + sums),
+            }
+        )
+
+    # round 0: every host at PR_SCALE
+    pr = zeros.map_batches(
+        lambda b: pa.table({"src": b.column("host"),
+                            "pr": pa.array(np.full(len(b), PR_SCALE,
+                                                   dtype=np.int64), pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        def flow_rows(b: pa.Table) -> pa.Table:
+            prs = b.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = b.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            ow = b.column("ow").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = _combined(b.column("dst"))
+            return pa.table(
+                {
+                    "host": dst,
+                    "c": _i64(_pr_flow(prs, w, ow)),
+                    "hb": _i64(hash_strings(dst) % HOST_BUCKETS),
+                }
+            )
+
+        contribs = edges_den.join(
+            pr, join_type="inner", num_partitions=num_partitions, on=("src",)
+        ).map_batches(flow_rows, batch_format="pyarrow")
+        pr = (
+            contribs.union(zeros)
+            .repartition(num_partitions)
+            .groupby("hb")
+            .map_groups(sum_to_pr, batch_format="pyarrow")
+            .map_batches(
+                lambda b: pa.table({"src": b.column("host"), "pr": b.column("pr")}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return pr.map_batches(
+        lambda b: pa.table({"host": b.column("src"), "pr": b.column("pr")}),
+        batch_format="pyarrow",
+    )

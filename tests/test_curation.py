@@ -423,3 +423,69 @@ def test_dedup_keep_min_keeps_first_doc_per_text():
     out = C.dedup_keep_min(g)
     got = sorted(zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()))
     assert got == [(1, "y"), (2, "x")]
+
+
+def _pr_ref(links, iters=None):
+    """Pure-python reference of the exact-integer PageRank contract."""
+    iters = C.PR_ITERS if iters is None else iters
+    w, outw = {}, {}
+    hosts = set()
+    for s, d in links:
+        w[(s, d)] = w.get((s, d), 0) + 1
+        outw[s] = outw.get(s, 0) + 1
+        hosts.update((s, d))
+    pr = {h: C.PR_SCALE for h in hosts}
+    for _ in range(iters):
+        acc = {h: 0 for h in hosts}
+        for (s, d), wt in w.items():
+            acc[d] += (C.PR_DAMP_NUM * pr[s] * wt) // (C.PR_DAMP_DEN * outw[s])
+        pr = {h: C.PR_BASE + acc[h] for h in hosts}
+    return pr
+
+
+def test_pagerank_both_paths_match_reference(ray_session):
+    import ray.data
+
+    # skewed multigraph: repeated links (weights), a dangling-out host
+    # ("sink" receives but never emits), a host with only self-relevant
+    # fan-in, and an isolated pair
+    links = [
+        ("a", "b"), ("a", "b"), ("a", "c"),
+        ("b", "c"), ("c", "a"),
+        ("d", "sink"), ("e", "sink"), ("e", "sink"),
+        ("x", "y"),
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([s for s, _ in links]),
+            "dst": pa.array([d for _, d in links]),
+        }
+    )
+    exp = _pr_ref(links)
+    for threshold in (C.LOCAL_PR_EDGES, 0):  # both front-door halves
+        out = (
+            C.pagerank(ray.data.from_arrow(t), num_partitions=2,
+                       local_threshold=threshold)
+            .to_pandas()
+        )
+        got = dict(zip(out["host"], out["pr"]))
+        assert got == exp, f"threshold={threshold}"
+    # sink accumulates but never emits (sink-drop variant); hosts with
+    # no in-links sit exactly at PR_BASE after round 1
+    assert exp["sink"] > C.PR_BASE
+    assert exp["d"] == exp["e"] == exp["x"] == C.PR_BASE
+
+
+def test_pagerank_empty_links(ray_session):
+    import ray.data
+
+    t = pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    out = C.pagerank(ray.data.from_arrow(t), num_partitions=2)
+    assert sorted(out.schema().names) == ["host", "pr"]
+    assert out.count() == 0
+
+
+def test_pagerank_overflow_guard():
+    big = np.array([2**61], dtype=np.int64)
+    with pytest.raises(OverflowError):
+        C._pr_flow(big, np.array([100], dtype=np.int64), np.array([1], dtype=np.int64))
