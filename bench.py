@@ -177,6 +177,7 @@ def run_secondary(sf_dir: str) -> dict:
         "ccnet_tiers",
         "canonical_urls",
         "robots_filter",
+        "host_pagerank",
         "train_pack",
         "ann_topk_pq",
         "sessionize",

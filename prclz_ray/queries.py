@@ -2518,7 +2518,10 @@ def q_host_pagerank(sf_dir: str):
     return pagerank(ds.map_batches(links, batch_format="pyarrow"))
 
 
-def _sql_host_pagerank() -> str:
+def _sql_pagerank_over(links_ctes: str) -> str:
+    """Full exact-integer PageRank oracle over a CTE preamble that must
+    end by defining ``links(src, dst)`` — one chained CTE pair per
+    round, floor-division flow, dangling-in hosts at PR_BASE."""
     from .stages.curation import PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
 
     rounds, prev = [], "pr0"
@@ -2533,11 +2536,7 @@ pr{k} AS (SELECT h.host, {PR_BASE} + COALESCE(s{k}.c, 0) AS pr
         )
         prev = f"pr{k}"
     return f"""
-WITH links AS (
-  SELECT source AS src, {_SQL_PR_DST} AS dst
-  FROM documents
-  WHERE source <> {_SQL_PR_DST}
-),
+WITH {links_ctes},
 wedges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM links GROUP BY src, dst),
 outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM wedges GROUP BY src),
 hosts AS (SELECT src AS host FROM wedges UNION SELECT dst AS host FROM wedges),
@@ -2545,6 +2544,119 @@ pr0 AS (SELECT host, CAST({PR_SCALE} AS BIGINT) AS pr FROM hosts),
 {','.join(rounds)}
 SELECT host, pr FROM {prev}
 """
+
+
+def _sql_host_pagerank() -> str:
+    return _sql_pagerank_over(
+        f"""links AS (
+  SELECT source AS src, {_SQL_PR_DST} AS dst
+  FROM documents
+  WHERE source <> {_SQL_PR_DST}
+)"""
+    )
+
+
+# anchor-bearing page fixture for the link-extraction queries: every doc
+# page carries one outlink to src(3d+1)%20, even docs a second to
+# src(5d+2)%20 — synthesized identically in both engines, so the
+# vectorized multi-match href extractor is what the oracle checks
+# (the canonical_urls precedent).
+_SQL_LINK_HTML = """h AS (
+  SELECT doc_id, source,
+    '<html><body><p>t</p>'
+    || '<a href="https://src' || CAST((doc_id*3+1)%20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<a href="https://src' || CAST((doc_id*5+2)%20 AS VARCHAR) || '.example/q">y</a>' ELSE '' END
+    || '</body></html>' AS html
+  FROM documents
+)"""
+
+
+def _link_html_batch(b: pa.Table) -> pa.Table:
+    """Ray half of _SQL_LINK_HTML: (doc_id, source, html)."""
+    d = b.column("doc_id").to_numpy(zero_copy_only=False)
+    a1 = pc.cast(pa.array((d * 3 + 1) % 20, pa.int64()), pa.string())
+    a2 = pc.cast(pa.array((d * 5 + 2) % 20, pa.int64()), pa.string())
+    ds_ = pc.cast(b.column("doc_id"), pa.string())
+    link1 = pc.binary_join_element_wise(
+        '<a href="https://src', a1, ".example/p/", ds_, '">x</a>', ""
+    )
+    link2 = pc.if_else(
+        pc.equal(pa.array(d % 2, pa.int64()), 0),
+        pc.binary_join_element_wise(
+            '<a href="https://src', a2, '.example/q">y</a>', ""
+        ),
+        pa.scalar("", pa.string()),
+    )
+    html = pc.binary_join_element_wise(
+        "<html><body><p>t</p>", link1, link2, "</body></html>", ""
+    )
+    return pa.table(
+        {"doc_id": b.column("doc_id"), "source": b.column("source"), "html": html}
+    )
+
+
+def q_extract_links(sf_dir: str):
+    """Outlink extraction — the crawl-side producer of the link table
+    host_pagerank consumes: vectorized multi-match ``href="..."``
+    parse (split-on-marker + parent-index mapping, loop-free), one row
+    per (page, link) in document order. Pure map-side; the wide html
+    column never leaves the stage. Oracle: DuckDB
+    ``regexp_extract_all`` + zipped unnest over the identical
+    synthesized pages. Output: (doc_id, link_idx, href)."""
+    from .stages.pages import extract_links
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return ds.map_batches(_link_html_batch, batch_format="pyarrow").map_batches(
+        extract_links, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_LINKS = f"""
+WITH {_SQL_LINK_HTML},
+l AS (SELECT doc_id, regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls FROM h)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(ls) - 1)) AS BIGINT) AS link_idx,
+       unnest(ls) AS href
+FROM l
+"""
+
+
+def q_link_pagerank(sf_dir: str):
+    """End-to-end crawl link pipeline: synthesized pages → href
+    extraction → host projection (page's own host → target host) →
+    exact-integer PageRank. The composition the two stages exist for;
+    everything up to the pagerank shuffle is map-side in one pass over
+    the pages. Output: (host, pr)."""
+    from .stages.curation import pagerank
+    from .stages.pages import extract_links
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def links(b: pa.Table) -> pa.Table:
+        lk = extract_links(_link_html_batch(b), keep_cols=("source",))
+        dst = pc.struct_field(
+            pc.extract_regex(lk.column("href"), r"^https://(?P<h>[^./]*)"), "h"
+        )
+        t = pa.table({"src": lk.column("source"), "dst": dst})
+        return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+
+    return pagerank(ds.map_batches(links, batch_format="pyarrow"))
+
+
+def _sql_link_pagerank() -> str:
+    return _sql_pagerank_over(
+        f"""{_SQL_LINK_HTML},
+l AS (SELECT source, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM h),
+links AS (
+  SELECT source AS src, regexp_extract(href, '^https://([^./]*)', 1) AS dst
+  FROM l
+  WHERE source <> regexp_extract(href, '^https://([^./]*)', 1)
+)"""
+    )
 
 
 def q_tfidf_topk(sf_dir: str):
@@ -3398,6 +3510,8 @@ QUERIES: Dict[str, Callable] = {
     "repetition_signals": q_repetition_signals,
     "dedup_clusters": q_dedup_clusters,
     "host_pagerank": q_host_pagerank,
+    "extract_links": q_extract_links,
+    "link_pagerank": q_link_pagerank,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3478,6 +3592,8 @@ ORACLES: Dict[str, str] = {
     "repetition_signals": _sql_repetition(),
     "dedup_clusters": _sql_dedup_clusters(),
     "host_pagerank": _sql_host_pagerank(),
+    "extract_links": SQL_EXTRACT_LINKS,
+    "link_pagerank": _sql_link_pagerank(),
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

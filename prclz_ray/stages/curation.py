@@ -1071,6 +1071,9 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
 
     wedges = (
         links.map_batches(edge_weight_rows, batch_format="pyarrow")
+        .repartition(num_partitions)  # partitions ≤ groups: empty
+        # aggregate partitions emit SCHEMA-LESS blocks that break both
+        # the front-door concat and the per-round join (the CC hazard)
         .groupby("eb")
         .map_groups(edge_weight_combine, batch_format="pyarrow")
         .materialize()
@@ -1082,8 +1085,8 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
                       "pr": pa.array([], pa.int64())})
         )
     if n_edges <= local_threshold:
-        t = pa.concat_tables(ray.get(wedges.to_arrow_refs()))
-        return ray.data.from_arrow(_pr_local(t, iters))
+        tabs = [t for t in ray.get(wedges.to_arrow_refs()) if t.num_rows]
+        return ray.data.from_arrow(_pr_local(pa.concat_tables(tabs), iters))
 
     def outw_rows(b: pa.Table) -> pa.Table:
         agg = (
@@ -1108,6 +1111,7 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
 
     outw = (
         wedges.map_batches(outw_rows, batch_format="pyarrow")
+        .repartition(num_partitions)
         .groupby("hb")
         .map_groups(outw_combine, batch_format="pyarrow")
     )
@@ -1148,6 +1152,7 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
 
     zeros = (
         wedges.map_batches(host_zero_rows, batch_format="pyarrow")
+        .repartition(num_partitions)
         .groupby("hb")
         .map_groups(dedup_hosts, batch_format="pyarrow")
         .materialize()

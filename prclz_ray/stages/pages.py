@@ -214,3 +214,43 @@ def pages_dataset(input_dir: str, batch_size: int = 8192, errors_dir: str | None
             make_dead_letter_fn(errors_dir), batch_format="pyarrow", batch_size=batch_size
         )
     return ds.map_batches(index_cells, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_links(batch: pa.Table, col: str = "html",
+                  keep_cols: tuple = ("doc_id",)) -> pa.Table:
+    """Vectorized multi-match ``href="..."`` extraction — the crawl-side
+    producer of the link table ``stages.curation.pagerank`` consumes
+    (and the outlink half of any frontier/anchor-text pipeline).
+
+    One row per (page, link) with the link's document-order index.
+    Loop-free multi-match on Arrow kernels: split on ``href="`` (every
+    fragment after the first starts with a link target), then
+    ``split('"', max_splits=1)[0]`` per fragment; fragment→page mapping
+    via list parent indices. Pure map-side — no shuffle, the wide html
+    column never leaves the stage. Output: (*keep_cols passthrough, link_idx, href).
+
+    Reference analogue: engine-new surface (the reference ingests
+    geodata, not hyperlinked pages); extraction-parity contract mirrors
+    ``extract_text`` above (oracle = DuckDB regexp_extract_all over the
+    same bytes).
+    """
+    import numpy as np
+
+    def comb(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    html = batch.column(col).cast(pa.large_string())
+    parts = pc.split_pattern(html, 'href="')
+    par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    flat = comb(pc.list_flatten(parts))
+    nl = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(nl)])[:-1]
+    local = np.arange(len(flat), dtype=np.int64) - starts[par]
+    keep = local > 0  # fragment 0 of each page precedes its first href
+    flat_k = flat.filter(pa.array(keep))
+    href = pc.list_element(pc.split_pattern(flat_k, '"', max_splits=1), 0)
+    taken = pa.array(par[keep])
+    cols = {name: comb(batch.column(name)).take(taken) for name in keep_cols}
+    cols["link_idx"] = pa.array(local[keep] - 1, pa.int64())
+    cols["href"] = href.cast(pa.string())
+    return pa.table(cols)

@@ -1159,3 +1159,52 @@ def test_canonicalize_urls_rules():
         "https://ex.com/",
         "https://ex.com/p?id=9",
     ]
+
+
+def test_extract_links_edge_cases():
+    import pyarrow as pa
+
+    from prclz_ray.stages.pages import extract_links
+
+    html = [
+        '<a href="u1">x</a> mid <a href="u2">y</a>',  # two links
+        "no links at all",                             # zero links
+        'href="lead"</a> tail',                        # link at position 0
+        'dangling href=" unterminated',                # no closing quote:
+        # the fragment after the marker has no '"' — the whole tail is
+        # the href (split max_splits=1 keeps it as element 0)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array([10, 11, 12, 13], pa.int64()), "html": pa.array(html)}
+    )
+    out = extract_links(t)
+    rows = sorted(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("link_idx").to_pylist(),
+            out.column("href").to_pylist(),
+        )
+    )
+    assert rows == [
+        (10, 0, "u1"),
+        (10, 1, "u2"),
+        (12, 0, "lead"),
+        (13, 0, " unterminated"),
+    ]
+
+
+def test_extract_links_passthrough_cols():
+    import pyarrow as pa
+
+    from prclz_ray.stages.pages import extract_links
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "source": pa.array(["hostA"]),
+            "html": pa.array(['<a href="u">x</a>']),
+        }
+    )
+    out = extract_links(t, keep_cols=("doc_id", "source"))
+    assert out.column_names == ["doc_id", "source", "link_idx", "href"]
+    assert out.column("source").to_pylist() == ["hostA"]
