@@ -178,6 +178,7 @@ def run_secondary(sf_dir: str) -> dict:
         "canonical_urls",
         "robots_filter",
         "host_pagerank",
+        "doc_surprisal",
         "train_pack",
         "ann_topk_pq",
         "sessionize",

@@ -2719,6 +2719,66 @@ SELECT gram, n FROM r WHERE rn <= {NGRAM_TOPK}
 """
 
 
+def q_doc_surprisal(sf_dir: str):
+    """Corpus-statistics LM scoring (the CCNet/KenLM-filter dataflow):
+    phase 1 builds the global top-VOCAB_K word vocabulary exactly like
+    ngram_topk (map-side partials → ONE bounded GRAM_BUCKETS shuffle →
+    one tiny final selection), phase 2 broadcasts the ≤VOCAB_K (hash,
+    rank) arrays via ``ray.put`` (T7) and scores every doc map-side:
+    surprisal = Σ rank(word) with OOV = VOCAB_K+1 — the exact-integer
+    stand-in for KenLM perplexity with the identical two-phase shape.
+    Only the K-row vocab ever lands on the driver. Output:
+    (doc_id, surprisal, n_oov)."""
+    import ray
+
+    from .stages.curation import (
+        VOCAB_K,
+        bucket_topk_grams,
+        global_topk_grams,
+        make_surprisal_fn,
+        ngram_partial_counts,
+    )
+    from .stages.hashing import hash_strings62
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vocab_ds = (
+        ds.map_batches(
+            lambda b: ngram_partial_counts(b, n=1), batch_format="pyarrow"
+        )
+        .repartition(8)
+        .groupby("gb")
+        .map_groups(lambda g: bucket_topk_grams(g, VOCAB_K), batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda b: global_topk_grams(b, VOCAB_K), batch_format="pyarrow")
+    )
+    tabs = [t for t in ray.get(vocab_ds.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(tabs) if tabs else pa.table({"gram": pa.array([], pa.string())})
+    h = hash_strings62(vt.column("gram"))
+    ranks = np.arange(1, len(h) + 1, dtype=np.int64)  # rows arrive in
+    # (count desc, word asc) order from global_topk_grams
+    order = np.argsort(h)
+    vocab_ref = ray.put((h[order], ranks[order]))
+    return ds.map_batches(make_surprisal_fn(vocab_ref), batch_format="pyarrow")
+
+
+def _sql_doc_surprisal() -> str:
+    from .stages.curation import VOCAB_K
+
+    return f"""
+WITH {_SQL_WORDS},
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1),
+top AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS r
+  FROM c ORDER BY n DESC, word LIMIT {VOCAB_K}
+)
+SELECT w.doc_id,
+       CAST(SUM(COALESCE(t.r, {VOCAB_K + 1})) AS BIGINT) AS surprisal,
+       CAST(SUM(CASE WHEN t.r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM w LEFT JOIN top t USING (word)
+GROUP BY w.doc_id
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Corpus-duplicated SUBSTRING spans per document (the
     repeated-passage detection behind substring-level training-data
@@ -3512,6 +3572,7 @@ QUERIES: Dict[str, Callable] = {
     "host_pagerank": q_host_pagerank,
     "extract_links": q_extract_links,
     "link_pagerank": q_link_pagerank,
+    "doc_surprisal": q_doc_surprisal,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3594,6 +3655,7 @@ ORACLES: Dict[str, str] = {
     "host_pagerank": _sql_host_pagerank(),
     "extract_links": SQL_EXTRACT_LINKS,
     "link_pagerank": _sql_link_pagerank(),
+    "doc_surprisal": _sql_doc_surprisal(),
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

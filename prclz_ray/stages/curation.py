@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup import _sorted_runs
-from .hashing import ensure_ascii, hash_strings
+from .hashing import ensure_ascii, hash_strings, hash_strings62
 
 LINE_W = 10          # words per "line" of the synthetic single-line corpus
 LINE_BUCKETS = 1024  # shuffle-key buckets for corpus-wide line df
@@ -1208,3 +1208,49 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
         lambda b: pa.table({"host": b.column("src"), "pr": b.column("pr")}),
         batch_format="pyarrow",
     )
+
+
+# --- corpus-statistics LM scoring (CCNet/KenLM-filter shape) --------------
+
+VOCAB_K = 256  # ranked vocabulary size; every out-of-vocab word scores
+# VOCAB_K + 1. Real CCNet uses a KenLM 5-gram perplexity; the integer
+# surprisal-rank proxy keeps the exact same two-phase dataflow (global
+# corpus statistics → broadcast → per-doc score) with a bit-exact
+# DuckDB oracle (floats never hash bit-for-bit)
+
+
+def make_surprisal_fn(vocab_ref, k: int = VOCAB_K):
+    """Phase-2 scorer factory: ``vocab_ref`` is a ``ray.put`` of
+    (sorted 62-bit word hashes, aligned ranks) — the T7 broadcast
+    pattern, fetched zero-copy from plasma per task, never re-shipped
+    per batch. Per batch: flat word split → vectorized searchsorted
+    rank lookup → per-doc int64 scatter-adds. Hash-equality stands in
+    for string equality (62-bit: collision odds ~n·K/2^62, far below
+    any test or production corpus size)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray
+
+        vh, vr = ray.get(vocab_ref)
+        flat, par, _ = _split_words(batch)
+        h = hash_strings62(flat)
+        n = len(batch)
+        if len(vh):
+            idx = np.clip(np.searchsorted(vh, h), 0, len(vh) - 1)
+            hit = vh[idx] == h
+            rank = np.where(hit, vr[idx], np.int64(k + 1))
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+            rank = np.full(len(h), k + 1, dtype=np.int64)
+        surp = np.zeros(n, dtype=np.int64)
+        np.add.at(surp, par, rank)
+        noov = np.bincount(par[~hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "surprisal": _i64(surp),
+                "n_oov": _i64(noov),
+            }
+        )
+
+    return score

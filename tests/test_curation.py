@@ -489,3 +489,39 @@ def test_pagerank_overflow_guard():
     big = np.array([2**61], dtype=np.int64)
     with pytest.raises(OverflowError):
         C._pr_flow(big, np.array([100], dtype=np.int64), np.array([1], dtype=np.int64))
+
+
+def test_surprisal_scorer_ranks_and_oov(ray_session):
+    import ray
+
+    from prclz_ray.stages.hashing import hash_strings62
+
+    # vocab: "the" rank 1, "cat" rank 2 (k=2, OOV scores 3)
+    vh = hash_strings62(pa.array(["the", "cat"]))
+    vr = np.array([1, 2], dtype=np.int64)
+    order = np.argsort(vh)
+    ref = ray.put((vh[order], vr[order]))
+    fn = C.make_surprisal_fn(ref, k=2)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["the cat sat", "the the"]),
+        }
+    )
+    out = fn(batch)
+    # doc 7: 1 + 2 + 3(oov) = 6, one oov; doc 8: 1 + 1 = 2, zero oov
+    assert out.column("surprisal").to_pylist() == [6, 2]
+    assert out.column("n_oov").to_pylist() == [1, 0]
+
+
+def test_surprisal_scorer_empty_vocab(ray_session):
+    import ray
+
+    ref = ray.put((np.array([], dtype=np.int64), np.array([], dtype=np.int64)))
+    fn = C.make_surprisal_fn(ref, k=4)
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b"])}
+    )
+    out = fn(batch)
+    assert out.column("surprisal").to_pylist() == [10]  # 2 words x (k+1)
+    assert out.column("n_oov").to_pylist() == [2]
