@@ -2482,6 +2482,87 @@ SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup representative selection with a QUALITY policy: per
+    MinHash cluster keep the member with the most stopword hits (the
+    realistic keep-best curation rule, vs dedup_corpus's
+    keep-minimum-id). Shapes: connected components → ONE hash join
+    with the map-side quality scores → ONE bounded CLUSTER_BUCKETS
+    shuffle for the per-cluster argmax → the dedup_corpus anti-join
+    union (nothing on the driver). Output: kept doc ids."""
+    from .stages.curation import (
+        CLUSTER_BUCKETS,
+        cluster_keep_best,
+        connected_components,
+    )
+    from .stages.textops import quality_score
+
+    clusters = connected_components(_minhash_pairs(sf_dir))
+    qual = _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "score": b.column("stopword_hits")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = clusters.join(qual, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def add_cb(b: pa.Table) -> pa.Table:
+        c = b.column("cluster_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cb", pa.array((c % CLUSTER_BUCKETS).astype(np.int64), pa.int64())
+        )
+
+    flagged = (
+        joined.map_batches(add_cb, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("cb")
+        .map_groups(cluster_keep_best, batch_format="pyarrow")
+    )
+    everyone = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dropped": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kept = everyone.union(flagged).groupby("doc_id").max("dropped")
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}).filter(
+            pc.equal(b.column("max(dropped)"), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+pairs AS ({_SQL_MINHASH_PAIRS_SELECT}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM walk w JOIN edges e ON e.b = w.node
+),
+clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY 1),
+q AS ({_sql_text_quality()}),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.stopword_hits DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+),
+losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+"""
+
+
 # deterministic link fixture for the host PageRank query: each doc emits
 # one link source-host → 'src'||((doc_id²+3) % 20). Quadratic residues
 # mod 20 hit only 6 targets, so the graph is SKEWED — a uniform-PR
@@ -3573,6 +3654,7 @@ QUERIES: Dict[str, Callable] = {
     "extract_links": q_extract_links,
     "link_pagerank": q_link_pagerank,
     "doc_surprisal": q_doc_surprisal,
+    "dedup_keep_best": q_dedup_keep_best,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3656,6 +3738,7 @@ ORACLES: Dict[str, str] = {
     "extract_links": SQL_EXTRACT_LINKS,
     "link_pagerank": _sql_link_pagerank(),
     "doc_surprisal": _sql_doc_surprisal(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

@@ -1254,3 +1254,36 @@ def make_surprisal_fn(vocab_ref, k: int = VOCAB_K):
         )
 
     return score
+
+
+# --- near-dup representative selection (keep-best policy) -----------------
+
+CLUSTER_BUCKETS = 64  # shuffle-key buckets for per-cluster argmax —
+# clusters are ~corpus-count tiny groups at web scale (the CLAUDE.md
+# tiny-groups rule), so the reduce is ONE bounded shuffle
+
+
+def cluster_keep_best(group: pa.Table) -> pa.Table:
+    """One cluster bucket: per cluster keep the member with the highest
+    ``score`` (ties → smallest doc_id), flag the rest dropped.
+    Vectorized: one sort + run-start diff; emits (doc_id, dropped) for
+    the downstream anti-join union."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "dropped": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("cluster_id", "ascending"),
+            ("score", "descending"),
+            ("doc_id", "ascending"),
+        ],
+    )
+    g = group.take(order)
+    c = g.column("cluster_id").to_numpy(zero_copy_only=False)
+    dropped = np.ones(len(c), dtype=np.int64)
+    run_start = np.concatenate([[0], np.flatnonzero(c[1:] != c[:-1]) + 1])
+    dropped[run_start] = 0  # the per-cluster winner
+    return pa.table({"doc_id": g.column("doc_id"), "dropped": _i64(dropped)})

@@ -525,3 +525,21 @@ def test_surprisal_scorer_empty_vocab(ray_session):
     out = fn(batch)
     assert out.column("surprisal").to_pylist() == [10]  # 2 words x (k+1)
     assert out.column("n_oov").to_pylist() == [2]
+
+
+def test_cluster_keep_best_ties_and_winners():
+    g = pa.table(
+        {
+            "cluster_id": pa.array([1, 1, 1, 5, 5], pa.int64()),
+            "doc_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+            "score": pa.array([3, 7, 7, 2, 2], pa.int64()),
+            "cb": pa.array([0, 0, 0, 0, 0], pa.int64()),
+        }
+    )
+    out = C.cluster_keep_best(g)
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("dropped").to_pylist()))
+    # cluster 1: score tie 7/7 -> doc 11 wins (smaller id); cluster 5:
+    # tie 2/2 -> doc 20 wins
+    assert got == {10: 1, 11: 0, 12: 1, 20: 0, 21: 1}
+    # empty group keeps schema
+    assert C.cluster_keep_best(g.slice(0, 0)).schema == out.schema
