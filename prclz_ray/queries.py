@@ -2645,8 +2645,8 @@ def _sql_host_pagerank() -> str:
 _SQL_LINK_HTML = """h AS (
   SELECT doc_id, source,
     '<html><body><p>t</p>'
-    || '<a href="https://src' || CAST((doc_id*3+1)%20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'
-    || CASE WHEN doc_id % 2 = 0 THEN '<a href="https://src' || CAST((doc_id*5+2)%20 AS VARCHAR) || '.example/q">y</a>' ELSE '' END
+    || '<a href="https://src' || CAST((doc_id*3+1)%20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || '">a' || CAST(doc_id % 13 AS VARCHAR) || '</a>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<a href="https://src' || CAST((doc_id*5+2)%20 AS VARCHAR) || '.example/q">b' || CAST(doc_id % 11 AS VARCHAR) || '</a>' ELSE '' END
     || '</body></html>' AS html
   FROM documents
 )"""
@@ -2658,13 +2658,15 @@ def _link_html_batch(b: pa.Table) -> pa.Table:
     a1 = pc.cast(pa.array((d * 3 + 1) % 20, pa.int64()), pa.string())
     a2 = pc.cast(pa.array((d * 5 + 2) % 20, pa.int64()), pa.string())
     ds_ = pc.cast(b.column("doc_id"), pa.string())
+    m13 = pc.cast(pa.array(d % 13, pa.int64()), pa.string())
+    m11 = pc.cast(pa.array(d % 11, pa.int64()), pa.string())
     link1 = pc.binary_join_element_wise(
-        '<a href="https://src', a1, ".example/p/", ds_, '">x</a>', ""
+        '<a href="https://src', a1, ".example/p/", ds_, '">a', m13, "</a>", ""
     )
     link2 = pc.if_else(
         pc.equal(pa.array(d % 2, pa.int64()), 0),
         pc.binary_join_element_wise(
-            '<a href="https://src', a2, '.example/q">y</a>', ""
+            '<a href="https://src', a2, '.example/q">b', m11, "</a>", ""
         ),
         pa.scalar("", pa.string()),
     )
@@ -2700,6 +2702,36 @@ l AS (SELECT doc_id, regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls FROM h)
 SELECT doc_id,
        CAST(unnest(generate_series(0, len(ls) - 1)) AS BIGINT) AS link_idx,
        unnest(ls) AS href
+FROM l
+"""
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text extraction — the training-signal companion of
+    extract_links (anchor text is the classic external description of
+    a target page, used for retrieval and query-doc supervision): same
+    loop-free fragment pass plus one vectorized RE2 anchor group per
+    link. Map-side only. Output: (doc_id, link_idx, href, anchor)."""
+    from .stages.pages import extract_links
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return ds.map_batches(_link_html_batch, batch_format="pyarrow").map_batches(
+        lambda b: extract_links(b, with_anchors=True), batch_format="pyarrow"
+    )
+
+
+SQL_ANCHOR_TEXTS = f"""
+WITH {_SQL_LINK_HTML},
+l AS (SELECT doc_id,
+        regexp_extract_all(html, 'href="([^"]*)"', 1) AS hs,
+        regexp_extract_all(html, 'href="[^"]*"[^>]*>([^<]*)', 1) AS ans
+      FROM h)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(hs) - 1)) AS BIGINT) AS link_idx,
+       unnest(hs) AS href,
+       unnest(ans) AS anchor
 FROM l
 """
 
@@ -3655,6 +3687,7 @@ QUERIES: Dict[str, Callable] = {
     "link_pagerank": q_link_pagerank,
     "doc_surprisal": q_doc_surprisal,
     "dedup_keep_best": q_dedup_keep_best,
+    "anchor_texts": q_anchor_texts,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3739,6 +3772,7 @@ ORACLES: Dict[str, str] = {
     "link_pagerank": _sql_link_pagerank(),
     "doc_surprisal": _sql_doc_surprisal(),
     "dedup_keep_best": _sql_dedup_keep_best(),
+    "anchor_texts": SQL_ANCHOR_TEXTS,
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

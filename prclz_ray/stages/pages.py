@@ -217,7 +217,8 @@ def pages_dataset(input_dir: str, batch_size: int = 8192, errors_dir: str | None
 
 
 def extract_links(batch: pa.Table, col: str = "html",
-                  keep_cols: tuple = ("doc_id",)) -> pa.Table:
+                  keep_cols: tuple = ("doc_id",),
+                  with_anchors: bool = False) -> pa.Table:
     """Vectorized multi-match ``href="..."`` extraction — the crawl-side
     producer of the link table ``stages.curation.pagerank`` consumes
     (and the outlink half of any frontier/anchor-text pipeline).
@@ -248,9 +249,18 @@ def extract_links(batch: pa.Table, col: str = "html",
     local = np.arange(len(flat), dtype=np.int64) - starts[par]
     keep = local > 0  # fragment 0 of each page precedes its first href
     flat_k = flat.filter(pa.array(keep))
-    href = pc.list_element(pc.split_pattern(flat_k, '"', max_splits=1), 0)
+    split_q = pc.split_pattern(flat_k, '"', max_splits=1)
+    href = pc.list_element(split_q, 0)
     taken = pa.array(par[keep])
     cols = {name: comb(batch.column(name)).take(taken) for name in keep_cols}
     cols["link_idx"] = pa.array(local[keep] - 1, pa.int64())
     cols["href"] = href.cast(pa.string())
+    if with_anchors:
+        # anchor text = the [^<]* run after the tag's closing '>' —
+        # one vectorized RE2 pass per fragment, the same regex shape
+        # as the oracle's href="[^"]*"[^>]*>([^<]*). A fragment whose
+        # tag never closes (no '>') yields anchor '' (fill_null), the
+        # documented malformed-tag contract.
+        m = pc.extract_regex(flat_k, r'^[^"]*"[^>]*>(?P<a>[^<]*)')
+        cols["anchor"] = pc.fill_null(pc.struct_field(m, "a"), "").cast(pa.string())
     return pa.table(cols)

@@ -1208,3 +1208,19 @@ def test_extract_links_passthrough_cols():
     out = extract_links(t, keep_cols=("doc_id", "source"))
     assert out.column_names == ["doc_id", "source", "link_idx", "href"]
     assert out.column("source").to_pylist() == ["hostA"]
+
+
+def test_extract_links_anchor_contract():
+    import pyarrow as pa
+
+    from prclz_ray.stages.pages import extract_links
+
+    html = [
+        '<a href="u1" class="c">plain</a>',   # attrs between quote and >
+        '<a href="u2">nested <b>bold</b></a>',  # anchor stops at first <
+        '<a href="u3" no-close-gt',            # malformed: no > -> ''
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "html": pa.array(html)})
+    out = extract_links(t, with_anchors=True)
+    assert out.column("href").to_pylist() == ["u1", "u2", "u3"]
+    assert out.column("anchor").to_pylist() == ["plain", "nested ", ""]
