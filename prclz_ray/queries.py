@@ -2563,6 +2563,63 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Pre-tokenization text normalization (the step every tokenizer
+    pipeline runs first): lowercase, collapse space/tab runs, trim.
+    Messy input is synthesized deterministically from (doc_id, text)
+    identically in both engines (case flip, doubled spaces, tab tails
+    — the canonical_urls precedent), so the normalizer chain is what
+    the oracle checks. Pure map-side RE2/utf8 kernels. Output:
+    (doc_id, norm_text, n_removed)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(b.column("text"), "").cast(pa.string())
+        m3 = pa.array(d % 3, pa.int64())
+        messy = pc.if_else(
+            pc.equal(m3, 0),
+            pc.binary_join_element_wise(pc.utf8_upper(text), "  tail ", ""),
+            pc.if_else(
+                pc.equal(m3, 1),
+                pc.binary_join_element_wise(" ", text, "\t", ""),
+                text,
+            ),
+        )
+        collapsed = pc.replace_substring_regex(
+            pc.utf8_lower(messy), r"[ \t]+", " "
+        )
+        norm_t = pc.utf8_trim(collapsed, " \t")
+        n_rem = pc.subtract(
+            pc.utf8_length(messy).cast(pa.int64()),
+            pc.utf8_length(norm_t).cast(pa.int64()),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "norm_text": norm_t, "n_removed": n_rem}
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(COALESCE(text, '')) || '  tail '
+              WHEN doc_id % 3 = 1 THEN ' ' || COALESCE(text, '') || chr(9)
+              ELSE COALESCE(text, '') END AS messy
+  FROM documents
+),
+n AS (
+  SELECT doc_id, messy,
+         trim(regexp_replace(lower(messy), '[ \t]+', ' ', 'g'), ' ' || chr(9)) AS norm_text
+  FROM m
+)
+SELECT doc_id, norm_text,
+       CAST(strlen(messy) - strlen(norm_text) AS BIGINT) AS n_removed
+FROM n
+"""
+
+
 # deterministic link fixture for the host PageRank query: each doc emits
 # one link source-host → 'src'||((doc_id²+3) % 20). Quadratic residues
 # mod 20 hit only 6 targets, so the graph is SKEWED — a uniform-PR
@@ -3688,6 +3745,7 @@ QUERIES: Dict[str, Callable] = {
     "doc_surprisal": q_doc_surprisal,
     "dedup_keep_best": q_dedup_keep_best,
     "anchor_texts": q_anchor_texts,
+    "normalize_text": q_normalize_text,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3773,6 +3831,7 @@ ORACLES: Dict[str, str] = {
     "doc_surprisal": _sql_doc_surprisal(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "anchor_texts": SQL_ANCHOR_TEXTS,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

@@ -425,3 +425,51 @@ def test_noding_face_tracing_fuzz():
                 assert a0 <= 1.0 + 1e-9
                 for ins in inset_polygon(ring, 0.01):
                     assert polygon_area(ins) <= a0 + 1e-9
+
+
+# --- link-graph PageRank: local solver vs pure-python reference -----------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_pagerank_local_matches_naive_reference(pairs):
+    import pyarrow as pa
+
+    from prclz_ray.stages import curation as C
+
+    links = [(f"h{a}", f"h{b}") for a, b in pairs if a != b]
+    if not links:
+        return
+    # naive dict reference of the exact-integer contract
+    w, outw, hosts = {}, {}, set()
+    for s, d in links:
+        w[(s, d)] = w.get((s, d), 0) + 1
+        outw[s] = outw.get(s, 0) + 1
+        hosts.update((s, d))
+    pr = {h: C.PR_SCALE for h in hosts}
+    for _ in range(C.PR_ITERS):
+        acc = {h: 0 for h in hosts}
+        for (s, d), wt in w.items():
+            acc[d] += (C.PR_DAMP_NUM * pr[s] * wt) // (C.PR_DAMP_DEN * outw[s])
+        pr = {h: C.PR_BASE + acc[h] for h in hosts}
+
+    wed = {}
+    for s, d in links:
+        wed[(s, d)] = wed.get((s, d), 0) + 1
+    t = pa.table(
+        {
+            "src": pa.array([k[0] for k in wed]),
+            "dst": pa.array([k[1] for k in wed]),
+            "w": pa.array(list(wed.values()), pa.int64()),
+        }
+    )
+    out = C._pr_local(t)
+    got = dict(
+        zip(out.column("host").to_pylist(), out.column("pr").to_pylist())
+    )
+    assert got == pr
