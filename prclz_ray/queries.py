@@ -3230,6 +3230,39 @@ def q_embedding_centroids(sf_dir: str):
     )
 
 
+def q_embedding_gram(sf_dir: str):
+    """Corpus Gram matrix Σ vᵀv over the embedding table — the
+    distributed front half of PCA / whitening (the d×d reduce is all
+    that ever crosses the wire; the eigendecomposition of a 64×64
+    matrix is a driver-side ms once this lands). Map-side int64 matmul
+    per batch → ONE groupby over d(d+1)/2 = 2080 keys. Exact-integer
+    round_e6 contract (same as embedding_centroids). Output:
+    (i, j, s) upper triangle."""
+    from .stages.similarity import gram_finish, gram_partials
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return (
+        ds.map_batches(gram_partials, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("k")
+        .sum("s")
+        .map_batches(gram_finish, batch_format="pyarrow")
+    )
+
+
+SQL_EMBEDDING_GRAM = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+)
+SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
 SQL_EMBEDDING_CENTROIDS = """
 WITH u AS (
   SELECT CAST(label AS BIGINT) AS label,
@@ -3746,6 +3779,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_keep_best": q_dedup_keep_best,
     "anchor_texts": q_anchor_texts,
     "normalize_text": q_normalize_text,
+    "embedding_gram": q_embedding_gram,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3832,6 +3866,7 @@ ORACLES: Dict[str, str] = {
     "dedup_keep_best": _sql_dedup_keep_best(),
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

@@ -507,3 +507,45 @@ def make_pq_topk_fn(queries_ref, books: np.ndarray, k: int = 10):
         )
 
     return topk
+
+
+def gram_partials(batch: pa.Table) -> pa.Table:
+    """Map-side half of the corpus Gram matrix Σ vᵀv — the distributed
+    front half of PCA/whitening: ONE int64 (d,d) matmul per batch over
+    the round_e6 integer matrix, emitted as upper-triangle rows keyed
+    ``k = i*d + j`` (d(d+1)/2 rows per batch, never the vectors).
+    Exact-integer contract: sums are order-independent; |v|·e6 ≈ 2e6
+    per element bounds the int64 sum at ~2.3e6 corpus rows per 1.0 of
+    feature scale — beyond that re-scale (round_e3) or shard the
+    reduce (documented, same as the centroid carrier)."""
+    empty = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    v = round_e6(embedding_matrix(batch.column("embedding")))
+    g = v.T @ v
+    d = v.shape[1]
+    iu, ju = np.triu_indices(d)
+    return pa.table(
+        {
+            "k": pa.array(iu * d + ju, pa.int64()),
+            "s": pa.array(g[iu, ju], pa.int64()),
+        }
+    )
+
+
+def gram_finish(batch: pa.Table, d: int = 64) -> pa.Table:
+    """Unpack the reduced (k, sum) rows to (i, j, s)."""
+    k = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch.column(batch.column_names[1])
+    return pa.table(
+        {
+            "i": pa.array(k // d, pa.int64()),
+            "j": pa.array(k % d, pa.int64()),
+            "s": pc.cast(s, pa.int64()),
+        }
+    )

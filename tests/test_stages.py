@@ -1224,3 +1224,28 @@ def test_extract_links_anchor_contract():
     out = extract_links(t, with_anchors=True)
     assert out.column("href").to_pylist() == ["u1", "u2", "u3"]
     assert out.column("anchor").to_pylist() == ["plain", "nested ", ""]
+
+
+def test_gram_partials_split_invariant():
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.similarity import embedding_matrix, gram_partials, round_e6
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 64)).astype(np.float64)
+    t = pa.table({"embedding": pa.array([list(v) for v in vecs])})
+    whole = gram_partials(t)
+    # summing partials over any batch split must equal the one-shot
+    acc = {}
+    for lo, hi in [(0, 13), (13, 37), (37, 50)]:
+        p = gram_partials(t.slice(lo, hi - lo))
+        for k, s in zip(p.column("k").to_pylist(), p.column("s").to_pylist()):
+            acc[k] = acc.get(k, 0) + s
+    ref = dict(zip(whole.column("k").to_pylist(), whole.column("s").to_pylist()))
+    assert acc == ref
+    # and the one-shot equals the direct integer matmul
+    vi = round_e6(embedding_matrix(t.column("embedding")))
+    g = vi.T @ vi
+    iu, ju = np.triu_indices(64)
+    assert ref == dict(zip((iu * 64 + ju).tolist(), g[iu, ju].tolist()))
