@@ -3263,6 +3263,63 @@ GROUP BY 1, 2
 """
 
 
+PCA_P = 8  # principal components kept by embedding_pca
+
+
+def q_embedding_pca(sf_dir: str, p: int = PCA_P):
+    """Uncentered PCA / truncated-SVD projection of the embedding
+    corpus — the whitening/compression step after `embedding_gram`:
+    the distributed Gram lands 2080 int rows on the driver, a 64×64
+    ``eigh`` costs microseconds, the top-p components broadcast via
+    ``ray.put``, and the projection is one map-side float matmul per
+    batch. Deterministic sign convention (each component's
+    largest-|coord| made positive); values emitted as round-e6 ints.
+    Not SQL-expressible (eigendecomposition) → rows-only driver check
+    + orthonormality/energy-ordering pytest. Output:
+    (vec_id, comp, val_e6)."""
+    import ray
+
+    from .stages.similarity import embedding_matrix
+
+    gram = q_embedding_gram(sf_dir)
+    gt = pa.concat_tables(
+        [t for t in ray.get(gram.to_arrow_refs()) if t.num_rows]
+    )
+    i = gt.column("i").to_numpy(zero_copy_only=False)
+    j = gt.column("j").to_numpy(zero_copy_only=False)
+    s = gt.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    d = int(max(i.max(), j.max())) + 1
+    G = np.zeros((d, d))
+    G[i, j] = s
+    G[j, i] = s
+    w, v = np.linalg.eigh(G)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :p]  # top-p columns
+    flip = comps[np.argmax(np.abs(comps), axis=0), np.arange(p)] < 0
+    comps = comps * np.where(flip, -1.0, 1.0)
+    w_ref = ray.put(np.ascontiguousarray(comps))
+
+    def project(b: pa.Table) -> pa.Table:
+        W = ray.get(w_ref)
+        V = embedding_matrix(b.column("embedding"))
+        proj = V @ W  # (n, p)
+        n = len(b)
+        vec = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec, p), pa.int64()),
+                "comp": pa.array(np.tile(np.arange(p, dtype=np.int64), n), pa.int64()),
+                "val_e6": pa.array(
+                    np.floor(proj.reshape(-1) * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 SQL_EMBEDDING_CENTROIDS = """
 WITH u AS (
   SELECT CAST(label AS BIGINT) AS label,
@@ -3780,6 +3837,7 @@ QUERIES: Dict[str, Callable] = {
     "anchor_texts": q_anchor_texts,
     "normalize_text": q_normalize_text,
     "embedding_gram": q_embedding_gram,
+    "embedding_pca": q_embedding_pca,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,

@@ -1249,3 +1249,20 @@ def test_gram_partials_split_invariant():
     g = vi.T @ vi
     iu, ju = np.triu_indices(64)
     assert ref == dict(zip((iu * 64 + ju).tolist(), g[iu, ju].tolist()))
+
+
+def test_embedding_pca_contract(ray_session):
+    import numpy as np
+
+    from prclz_ray.queries import PCA_P, q_embedding_pca
+
+    out = q_embedding_pca("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500 * PCA_P
+    piv = out.pivot(index="vec_id", columns="comp", values="val_e6").to_numpy()
+    piv = piv.astype(np.float64) / 1e6
+    # energy (mean squared projection) must be non-increasing across
+    # components — the eigenvalue ordering surfaced in the data
+    energy = (piv**2).mean(axis=0)
+    assert all(energy[k] >= energy[k + 1] - 1e-9 for k in range(PCA_P - 1))
+    # top component carries more energy than a random direction would
+    assert energy[0] * PCA_P > energy.sum()
