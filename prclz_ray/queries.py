@@ -198,6 +198,67 @@ SQL_WARC_EXTRACT = (
 )
 
 
+def _jsonl_path(sf_dir: str) -> str:
+    """Documents table serialized ONCE as JSONL shards (4 files —
+    exercises the file-parallel read), cached by source fingerprint
+    with the same atomic-rename race contract as _warc_path."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.derive import CACHE_DIR
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(CACHE_DIR, f"jsonl_{tag}_{st.st_mtime_ns}_{st.st_size}")
+    if not os.path.isdir(root):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="jsonl.", dir=CACHE_DIR)
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        rows = t.to_pylist()
+        shards = 4
+        for s in range(shards):
+            with open(os.path.join(tmp, f"part-{s}.jsonl"), "w") as f:
+                for r in rows:
+                    if r["doc_id"] % shards == s:
+                        f.write(json.dumps(r, sort_keys=True) + "\n")
+        try:
+            os.replace(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(root):
+                raise
+    return root
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """JSONL ingestion — the other standard webtext interchange format
+    beside WARC: newline-delimited JSON shards → ``ray.data.read_json``
+    (pyarrow's vectorized NDJSON parser, one task per file) → column
+    projection. The oracle recomputes the expected rows from the
+    ``documents`` view, so the writer+reader roundtrip (types, text
+    bytes, nulls) is what's checked. Output: documents columns."""
+    import glob as _glob
+
+    import ray
+
+    root = _jsonl_path(sf_dir)
+    ds = ray.data.read_json(sorted(_glob.glob(f"{root}/part-*.jsonl")))
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    return ds.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    )
+
+
+SQL_JSONL_INGEST = """
+SELECT doc_id, source, lang, text, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def q_geocode(sf_dir: str):
     return _pages(sf_dir).select_columns(["url", "has_geo", "lat_e6", "lon_e6", "cell_r5"])
 
@@ -3838,6 +3899,7 @@ QUERIES: Dict[str, Callable] = {
     "normalize_text": q_normalize_text,
     "embedding_gram": q_embedding_gram,
     "embedding_pca": q_embedding_pca,
+    "jsonl_ingest": q_jsonl_ingest,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3925,6 +3987,7 @@ ORACLES: Dict[str, str] = {
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "embedding_gram": SQL_EMBEDDING_GRAM,
+    "jsonl_ingest": SQL_JSONL_INGEST,
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),
