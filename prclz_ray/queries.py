@@ -126,6 +126,34 @@ SQL_EXTRACT = (
 )
 
 
+def _fingerprint_cache(sf_dir: str, prefix: str, build):
+    """Derived-fixture cache skeleton shared by the WARC and JSONL
+    sources: key = (sf-dir tag, documents.parquet mtime+size), build
+    into a private tmp dir, publish with an atomic rename (two racing
+    builders never interleave writes; the loser cleans up and defers
+    to the winner unless the winner's dir is genuinely absent)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .pipelines.derive import CACHE_DIR
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(CACHE_DIR, f"{prefix}_{tag}_{st.st_mtime_ns}_{st.st_size}")
+    if not os.path.isdir(root):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{prefix}.", dir=CACHE_DIR)
+        build(tmp)
+        try:
+            os.replace(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(root):
+                raise
+    return root
+
+
 def _warc_path(sf_dir: str) -> str:
     """Documents table serialized ONCE as synthetic WARC files (4 shards
     — exercises the file-parallel read), cached by source fingerprint."""
@@ -133,21 +161,12 @@ def _warc_path(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    from .pipelines.derive import CACHE_DIR
     from .sources.warc import write_synth_warc
 
-    import shutil
-    import tempfile
-
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(CACHE_DIR, f"warc_{tag}_{st.st_mtime_ns}_{st.st_size}")
-    if not os.path.isdir(root):
-        # build into a private tmp dir, publish with an atomic rename
-        # (two racing builders never interleave writes; loser cleans up)
-        os.makedirs(CACHE_DIR, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix="warc.", dir=CACHE_DIR)
-        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    def build(tmp):
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
         ids = t.column("doc_id").to_pylist()
         srcs = t.column("source").to_pylist()
         texts = t.column("text").to_pylist()
@@ -160,13 +179,8 @@ def _warc_path(sf_dir: str) -> str:
                 [f"2024-01-01T00:00:{ids[i] % 60:02d}Z" for i in sel],
                 [texts[i].encode() for i in sel],
             )
-        try:
-            os.replace(tmp, root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # raced: another build won…
-            if not os.path.isdir(root):
-                raise  # …unless it didn't (permissions / cross-device)
-    return root
+
+    return _fingerprint_cache(sf_dir, "warc", build)
 
 
 def q_warc_extract(sf_dir: str):
@@ -199,39 +213,29 @@ SQL_WARC_EXTRACT = (
 
 
 def _jsonl_path(sf_dir: str) -> str:
-    """Documents table serialized ONCE as JSONL shards (4 files —
-    exercises the file-parallel read), cached by source fingerprint
-    with the same atomic-rename race contract as _warc_path."""
+    """Documents table serialized ONCE as JSONL shards (up to 4 files
+    — exercises the file-parallel read), cached by source fingerprint.
+    Residue classes with zero docs write NO file: pyarrow's NDJSON
+    reader raises on a zero-byte file, and the reading glob tolerates
+    missing parts."""
     import json
     import os
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    from .pipelines.derive import CACHE_DIR
-
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(CACHE_DIR, f"jsonl_{tag}_{st.st_mtime_ns}_{st.st_size}")
-    if not os.path.isdir(root):
-        os.makedirs(CACHE_DIR, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix="jsonl.", dir=CACHE_DIR)
+    def build(tmp):
         t = pq.read_table(f"{sf_dir}/documents.parquet")
         rows = t.to_pylist()
         shards = 4
         for s in range(shards):
+            sel = [r for r in rows if r["doc_id"] % shards == s]
+            if not sel:
+                continue
             with open(os.path.join(tmp, f"part-{s}.jsonl"), "w") as f:
-                for r in rows:
-                    if r["doc_id"] % shards == s:
-                        f.write(json.dumps(r, sort_keys=True) + "\n")
-        try:
-            os.replace(tmp, root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(root):
-                raise
-    return root
+                for r in sel:
+                    f.write(json.dumps(r, sort_keys=True) + "\n")
+
+    return _fingerprint_cache(sf_dir, "jsonl", build)
 
 
 def q_jsonl_ingest(sf_dir: str):
@@ -3341,6 +3345,7 @@ def q_embedding_pca(sf_dir: str, p: int = PCA_P):
     import ray
 
     from .stages.similarity import embedding_matrix
+    from .stages.similarity import round_e6 as _round_e6_pca
 
     gram = q_embedding_gram(sf_dir)
     gt = pa.concat_tables(
@@ -3369,9 +3374,7 @@ def q_embedding_pca(sf_dir: str, p: int = PCA_P):
             {
                 "vec_id": pa.array(np.repeat(vec, p), pa.int64()),
                 "comp": pa.array(np.tile(np.arange(p, dtype=np.int64), n), pa.int64()),
-                "val_e6": pa.array(
-                    np.floor(proj.reshape(-1) * 1e6 + 0.5).astype(np.int64), pa.int64()
-                ),
+                "val_e6": pa.array(_round_e6_pca(proj.reshape(-1)), pa.int64()),
             }
         )
 

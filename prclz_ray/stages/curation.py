@@ -1088,6 +1088,18 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
         tabs = [t for t in ray.get(wedges.to_arrow_refs()) if t.num_rows]
         return ray.data.from_arrow(_pr_local(pa.concat_tables(tabs), iters))
 
+    # distributed path hygiene: clamp partition counts to the actual
+    # row counts and re-block every reduce output — aggregate outputs
+    # with more partitions than groups carry SCHEMA-LESS empty blocks
+    # that intermittently break the hash joins below (the CLAUDE.md
+    # empty-partition hazard, observed as ArrowInvalid at 8 cpus)
+    def squeeze(ds, p):
+        ds = ds.materialize()
+        return ds.repartition(max(1, min(p, ds.count()))).materialize()
+
+    eff = max(1, min(num_partitions, n_edges))
+    wedges = wedges.repartition(eff).materialize()
+
     def outw_rows(b: pa.Table) -> pa.Table:
         agg = (
             pa.table({"src": b.column("src"), "w": b.column("w")})
@@ -1109,14 +1121,15 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             }
         )
 
-    outw = (
+    outw = squeeze(
         wedges.map_batches(outw_rows, batch_format="pyarrow")
-        .repartition(num_partitions)
+        .repartition(eff)
         .groupby("hb")
-        .map_groups(outw_combine, batch_format="pyarrow")
+        .map_groups(outw_combine, batch_format="pyarrow"),
+        eff,
     )
     edges_den = wedges.join(
-        outw, join_type="inner", num_partitions=num_partitions, on=("src",)
+        outw, join_type="inner", num_partitions=eff, on=("src",)
     ).materialize()
 
     def host_zero_rows(b: pa.Table) -> pa.Table:
@@ -1150,12 +1163,12 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             }
         )
 
-    zeros = (
+    zeros = squeeze(
         wedges.map_batches(host_zero_rows, batch_format="pyarrow")
-        .repartition(num_partitions)
+        .repartition(eff)
         .groupby("hb")
-        .map_groups(dedup_hosts, batch_format="pyarrow")
-        .materialize()
+        .map_groups(dedup_hosts, batch_format="pyarrow"),
+        eff,
     )
 
     def sum_to_pr(group: pa.Table) -> pa.Table:
@@ -1191,18 +1204,18 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             )
 
         contribs = edges_den.join(
-            pr, join_type="inner", num_partitions=num_partitions, on=("src",)
+            pr, join_type="inner", num_partitions=eff, on=("src",)
         ).map_batches(flow_rows, batch_format="pyarrow")
-        pr = (
+        pr = squeeze(
             contribs.union(zeros)
-            .repartition(num_partitions)
+            .repartition(eff)
             .groupby("hb")
             .map_groups(sum_to_pr, batch_format="pyarrow")
             .map_batches(
                 lambda b: pa.table({"src": b.column("host"), "pr": b.column("pr")}),
                 batch_format="pyarrow",
-            )
-            .materialize()
+            ),
+            eff,
         )
     return pr.map_batches(
         lambda b: pa.table({"host": b.column("src"), "pr": b.column("pr")}),

@@ -240,7 +240,11 @@ def extract_links(batch: pa.Table, col: str = "html",
     def comb(x):
         return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
 
-    html = batch.column(col).cast(pa.large_string())
+    # null html (e.g. rows the dead-letter path keeps in-stream) must
+    # yield zero links, not poison the fragment starts: a null list
+    # length becomes NaN → INT64_MIN under astype and silently drops
+    # every link of every later row in the batch
+    html = pc.fill_null(batch.column(col).cast(pa.large_string()), "")
     parts = pc.split_pattern(html, 'href="')
     par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
     flat = comb(pc.list_flatten(parts))

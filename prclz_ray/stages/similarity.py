@@ -509,6 +509,11 @@ def make_pq_topk_fn(queries_ref, books: np.ndarray, k: int = 10):
     return topk
 
 
+EMB_D = 64  # embedding dimensionality contract shared by the Gram
+# emitter and decoder — gram keys are i*EMB_D + j, so a mismatched
+# input dim must raise here rather than silently decode to wrong pairs
+
+
 def gram_partials(batch: pa.Table) -> pa.Table:
     """Map-side half of the corpus Gram matrix Σ vᵀv — the distributed
     front half of PCA/whitening: ONE int64 (d,d) matmul per batch over
@@ -527,8 +532,10 @@ def gram_partials(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
         return empty
     v = round_e6(embedding_matrix(batch.column("embedding")))
-    g = v.T @ v
     d = v.shape[1]
+    if d != EMB_D:
+        raise ValueError(f"gram_partials: dim {d} != EMB_D={EMB_D}")
+    g = v.T @ v
     iu, ju = np.triu_indices(d)
     return pa.table(
         {
@@ -538,7 +545,7 @@ def gram_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def gram_finish(batch: pa.Table, d: int = 64) -> pa.Table:
+def gram_finish(batch: pa.Table, d: int = EMB_D) -> pa.Table:
     """Unpack the reduced (k, sum) rows to (i, j, s)."""
     k = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
     s = batch.column(batch.column_names[1])

@@ -543,3 +543,19 @@ def test_cluster_keep_best_ties_and_winners():
     assert got == {10: 1, 11: 0, 12: 1, 20: 0, 21: 1}
     # empty group keeps schema
     assert C.cluster_keep_best(g.slice(0, 0)).schema == out.schema
+
+
+def test_pagerank_distributed_tiny_graph(ray_session):
+    # review regression: a 1-edge graph through the DISTRIBUTED path
+    # with num_partitions >> groups must not die on schema-less empty
+    # aggregate partitions feeding the joins
+    import ray.data
+
+    t = pa.table({"src": pa.array(["a"]), "dst": pa.array(["b"])})
+    out = (
+        C.pagerank(ray.data.from_arrow(t), num_partitions=8, local_threshold=0)
+        .to_pandas()
+    )
+    got = dict(zip(out["host"], out["pr"]))
+    exp_b = C.PR_BASE + (C.PR_DAMP_NUM * C.PR_BASE) // C.PR_DAMP_DEN
+    assert got == {"a": C.PR_BASE, "b": exp_b}

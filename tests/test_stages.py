@@ -1266,3 +1266,21 @@ def test_embedding_pca_contract(ray_session):
     assert all(energy[k] >= energy[k + 1] - 1e-9 for k in range(PCA_P - 1))
     # top component carries more energy than a random direction would
     assert energy[0] * PCA_P > energy.sum()
+
+
+def test_extract_links_null_html_rows():
+    # review regression: a null html row must yield zero links without
+    # poisoning the fragment starts of the rows after it
+    import pyarrow as pa
+
+    from prclz_ray.stages.pages import extract_links
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "html": pa.array([None, '<a href="u">x</a>', '<a href="v">y</a>']),
+        }
+    )
+    out = extract_links(t)
+    assert out.column("doc_id").to_pylist() == [1, 2]
+    assert out.column("href").to_pylist() == ["u", "v"]
