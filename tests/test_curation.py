@@ -559,3 +559,24 @@ def test_pagerank_distributed_tiny_graph(ray_session):
     got = dict(zip(out["host"], out["pr"]))
     exp_b = C.PR_BASE + (C.PR_DAMP_NUM * C.PR_BASE) // C.PR_DAMP_DEN
     assert got == {"a": C.PR_BASE, "b": exp_b}
+
+
+def test_pagerank_distributed_many_hosts(ray_session):
+    # 2000 hosts in a ring (h_i -> h_{i+1}) plus a hub absorbing from
+    # every 10th host: exercises the bucketed shapes with hosts >>
+    # HOST_BUCKETS and groups >> partitions; distributed must equal
+    # the driver solver exactly
+    import ray.data
+
+    n = 2000
+    src = [f"h{i}" for i in range(n)] + [f"h{i}" for i in range(0, n, 10)]
+    dst = [f"h{(i + 1) % n}" for i in range(n)] + ["hub"] * (n // 10)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    loc = C.pagerank(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+    dist = C.pagerank(
+        ray.data.from_arrow(t), num_partitions=4, local_threshold=0
+    ).to_pandas()
+    l = dict(zip(loc["host"], loc["pr"]))
+    d = dict(zip(dist["host"], dist["pr"]))
+    assert l == d and len(l) == n + 1
+    assert d["hub"] > C.PR_BASE
