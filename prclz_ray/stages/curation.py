@@ -981,7 +981,8 @@ def _pr_flow(pr_src: np.ndarray, w: np.ndarray, outw_src: np.ndarray) -> np.ndar
     return (PR_DAMP_NUM * pr_src * w) // (PR_DAMP_DEN * outw_src)
 
 
-def _pr_local(wedges: pa.Table, iters: int = PR_ITERS) -> pa.Table:
+def _pr_local(wedges: pa.Table, iters: int = PR_ITERS,
+              scale: int = PR_SCALE) -> pa.Table:
     """Driver-side PageRank over a small weighted edge table
     (src, dst, w): dictionary-encode hosts once, then per round one
     vectorized flow pass + one ``np.add.at`` scatter. Same output
@@ -998,12 +999,13 @@ def _pr_local(wedges: pa.Table, iters: int = PR_ITERS) -> pa.Table:
     outw = np.zeros(len(hosts), dtype=np.int64)
     np.add.at(outw, si, w)
     ow_safe = np.maximum(outw, 1)  # dangling hosts emit nothing anyway
-    pr = np.full(len(hosts), PR_SCALE, dtype=np.int64)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    pr = np.full(len(hosts), scale, dtype=np.int64)
     for _ in range(iters):
         flow = _pr_flow(pr[si], w, ow_safe[si])
         acc = np.zeros(len(hosts), dtype=np.int64)
         np.add.at(acc, di, flow)
-        pr = PR_BASE + acc
+        pr = base + acc
     return pa.table({"host": hosts, "pr": pa.array(pr, pa.int64())})
 
 
@@ -1044,7 +1046,8 @@ def edge_weight_combine(group: pa.Table) -> pa.Table:
 
 
 def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
-             local_threshold: int = LOCAL_PR_EDGES):
+             local_threshold: int = LOCAL_PR_EDGES,
+             scale: int = PR_SCALE):
     """Raw link Dataset (src, dst) → (host, pr) after ``iters``
     exact-integer PageRank rounds over the weighted host graph.
 
@@ -1063,6 +1066,11 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
       / A6 pattern): ≤ ``local_threshold`` weighted edges solves on
       the driver in numpy with the identical flow contract (pytest
       asserts equality of both paths).
+    - ``scale`` sets the per-host initial mass: size it so the most
+      concentrated host's mass × DAMP_NUM × max edge weight stays
+      inside int64 — skewed corpora (the web-scale norm) want a
+      smaller scale; the flow kernel raises OverflowError rather than
+      silently wrapping when it is too large.
 
     Reference analogue: engine-new surface (the reference has no link
     graph); the iterative join+groupby shape mirrors
@@ -1084,9 +1092,12 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             pa.table({"host": pa.array([], pa.string()),
                       "pr": pa.array([], pa.int64())})
         )
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
     if n_edges <= local_threshold:
         tabs = [t for t in ray.get(wedges.to_arrow_refs()) if t.num_rows]
-        return ray.data.from_arrow(_pr_local(pa.concat_tables(tabs), iters))
+        return ray.data.from_arrow(
+            _pr_local(pa.concat_tables(tabs), iters, scale)
+        )
 
     # distributed path hygiene: clamp partition counts to the actual
     # row counts and re-block every reduce output — aggregate outputs
@@ -1178,14 +1189,14 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
         return pa.table(
             {
                 "host": _combined(g.column("host")).take(pa.array(runs[:-1])),
-                "pr": _i64(PR_BASE + sums),
+                "pr": _i64(base + sums),
             }
         )
 
-    # round 0: every host at PR_SCALE
+    # round 0: every host at the initial mass
     pr = zeros.map_batches(
         lambda b: pa.table({"src": b.column("host"),
-                            "pr": pa.array(np.full(len(b), PR_SCALE,
+                            "pr": pa.array(np.full(len(b), scale,
                                                    dtype=np.int64), pa.int64())}),
         batch_format="pyarrow",
     ).materialize()

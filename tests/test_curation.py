@@ -580,3 +580,30 @@ def test_pagerank_distributed_many_hosts(ray_session):
     d = dict(zip(dist["host"], dist["pr"]))
     assert l == d and len(l) == n + 1
     assert d["hub"] > C.PR_BASE
+
+
+def test_pagerank_scale_parameter(ray_session):
+    # a smaller per-host mass must flow through both paths identically
+    # (the skewed-corpus knob: avoids the int64 overflow guard)
+    import ray.data
+
+    t = pa.table(
+        {"src": pa.array(["a", "b", "c"]), "dst": pa.array(["b", "c", "a"])}
+    )
+    sc = 10**6
+    base = (C.PR_DAMP_DEN - C.PR_DAMP_NUM) * sc // C.PR_DAMP_DEN
+    for thr in (C.LOCAL_PR_EDGES, 0):
+        out = C.pagerank(
+            ray.data.from_arrow(t), num_partitions=2,
+            local_threshold=thr, scale=sc,
+        ).to_pandas()
+        got = dict(zip(out["host"], out["pr"]))
+        # 3-cycle: every host has one in/out edge; pr converges toward
+        # base + 85% of the previous round's single in-flow
+        pr = {h: sc for h in "abc"}
+        for _ in range(C.PR_ITERS):
+            pr = {
+                h: base + (C.PR_DAMP_NUM * pr[p]) // C.PR_DAMP_DEN
+                for h, p in (("b", "a"), ("c", "b"), ("a", "c"))
+            }
+        assert got == pr, thr
