@@ -2918,6 +2918,100 @@ FROM l
 """
 
 
+def q_host_components(sf_dir: str):
+    """Site-network / mirror clustering: weakly-connected components of
+    the host link graph (the grouping crawl pipelines use to treat a
+    site family as one unit for caps and dedup). Hosts enter the
+    int64 CC machinery as their 62-bit hashes; names are restored by
+    ONE hash join against the distinct (hash, host) map — never a
+    driver-side host set. cluster_id = the component's minimum host
+    hash. Output: (host, cluster_id)."""
+    from .stages.curation import connected_components
+    from .stages.hashing import hash_strings62
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        dst = pc.binary_join_element_wise(
+            "src", pc.cast(pa.array((d * d + 3) % 20, pa.int64()), pa.string()), ""
+        )
+        t = pa.table({"src": b.column("source"), "dst": dst})
+        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        return pa.table(
+            {
+                "doc_a": pa.array(hash_strings62(t.column("src")), pa.int64()),
+                "doc_b": pa.array(hash_strings62(t.column("dst")), pa.int64()),
+            }
+        )
+
+    def host_ids(b: pa.Table) -> pa.Table:
+        hosts = pc.unique(_combined_arr(b.column("source")))
+        return pa.table(
+            {
+                "node": pa.array(hash_strings62(hosts), pa.int64()),
+                "host": hosts,
+            }
+        )
+
+    clusters = connected_components(
+        ds.map_batches(pairs, batch_format="pyarrow"), num_partitions=4
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b.column("doc_id"), "cluster_id": b.column("cluster_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    names = ds.map_batches(host_ids, batch_format="pyarrow").groupby("node").max(
+        "host"
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "host": b.column("max(host)")}
+        ),
+        batch_format="pyarrow",
+    )
+    return clusters.join(
+        names, join_type="inner", num_partitions=4, on=("node",)
+    ).map_batches(
+        lambda b: pa.table(
+            {"host": b.column("host"), "cluster_id": b.column("cluster_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _combined_arr(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _sql_host_components() -> str:
+    from .stages.hashing import sql_h62
+
+    h_src = sql_h62("src")
+    h_dst = sql_h62("dst")
+    h_host = sql_h62("source")
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT source AS src, {_SQL_PR_DST} AS dst
+  FROM documents
+  WHERE source <> {_SQL_PR_DST}
+),
+hp AS (SELECT DISTINCT {h_src} AS a, {h_dst} AS b FROM raw),
+edges AS (SELECT a, b FROM hp UNION ALL SELECT b, a FROM hp),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM walk w JOIN edges e ON e.b = w.node
+),
+cl AS (SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY 1),
+names AS (SELECT DISTINCT {h_host} AS node, source AS host FROM documents)
+SELECT n.host, c.cluster_id
+FROM cl c JOIN names n ON n.node = c.node
+"""
+
+
 def q_link_pagerank(sf_dir: str):
     """End-to-end crawl link pipeline: synthesized pages → href
     extraction → host projection (page's own host → target host) →
@@ -3964,6 +4058,7 @@ QUERIES: Dict[str, Callable] = {
     "embedding_pca": q_embedding_pca,
     "jsonl_ingest": q_jsonl_ingest,
     "jsonl_lenient": q_jsonl_lenient,
+    "host_components": q_host_components,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -4054,6 +4149,7 @@ ORACLES: Dict[str, str] = {
     "jsonl_ingest": SQL_JSONL_INGEST,
     "jsonl_lenient": SQL_JSONL_INGEST,  # same contract: only the
     # injected garbage lines disappear
+    "host_components": _sql_host_components(),
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),
