@@ -434,7 +434,7 @@ def centroid_combine(group: pa.Table) -> pa.Table:
 # PQ variant (scale path 3): product quantization + ADC scoring
 
 PQ_M = 16  # subspaces (64-dim embeddings → 4 dims each)
-PQ_K = 32  # codewords per subspace (5-bit codes; 16 uint8 bytes per
+PQ_K = 64  # codewords per subspace (6-bit codes; 16 uint8 bytes per
 # vector = 16× smaller than float32; measured recall@10 0.68 vs 0.42
 # at the coarser 8×16 setting on the fixture)
 
