@@ -473,3 +473,45 @@ def test_pagerank_local_matches_naive_reference(pairs):
         zip(out.column("host").to_pylist(), out.column("pr").to_pylist())
     )
     assert got == pr
+
+
+@given(st.lists(st.text(alphabet=" \tabcXYZ.", max_size=30), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_normalize_text_idempotent(texts):
+    # normalize(normalize(x)) == normalize(x): lowercase + whitespace
+    # collapse + trim is a projection
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norm(col):
+        collapsed = pc.replace_substring_regex(pc.utf8_lower(col), r"[ \t]+", " ")
+        return pc.utf8_trim(collapsed, " \t")
+
+    col = pa.array(texts, pa.string())
+    once = norm(col)
+    twice = norm(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+def test_surprisal_split_invariant(ray_session):
+    import ray
+
+    import pyarrow as pa
+
+    from prclz_ray.stages import curation as C
+    from prclz_ray.stages.hashing import hash_strings62
+
+    vh = hash_strings62(pa.array(["a", "b"]))
+    vr = np.array([1, 2], dtype=np.int64)
+    order = np.argsort(vh)
+    ref = ray.put((vh[order], vr[order]))
+    fn = C.make_surprisal_fn(ref, k=2)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b", "b z", "z z z", "a"]),
+        }
+    )
+    whole = fn(t)
+    parts = pa.concat_tables([fn(t.slice(0, 1)), fn(t.slice(1, 2)), fn(t.slice(3, 1))])
+    assert whole.to_pylist() == parts.to_pylist()
