@@ -2778,7 +2778,8 @@ def q_host_pagerank(sf_dir: str):
         t = pa.table({"src": b.column("source"), "dst": dst})
         return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
 
-    return pagerank(ds.map_batches(links, batch_format="pyarrow"))
+    from .stages.curation import PR_SCALE as _PIN
+    return pagerank(ds.map_batches(links, batch_format="pyarrow"), scale=_PIN)
 
 
 def _sql_pagerank_over(links_ctes: str) -> str:
@@ -3033,7 +3034,8 @@ def q_link_pagerank(sf_dir: str):
         t = pa.table({"src": lk.column("source"), "dst": dst})
         return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
 
-    return pagerank(ds.map_batches(links, batch_format="pyarrow"))
+    from .stages.curation import PR_SCALE as _PIN
+    return pagerank(ds.map_batches(links, batch_format="pyarrow"), scale=_PIN)
 
 
 def _sql_link_pagerank() -> str:

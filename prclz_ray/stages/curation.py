@@ -981,6 +981,16 @@ def _pr_flow(pr_src: np.ndarray, w: np.ndarray, outw_src: np.ndarray) -> np.ndar
     return (PR_DAMP_NUM * pr_src * w) // (PR_DAMP_DEN * outw_src)
 
 
+def _pr_auto_scale(n_hosts: int, w_max: int) -> int:
+    """Safe per-host initial mass for a given corpus: even if every
+    round concentrated ALL mass on one host, the flow product
+    DAMP_NUM · pr · w stays inside int64. Worst-case pr ≤ total mass
+    = n_hosts · scale, so scale ≤ 2^62 / (DAMP_NUM · n_hosts · w_max).
+    Floored at 10^6 so ranks keep 6 integer digits of resolution."""
+    cap = (2**62) // (PR_DAMP_NUM * max(1, n_hosts) * max(1, w_max))
+    return max(10**6, min(PR_SCALE, cap))
+
+
 def _pr_local(wedges: pa.Table, iters: int = PR_ITERS,
               scale: int = PR_SCALE) -> pa.Table:
     """Driver-side PageRank over a small weighted edge table
@@ -1047,7 +1057,7 @@ def edge_weight_combine(group: pa.Table) -> pa.Table:
 
 def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
              local_threshold: int = LOCAL_PR_EDGES,
-             scale: int = PR_SCALE):
+             scale="auto"):
     """Raw link Dataset (src, dst) → (host, pr) after ``iters``
     exact-integer PageRank rounds over the weighted host graph.
 
@@ -1066,11 +1076,13 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
       / A6 pattern): ≤ ``local_threshold`` weighted edges solves on
       the driver in numpy with the identical flow contract (pytest
       asserts equality of both paths).
-    - ``scale`` sets the per-host initial mass: size it so the most
-      concentrated host's mass × DAMP_NUM × max edge weight stays
-      inside int64 — skewed corpora (the web-scale norm) want a
-      smaller scale; the flow kernel raises OverflowError rather than
-      silently wrapping when it is too large.
+    - ``scale`` sets the per-host initial mass. The default "auto"
+      derives it from (host count, max edge weight) via _pr_auto_scale
+      so even a fully-concentrated skewed corpus (the web-scale norm)
+      stays inside int64; pass an int to pin it (the host_pagerank
+      oracle pins PR_SCALE — the fixture is small enough). The flow
+      kernel still raises OverflowError rather than silently wrapping
+      if a pinned scale is too large.
 
     Reference analogue: engine-new surface (the reference has no link
     graph); the iterative join+groupby shape mirrors
@@ -1092,6 +1104,12 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             pa.table({"host": pa.array([], pa.string()),
                       "pr": pa.array([], pa.int64())})
         )
+    if scale == "auto":
+        # both stats are one tiny aggregate over the materialized
+        # weighted-edge table (hosts bounded by 2 × edges)
+        w_max = wedges.max("w")
+        n_hosts_bound = 2 * n_edges
+        scale = _pr_auto_scale(n_hosts_bound, int(w_max))
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
     if n_edges <= local_threshold:
         tabs = [t for t in ray.get(wedges.to_arrow_refs()) if t.num_rows]

@@ -607,3 +607,24 @@ def test_pagerank_scale_parameter(ray_session):
                 for h, p in (("b", "a"), ("c", "b"), ("a", "c"))
             }
         assert got == pr, thr
+
+
+def test_pagerank_auto_scale_skewed_graph(ray_session):
+    # a mass-concentrating graph (many sources, few receivers) raised
+    # OverflowError at the pinned PR_SCALE; scale="auto" derives a
+    # safe mass and both paths agree
+    import ray.data
+
+    src = [f"s{i}" for i in range(400)]
+    dst = ["hub"] * 400  # all mass funnels into one host
+    t = pa.table({"src": pa.array(src * 3), "dst": pa.array(dst * 3)})
+    loc = C.pagerank(ray.data.from_arrow(t)).to_pandas()
+    dist = C.pagerank(
+        ray.data.from_arrow(t), local_threshold=0, num_partitions=4
+    ).to_pandas()
+    l = dict(zip(loc.host, loc.pr))
+    d = dict(zip(dist.host, dist.pr))
+    assert l == d and len(l) == 401
+    assert l["hub"] > l["s0"]
+    # auto never exceeds the documented default
+    assert max(l.values()) * C.PR_DAMP_NUM * 3 < 2**63
