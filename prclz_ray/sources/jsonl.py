@@ -48,16 +48,48 @@ def parse_lines(lines: list[bytes]):
 
 def make_jsonl_parse_fn(errors_dir: str | None = None,
                         columns: list[str] | None = None,
-                        schema: pa.Schema | None = None):
+                        schema: pa.Schema | None = None,
+                        required: list[str] | None = None):
     """map_batches stage over ``ray.data.read_text`` output: parse each
     batch's lines leniently; malformed lines go to ``errors_dir`` as
     (line, reason) parquet — content-hash-named, so task retries
     rewrite the same file (idempotent DLQ) — or are dropped with the
-    count recorded in the file when no dir is given."""
+    count recorded in the file when no dir is given.
+
+    ``required``: schema-contract mode — a line that parses as valid
+    JSON but is missing any of these keys (absent column OR null
+    value: promotion turns absent keys into nulls) is ALSO routed to
+    the DLQ with reason 'missing required key', not silently kept as
+    a null-padded row."""
 
     def parse(batch: pa.Table) -> pa.Table:
         lines = [t.encode() for t in batch.column("text").to_pylist()]
         t, bad = parse_lines(lines)
+        bad = [(i, "invalid json") for i in bad]
+        if t is not None and required is not None and t.num_rows:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            viol = np.zeros(t.num_rows, dtype=bool)
+            for c in required:
+                if c in t.column_names:
+                    viol |= pc.is_null(t.column(c)).to_numpy(
+                        zero_copy_only=False
+                    )
+                else:
+                    viol[:] = True
+            if viol.any():
+                # map violating parsed rows back to their source lines:
+                # parsed row order == good-line order
+                good_idx = [
+                    i for i in range(len(lines))
+                    if i not in {b for b, _ in bad}
+                ]
+                bad += [
+                    (good_idx[r], "missing required key")
+                    for r in np.flatnonzero(viol)
+                ]
+                t = t.filter(pa.array(~viol))
         if bad and errors_dir is not None:
             import hashlib
             import os
@@ -67,12 +99,12 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
             side = pa.table(
                 {
                     "line": pa.array(
-                        [lines[i].decode("utf-8", "replace") for i in bad]
+                        [lines[i].decode("utf-8", "replace") for i, _ in bad]
                     ),
-                    "reason": pa.array(["invalid json"] * len(bad)),
+                    "reason": pa.array([r for _, r in bad]),
                 }
             )
-            tag = hashlib.md5(b"\n".join(lines[i] for i in bad)).hexdigest()[:16]
+            tag = hashlib.md5(b"\n".join(lines[i] for i, _ in bad)).hexdigest()[:16]
             os.makedirs(errors_dir, exist_ok=True)
             tmp = os.path.join(errors_dir, f".jsonl-errors-{tag}.tmp")
             pq.write_table(side, tmp)

@@ -1330,3 +1330,40 @@ def test_jsonl_parse_fn_dead_letter(tmp_path):
     # all-bad batch yields the TYPED empty table
     empty = fn(pa.table({"text": pa.array(["x", "y"])}))
     assert empty.schema == schema and empty.num_rows == 0
+
+
+def test_jsonl_required_keys_contract(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_ray.sources.jsonl import make_jsonl_parse_fn
+
+    errors_dir = str(tmp_path / "dlq2")
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    fn = make_jsonl_parse_fn(
+        errors_dir=errors_dir, columns=["a", "b"], schema=schema,
+        required=["a", "b"],
+    )
+    batch = pa.table(
+        {
+            "text": pa.array(
+                [
+                    '{"a": 1, "b": "x"}',
+                    '{"a": 2}',             # missing key b -> DLQ
+                    "not json",             # invalid -> DLQ
+                    '{"a": null, "b": "y"}',  # null required -> DLQ
+                    '{"a": 3, "b": "z"}',
+                ]
+            )
+        }
+    )
+    out = fn(batch)
+    assert out.column("a").to_pylist() == [1, 3]
+    files = [f for f in os.listdir(errors_dir) if f.endswith(".parquet")]
+    side = pq.read_table(os.path.join(errors_dir, files[0]))
+    reasons = sorted(side.column("reason").to_pylist())
+    assert reasons == [
+        "invalid json", "missing required key", "missing required key"
+    ]
