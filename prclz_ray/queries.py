@@ -2828,7 +2828,7 @@ def _sql_host_pagerank() -> str:
 _SQL_LINK_HTML = """h AS (
   SELECT doc_id, source,
     '<html><body><p>t</p>'
-    || '<a href="https://src' || CAST((doc_id*3+1)%20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || '">a' || CAST(doc_id % 13 AS VARCHAR) || '</a>'
+    || '<a href="https://src' || CAST((doc_id*3+1)%20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || '">a' || CASE WHEN doc_id % 5 = 0 THEN '<b>' || CAST(doc_id % 13 AS VARCHAR) || '</b>' ELSE CAST(doc_id % 13 AS VARCHAR) END || '</a>'
     || CASE WHEN doc_id % 2 = 0 THEN '<a href="https://src' || CAST((doc_id*5+2)%20 AS VARCHAR) || '.example/q">b' || CAST(doc_id % 11 AS VARCHAR) || '</a>' ELSE '' END
     || '</body></html>' AS html
   FROM documents
@@ -2843,8 +2843,13 @@ def _link_html_batch(b: pa.Table) -> pa.Table:
     ds_ = pc.cast(b.column("doc_id"), pa.string())
     m13 = pc.cast(pa.array(d % 13, pa.int64()), pa.string())
     m11 = pc.cast(pa.array(d % 11, pa.int64()), pa.string())
+    m13_part = pc.if_else(
+        pc.equal(pa.array(d % 5, pa.int64()), 0),
+        pc.binary_join_element_wise("<b>", m13, "</b>", ""),
+        m13,
+    )
     link1 = pc.binary_join_element_wise(
-        '<a href="https://src', a1, ".example/p/", ds_, '">a', m13, "</a>", ""
+        '<a href="https://src', a1, ".example/p/", ds_, '">a', m13_part, "</a>", ""
     )
     link2 = pc.if_else(
         pc.equal(pa.array(d % 2, pa.int64()), 0),
@@ -3010,6 +3015,39 @@ cl AS (SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM walk GROUP BY 1)
 names AS (SELECT DISTINCT {h_host} AS node, source AS host FROM documents)
 SELECT n.host, c.cluster_id
 FROM cl c JOIN names n ON n.node = c.node
+"""
+
+
+def q_anchor_texts_rich(sf_dir: str):
+    """Markup-tolerant anchor extraction: anchors captured non-greedily
+    up to ``</a>`` then inner tags stripped — ``a<b>3</b>`` yields
+    ``a3`` where the plain mode truncates at the first ``<``. Requires
+    well-formed (closed) anchors, like the oracle's ``(.*?)</a>``
+    group. Output: (doc_id, link_idx, href, anchor)."""
+    from .stages.pages import extract_links
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return ds.map_batches(_link_html_batch, batch_format="pyarrow").map_batches(
+        lambda b: extract_links(b, with_anchors=True, anchor_markup=True),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANCHOR_TEXTS_RICH = f"""
+WITH {_SQL_LINK_HTML},
+l AS (SELECT doc_id,
+        regexp_extract_all(html, 'href="([^"]*)"', 1) AS hs,
+        list_transform(
+          regexp_extract_all(html, 'href="[^"]*"[^>]*>(.*?)</a>', 1),
+          s -> regexp_replace(s, '<[^>]*>', '', 'g')) AS ans
+      FROM h)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(hs) - 1)) AS BIGINT) AS link_idx,
+       unnest(hs) AS href,
+       unnest(ans) AS anchor
+FROM l
 """
 
 
@@ -4061,6 +4099,7 @@ QUERIES: Dict[str, Callable] = {
     "jsonl_ingest": q_jsonl_ingest,
     "jsonl_lenient": q_jsonl_lenient,
     "host_components": q_host_components,
+    "anchor_texts_rich": q_anchor_texts_rich,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -4152,6 +4191,7 @@ ORACLES: Dict[str, str] = {
     "jsonl_lenient": SQL_JSONL_INGEST,  # same contract: only the
     # injected garbage lines disappear
     "host_components": _sql_host_components(),
+    "anchor_texts_rich": SQL_ANCHOR_TEXTS_RICH,
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

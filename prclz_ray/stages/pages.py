@@ -218,7 +218,8 @@ def pages_dataset(input_dir: str, batch_size: int = 8192, errors_dir: str | None
 
 def extract_links(batch: pa.Table, col: str = "html",
                   keep_cols: tuple = ("doc_id",),
-                  with_anchors: bool = False) -> pa.Table:
+                  with_anchors: bool = False,
+                  anchor_markup: bool = False) -> pa.Table:
     """Vectorized multi-match ``href="..."`` extraction — the crawl-side
     producer of the link table ``stages.curation.pagerank`` consumes
     (and the outlink half of any frontier/anchor-text pipeline).
@@ -260,11 +261,25 @@ def extract_links(batch: pa.Table, col: str = "html",
     cols["link_idx"] = pa.array(local[keep] - 1, pa.int64())
     cols["href"] = href.cast(pa.string())
     if with_anchors:
-        # anchor text = the [^<]* run after the tag's closing '>' —
-        # one vectorized RE2 pass per fragment, the same regex shape
-        # as the oracle's href="[^"]*"[^>]*>([^<]*). A fragment whose
-        # tag never closes (no '>') yields anchor '' (fill_null), the
-        # documented malformed-tag contract.
-        m = pc.extract_regex(flat_k, r'^[^"]*"[^>]*>(?P<a>[^<]*)')
-        cols["anchor"] = pc.fill_null(pc.struct_field(m, "a"), "").cast(pa.string())
+        if anchor_markup:
+            # markup-tolerant: capture non-greedily up to </a>, then
+            # strip inner tags — anchors like 'x<b>y</b>' yield 'xy'.
+            # Contract: links must close with </a> (the plain mode
+            # below tolerates unclosed tags; this one requires the
+            # terminator, like the oracle's (.*?)</a> group).
+            m = pc.extract_regex(flat_k, r'^[^"]*"[^>]*>(?P<a>.*?)</a>')
+            a = pc.replace_substring_regex(
+                pc.fill_null(pc.struct_field(m, "a"), ""), r"<[^>]*>", ""
+            )
+            cols["anchor"] = a.cast(pa.string())
+        else:
+            # anchor text = the [^<]* run after the tag's closing '>'
+            # — one vectorized RE2 pass per fragment, the same regex
+            # shape as the oracle's href="[^"]*"[^>]*>([^<]*). A
+            # fragment whose tag never closes (no '>') yields anchor
+            # '' (fill_null), the documented malformed-tag contract.
+            m = pc.extract_regex(flat_k, r'^[^"]*"[^>]*>(?P<a>[^<]*)')
+            cols["anchor"] = pc.fill_null(
+                pc.struct_field(m, "a"), ""
+            ).cast(pa.string())
     return pa.table(cols)

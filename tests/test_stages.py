@@ -1367,3 +1367,16 @@ def test_jsonl_required_keys_contract(tmp_path):
     assert reasons == [
         "invalid json", "missing required key", "missing required key"
     ]
+
+
+def test_extract_links_anchor_markup_mode():
+    import pyarrow as pa
+
+    from prclz_ray.stages.pages import extract_links
+
+    html = ['<a href="u">x<b>bold</b> tail</a> <a href="v">plain</a>']
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "html": pa.array(html)})
+    rich = extract_links(t, with_anchors=True, anchor_markup=True)
+    assert rich.column("anchor").to_pylist() == ["xbold tail", "plain"]
+    plain = extract_links(t, with_anchors=True)
+    assert plain.column("anchor").to_pylist() == ["x", "plain"]
