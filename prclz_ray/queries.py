@@ -1948,6 +1948,56 @@ GROUP BY 1, 2
 """
 
 
+def q_events_late(sf_dir: str):
+    """Watermark late-event detection — the streaming-robustness
+    semantic beside the window family: the high-water mark is a
+    RUNNING MAX over arrival order, computed as a distributed prefix
+    scan with the MAX monoid (per-bucket maxima → driver running max
+    of ≤256 bucket values → seeded vectorized in-bucket finish) — the
+    `stages/packing.py` scan shape, non-sum. Arrival order is a
+    deterministic scramble of the sorted corpus (see
+    late_bucket_rows). Emits only the late rows with their watermark.
+    Output: (event_id, ts, wm_us)."""
+    from .stages.events import (
+        WATERMARK_US,
+        bucket_max_ts,
+        late_bucket_rows,
+        make_late_finish,
+    )
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    rows = ds.map_batches(late_bucket_rows, batch_format="pyarrow")
+    # two passes over the (2-column, read-pruned) rows: the bucket-max
+    # reduce and the grouped finish — recomputing the trivial lineage
+    # beats materializing the whole stream at 100 TB
+    prior = bucket_max_ts(rows)
+    return (
+        rows.repartition(8)
+        .groupby("lb")
+        .map_groups(make_late_finish(prior, WATERMARK_US), batch_format="pyarrow")
+    )
+
+
+def _sql_events_late() -> str:
+    from .stages.events import WATERMARK_US
+
+    return f"""
+WITH a AS (
+  SELECT event_id, ts, (event_id * 2654435761) % 2147483648 AS ak
+  FROM events
+),
+o AS (
+  SELECT event_id, ts,
+         MAX(ts) OVER (ORDER BY ak, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+  FROM a
+)
+SELECT event_id, ts, CAST(epoch_us(wm) AS BIGINT) AS wm_us
+FROM o
+WHERE CAST(epoch_us(wm) AS BIGINT) - CAST(epoch_us(ts) AS BIGINT) > {WATERMARK_US}
+"""
+
+
 def q_events_asof(sf_dir: str):
     """AS-OF JOIN (attribution): each purchase matched to the user's
     latest click with ts ≤ purchase ts — the temporal join Ray Data has
@@ -4100,6 +4150,7 @@ QUERIES: Dict[str, Callable] = {
     "jsonl_lenient": q_jsonl_lenient,
     "host_components": q_host_components,
     "anchor_texts_rich": q_anchor_texts_rich,
+    "events_late": q_events_late,
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
@@ -4192,6 +4243,7 @@ ORACLES: Dict[str, str] = {
     # injected garbage lines disappear
     "host_components": _sql_host_components(),
     "anchor_texts_rich": SQL_ANCHOR_TEXTS_RICH,
+    "events_late": _sql_events_late(),
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),

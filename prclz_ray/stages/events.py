@@ -210,3 +210,88 @@ def range_join_group(
             "n_right": pa.array(hi - lo, pa.int64()),
         }
     )
+
+
+# --- watermark late-event detection (running-max prefix scan) -------------
+
+WATERMARK_US = 5 * 60 * 1_000_000  # 5-min allowed lateness
+LATE_BUCKETS = 256  # arrival-order range buckets for the max-scan
+
+
+def late_bucket_rows(batch: pa.Table) -> pa.Table:
+    """Attach the synthetic arrival order and its range bucket. The
+    corpus ts column is SORTED by event_id (a perfectly ordered
+    stream has zero late events — vacuous), so arrival is
+    deterministically scrambled: ``ak = (event_id·2654435761) mod 2³¹``
+    — identical arithmetic in the oracle; a real stream would use the
+    ingestion sequence number. ``lb = ak >> 23`` gives LATE_BUCKETS
+    contiguous arrival ranges."""
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    ak = (eid * 2654435761) % 2**31
+    return batch.append_column(
+        "ak", pa.array(ak.astype(np.int64), pa.int64())
+    ).append_column("lb", pa.array((ak >> 23).astype(np.int64), pa.int64()))
+
+
+def bucket_max_ts(rows) -> np.ndarray:
+    """Exclusive running max of per-bucket ts maxima — the scan-shape
+    reduce of `packing.bucket_bases` with the MAX monoid instead of
+    SUM: one bounded groupby, ≤ LATE_BUCKETS rows on the driver.
+    prior[b] = max ts of all buckets < b (INT64_MIN for bucket 0)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lb": batch.column("lb"),
+                "m": batch.column("ts").cast(pa.int64()),
+            }
+        )
+        return (
+            t.group_by("lb").aggregate([("m", "max")]).rename_columns(["lb", "m"])
+        )
+
+    totals = (
+        rows.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("lb")
+        .max("m")
+        .to_pandas()
+    )
+    maxes = np.full(LATE_BUCKETS, np.iinfo(np.int64).min, dtype=np.int64)
+    maxes[totals["lb"].to_numpy()] = totals["max(m)"].to_numpy()
+    run = np.maximum.accumulate(maxes)
+    return np.concatenate([[np.iinfo(np.int64).min], run[:-1]])
+
+
+def make_late_finish(prior: np.ndarray, watermark_us: int = WATERMARK_US):
+    """One arrival bucket: sort by event_id, seed the running ts max
+    with the prior buckets' max, flag events older than watermark
+    behind the high-water mark. Emits ONLY the late rows."""
+
+    def finish(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "wm_us": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group.sort_by([("ak", "ascending"), ("event_id", "ascending")])
+        t = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = int(g.column("lb")[0].as_py())
+        wm = np.maximum(np.maximum.accumulate(t), prior[b])
+        late = (wm - t) > watermark_us
+        if not late.any():
+            return empty
+        sel = pa.array(late)
+        return pa.table(
+            {
+                "event_id": g.column("event_id").filter(sel),
+                "ts": g.column("ts").filter(sel),
+                "wm_us": pa.array(wm[late], pa.int64()),
+            }
+        )
+
+    return finish

@@ -1380,3 +1380,28 @@ def test_extract_links_anchor_markup_mode():
     assert rich.column("anchor").to_pylist() == ["xbold tail", "plain"]
     plain = extract_links(t, with_anchors=True)
     assert plain.column("anchor").to_pylist() == ["x", "plain"]
+
+
+def test_events_late_scan_seeding():
+    # the in-bucket finish must seed from PRIOR buckets' max: an event
+    # in a later arrival bucket whose ts is older than an earlier
+    # bucket's max must be flagged even if its own bucket is ordered
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.events import make_late_finish
+
+    prior = np.full(256, np.iinfo(np.int64).min, dtype=np.int64)
+    prior[3] = 10_000_000_000  # buckets <3 already saw ts=10000s
+    grp = pa.table(
+        {
+            "event_id": pa.array([7, 8], pa.int64()),
+            "ts": pa.array([1_000_000_000, 9_000_000_000], pa.timestamp("us")),
+            "ak": pa.array([100, 200], pa.int64()),
+            "lb": pa.array([3, 3], pa.int64()),
+        }
+    )
+    out = make_late_finish(prior, watermark_us=300_000_000)(grp)
+    # both events are behind the seeded watermark by > 5 min
+    assert out.column("event_id").to_pylist() == [7, 8]
+    assert out.column("wm_us").to_pylist() == [10_000_000_000, 10_000_000_000]
