@@ -2749,8 +2749,14 @@ def q_normalize_text(sf_dir: str):
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def norm(b: pa.Table) -> pa.Table:
+        from .stages.hashing import ensure_ascii
+
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
         text = pc.fill_null(b.column("text"), "").cast(pa.string())
+        # n_removed compares utf8_length (codepoints) against the
+        # oracle's strlen (bytes) — identical only under ASCII, so
+        # enforce the repo-wide ASCII contract rather than diverge.
+        ensure_ascii(text, "normalize_text")
         m3 = pa.array(d % 3, pa.int64())
         messy = pc.if_else(
             pc.equal(m3, 0),
@@ -3337,25 +3343,13 @@ def q_seq_pack(sf_dir: str):
     sums reduce in one bounded groupby, the driver cumsums only the
     PACK_BUCKETS bucket totals, and each bucket finishes vectorized.
     Output: (seq_id, doc_id, tok_in_seq)."""
-    import ray
-
     from .stages.packing import pack_dataset, token_count_rows
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     tok = ds.map_batches(
         token_count_rows, batch_format="pyarrow"
     ).materialize()  # (doc_id, nt) — 16 B/row scan state, corpus read ONCE
-    if tok.count() == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "seq_id": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tok_in_seq": pa.array([], pa.int64()),
-                }
-            )
-        )
-    return pack_dataset(tok)
+    return pack_dataset(tok)  # empty-corpus guard lives in pack_dataset
 
 
 def _sql_seq_pack() -> str:

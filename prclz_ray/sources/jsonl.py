@@ -115,7 +115,19 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
             # CLAUDE.md empty-partition hazard)
             if schema is not None:
                 return schema.empty_table()
-            return pa.table({})
+            if columns is not None:
+                # no dtypes known: string is the JSONL-safe default —
+                # promote_options="default" upcasts it downstream when
+                # other batches carry typed values
+                return pa.schema(
+                    [(c, pa.string()) for c in columns]
+                ).empty_table()
+            raise ValueError(
+                "jsonl_lenient: a batch yielded no parseable rows and "
+                "neither schema= nor columns= was given — a zero-column "
+                "block would poison downstream unions/joins; pass the "
+                "expected schema (or columns) for lenient mode"
+            )
         return t.select(columns) if columns is not None else t
 
     return parse

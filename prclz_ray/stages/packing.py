@@ -109,12 +109,27 @@ def compact_for_bucket_groupby(ds, scan_source, cap: int = 64, to: int = 16):
 
 
 def pack_dataset(tok):
-    """Materialized non-empty (doc_id, nt) scan table → pack-manifest
-    Dataset (seq_id, doc_id, tok_in_seq) — THE packing composition
-    (range-bucket width, bases broadcast, small-scale repartition
-    guard) shared by q_seq_pack / q_train_pack / run_train_prep so its
-    invariants live in one place."""
+    """Materialized (doc_id, nt) scan table → pack-manifest Dataset
+    (seq_id, doc_id, tok_in_seq) — THE packing composition
+    (empty-corpus guard, range-bucket width, bases broadcast,
+    small-scale repartition guard) shared by q_seq_pack /
+    q_train_pack / run_train_prep so its invariants live in one
+    place."""
+    import pyarrow as pa
     import ray
+
+    if tok.count() == 0:
+        # Empty corpus (e.g. curation filtered every document):
+        # tok.max() would return None. Emit a typed empty manifest.
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok_in_seq": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     width = tok.max("doc_id") // PACK_BUCKETS + 1
     keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")

@@ -483,7 +483,8 @@ def make_pq_topk_fn(queries_ref, books: np.ndarray, k: int = 10):
     precomputes a (m, k) lookup table of subspace dot products ONCE
     per worker; a batch's score against a query is the LUT sum over
     its codes — no float embedding ever touches the scorer's inner
-    loop (the 100 TB shape: the corpus is its 8-byte codes)."""
+    loop (the 100 TB shape: the corpus is its PQ_M-byte codes —
+    16 bytes at PQ_M=16/PQ_K=64)."""
     cache: dict = {}
 
     def topk(batch: pa.Table) -> pa.Table:

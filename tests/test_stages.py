@@ -1093,7 +1093,7 @@ def test_delta_new_rows_drops_snapshot_matches():
 
 
 def test_ann_pq_recall_vs_bruteforce(ray_session):
-    """PQ-ADC top-10 must recover most of the exact top-10 (the 5-bit
+    """PQ-ADC top-10 must recover most of the exact top-10 (the 6-bit
     16-subspace code is lossy but the fixture's label clusters are far
     apart)."""
     from prclz_ray.queries import QUERIES
