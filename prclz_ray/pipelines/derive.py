@@ -550,15 +550,44 @@ def _cached(name: str, build):
     return path
 
 
+def _cached_ds(name: str, build_ds):
+    """Build a derived table once per machine by STREAMING the Dataset
+    to a parquet cache DIRECTORY — never an `iter_batches` concat onto
+    the driver (at 100× polygon scale the side table outgrows the
+    driver heap; workers write their own blocks in parallel). Publish
+    is an atomic directory rename, so a concurrent builder either wins
+    the rename or discards its equivalent copy."""
+    import shutil
+    import tempfile
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"{name}.parquet")
+    if not os.path.exists(path):
+        ds = build_ds()
+        tmp = tempfile.mkdtemp(prefix=f"{name}.", dir=CACHE_DIR)
+        # ~50k rows/file (the measured per-task sweet spot, BASELINE.md):
+        # avoids a dust cloud of per-group files that would hand every
+        # reader hundreds of near-empty blocks
+        ds.write_parquet(tmp, min_rows_per_file=50_000)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the publish race: the winner's directory holds the
+            # same deterministic table — drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def blocks_path() -> str:
     def build():
         import ray.data
 
         streets = ray.data.from_arrow(streets_table())
-        ds = streets.groupby("gadm").map_groups(extract_blocks_group, batch_format="pyarrow")
-        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+        return streets.groupby("gadm").map_groups(
+            extract_blocks_group, batch_format="pyarrow"
+        )
 
-    return _cached("blocks", build)
+    return _cached_ds("blocks", build)
 
 
 def blocks_diagonal_path() -> str:
@@ -566,31 +595,26 @@ def blocks_diagonal_path() -> str:
         import ray.data
 
         streets = ray.data.from_arrow(diagonal_streets_table())
-        ds = streets.groupby("gadm").map_groups(extract_blocks_group, batch_format="pyarrow")
-        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
+        return streets.groupby("gadm").map_groups(
+            extract_blocks_group, batch_format="pyarrow"
+        )
 
-    return _cached("blocks_diagonal", build)
+    return _cached_ds("blocks_diagonal", build)
 
 
 def parcels_path() -> str:
     def build():
-        import ray.data
-
-        ds = _read_parquet_clean(blocks_path()).map_batches(
+        return _read_parquet_clean(blocks_path()).map_batches(
             parcelize_batch, batch_format="pyarrow"
         )
-        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
 
-    return _cached("parcels", build)
+    return _cached_ds("parcels", build)
 
 
 def buildings_path() -> str:
     def build():
-        import ray.data
-
-        ds = _read_parquet_clean(blocks_path()).map_batches(
+        return _read_parquet_clean(blocks_path()).map_batches(
             buildings_batch, batch_format="pyarrow"
         )
-        return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=4096)))
 
-    return _cached("buildings", build)
+    return _cached_ds("buildings", build)

@@ -2455,14 +2455,11 @@ def _complexity_path() -> str:
     `.block.cache` checkpoint files, `single_file_complexity.py:28-46`,
     as one partitioned cache): built once per machine by the REAL
     pipeline (q_block_complexity), then read."""
-    from .pipelines.derive import _cached
+    from .pipelines.derive import _cached_ds
 
-    def build():
-        return pa.table(
-            q_block_complexity("unused").to_pandas().sort_values("block_id")
-        )
-
-    return _cached("complexity", build)
+    # streamed to the cache dir by the workers that computed it — the
+    # k table is block-count-sized and must never concat onto the driver
+    return _cached_ds("complexity", lambda: q_block_complexity("unused"))
 
 
 def q_complexity_hist(sf_dir: str):
@@ -2476,7 +2473,14 @@ def q_complexity_hist(sf_dir: str):
         t = pa.table({"k": batch.column("k")})
         return t.group_by("k").aggregate([([], "count_all")]).rename_columns(["k", "n"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("k").sum("n")
+    # repartition ≤ distinct-k count before the groupby: empty aggregate
+    # partitions emit schema-less blocks (CLAUDE.md invariant)
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("k")
+        .sum("n")
+    )
     return agg.map_batches(
         lambda b: pa.table({"k": b.column("k"), "n_blocks": b.column("sum(n)")}),
         batch_format="pyarrow",
