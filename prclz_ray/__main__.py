@@ -57,7 +57,18 @@ def main(argv=None) -> int:
                    help="solve only the first N blocks (the reference's block_list)")
     r.add_argument("--num-cpus", type=int, default=None)
 
-    sub.add_parser("list", help="list query names")
+    cp = sub.add_parser(
+        "compose",
+        help="chain registered document stages (prclz_ray.registry.DOC_STAGES) over documents.parquet",
+    )
+    cp.add_argument("--input", required=True, help="dir containing documents.parquet")
+    cp.add_argument("--stages", required=True,
+                    help="comma-separated registered stage names, applied in order")
+    cp.add_argument("--output", default=None,
+                    help="output parquet dir (omit to print row count + head)")
+    cp.add_argument("--num-cpus", type=int, default=None)
+
+    sub.add_parser("list", help="list query names (and registered stages)")
 
     args = ap.parse_args(argv)
 
@@ -66,6 +77,9 @@ def main(argv=None) -> int:
     if args.cmd == "list":
         for name in QUERIES:
             print(name)
+        from .registry import DOC_STAGES
+
+        print("-- stages (compose):", ",".join(DOC_STAGES.names()))
         return 0
 
     import ray
@@ -101,6 +115,19 @@ def main(argv=None) -> int:
             from .pipelines.reblock import run_reblock
 
             print(json.dumps(run_reblock(args.output, limit_blocks=args.block_limit)))
+        elif args.cmd == "compose":
+            from .io import read_parquet_clean
+            from .registry import compose_stages
+
+            ds = read_parquet_clean(f"{args.input}/documents.parquet")
+            out = compose_stages(ds, args.stages.split(","))
+            if args.output:
+                out.write_parquet(args.output, min_rows_per_file=50_000)
+                print(json.dumps({"stages": args.stages, "output": args.output}))
+            else:
+                df = out.to_pandas()
+                print(f"{len(df)} rows")
+                print(df.head(5).to_string())
         elif args.cmd == "query":
             import pandas as pd
 

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import world
+from ..registry import Registry
 from ..geom.cells import RES_PARTITION, cell_id_e6
 from ..geom.boolean import inset_polygon
 from ..geom.core import polygon_centroid
@@ -321,12 +322,22 @@ def periphery_filter(blocks: pa.Table, boundary_ring: np.ndarray) -> pa.Table:
 
 
 # the reference's BlockExtractionMethod plugin registry
-# (`prclz/blocks/methods.py:11-14,109`)
-EXTRACTION_METHODS = {
-    "face_trace": extract_blocks_group,          # M7 polygonize analogue
-    "buffered_difference": extract_blocks_buffered_group,  # M6 default analogue
-}
+# (`prclz/blocks/methods.py:11-14,109`) — a formal Registry: users add
+# their own method under a name and run the SAME pipeline through
+# extract_blocks(extraction_method=...) (tests/test_registry.py does).
+EXTRACTION_METHODS = Registry("extraction method")
+EXTRACTION_METHODS.register("face_trace", extract_blocks_group)  # M7 polygonize analogue
+EXTRACTION_METHODS.register("buffered_difference", extract_blocks_buffered_group)  # M6 default analogue
 DEFAULT_EXTRACTION_METHOD = "face_trace"
+
+
+def extract_blocks(streets_ds, extraction_method: str = DEFAULT_EXTRACTION_METHOD):
+    """Street segments → block polygons, pluggable method — the
+    reference's ``extract_blocks(..., extraction_method=...)`` surface
+    (`prclz/blocks/extraction.py:30-36`): ONE pipeline shape (group
+    per admin cell, method per group), the method a registry name."""
+    fn = EXTRACTION_METHODS[extraction_method]
+    return streets_ds.groupby("gadm").map_groups(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -582,10 +593,7 @@ def blocks_path() -> str:
     def build():
         import ray.data
 
-        streets = ray.data.from_arrow(streets_table())
-        return streets.groupby("gadm").map_groups(
-            extract_blocks_group, batch_format="pyarrow"
-        )
+        return extract_blocks(ray.data.from_arrow(streets_table()))
 
     return _cached_ds("blocks", build)
 
@@ -594,10 +602,7 @@ def blocks_diagonal_path() -> str:
     def build():
         import ray.data
 
-        streets = ray.data.from_arrow(diagonal_streets_table())
-        return streets.groupby("gadm").map_groups(
-            extract_blocks_group, batch_format="pyarrow"
-        )
+        return extract_blocks(ray.data.from_arrow(diagonal_streets_table()))
 
     return _cached_ds("blocks_diagonal", build)
 

@@ -2222,9 +2222,9 @@ def q_blocks_buffered(sf_dir: str):
 
     from .pipelines import derive
 
-    streets = ray.data.from_arrow(derive.streets_table())
-    ds = streets.groupby("gadm").map_groups(
-        derive.EXTRACTION_METHODS["buffered_difference"], batch_format="pyarrow"
+    ds = derive.extract_blocks(
+        ray.data.from_arrow(derive.streets_table()),
+        extraction_method="buffered_difference",
     )
     return ds.select_columns(
         ["block_id", "gadm", "bx", "by", "xmin_e6", "ymin_e6", "xmax_e6", "ymax_e6"]
