@@ -1572,6 +1572,60 @@ FROM m, LATERAL (SELECT unnest(range(0, n_payload // width, 10)) AS f)
 """
 
 
+def q_media_pixels(sf_dir: str):
+    """REAL pixel decode (the former DecodeActor stub, closed): encode
+    each document as an 'IMG2' RLE grayscale image, then decode the
+    bytes back in an actor-pool stage and emit per-document pixel
+    statistics. The oracle recomputes the statistics from the pixel
+    formula in closed form — so the byte-level encode→decode roundtrip
+    is what the hash check proves. Real frames: shrink batch_size so
+    decoded-batch × concurrency fits the worker heap."""
+    from .stages.media import DecodeActor, synth_media_pixels
+
+    ds = _docs(sf_dir).map_batches(synth_media_pixels, batch_format="pyarrow")
+    return ds.map_batches(DecodeActor, batch_format="pyarrow", concurrency=2)
+
+
+# max dim is 8 + (MOD-1) = 23 → the 23×23 cross join, filtered per doc
+_SQL_PX = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 16 AS width, 8 + (doc_id // 3) % 16 AS height
+  FROM documents
+)
+"""
+
+SQL_MEDIA_PIXELS = _SQL_PX + """
+SELECT d.doc_id,
+       CAST(d.width AS BIGINT) AS width,
+       CAST(d.height AS BIGINT) AS height,
+       CAST(d.width * d.height AS BIGINT) AS n_pixels,
+       CAST(SUM(((d.doc_id + r.r) * 31 + c.c // 8) % 256) AS BIGINT) AS px_sum,
+       CAST(MAX(((d.doc_id + r.r) * 31 + c.c // 8) % 256) AS BIGINT) AS px_max
+FROM dims d, (SELECT unnest(range(23)) AS r) r, (SELECT unnest(range(23)) AS c) c
+WHERE r.r < d.height AND c.c < d.width
+GROUP BY d.doc_id, d.width, d.height
+"""
+
+
+def q_frame_pixels(sf_dir: str):
+    """Decoded-pixel frame sampling: decode 'IMG2', keep every 4th
+    pixel row as a sampled frame with its pixel-sum checksum — the
+    decode→sample composition of a video featurization pipeline."""
+    from .stages.media import frame_pixel_sums, synth_media_pixels
+
+    ds = _docs(sf_dir).map_batches(synth_media_pixels, batch_format="pyarrow")
+    return ds.map_batches(frame_pixel_sums, batch_format="pyarrow")
+
+
+SQL_FRAME_PIXELS = _SQL_PX + """
+SELECT d.doc_id, CAST(r.r AS BIGINT) AS frame,
+       CAST(SUM(((d.doc_id + r.r) * 31 + c.c // 8) % 256) AS BIGINT) AS row_sum
+FROM dims d, (SELECT unnest(range(23)) AS r) r, (SELECT unnest(range(23)) AS c) c
+WHERE r.r < d.height AND c.c < d.width AND r.r % 4 = 0
+GROUP BY d.doc_id, r.r
+"""
+
+
 # ---------------------------------------------------------------------------
 # derivation queries (rows-only oracles: non-SQL-expressible geometry)
 
@@ -4106,6 +4160,8 @@ QUERIES: Dict[str, Callable] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "media_meta": q_media_meta,
     "frame_sample": q_frame_sample,
+    "media_pixels": q_media_pixels,
+    "frame_pixels": q_frame_pixels,
     "reblock": q_reblock,
     "reblock_terminals": q_reblock_terminals,
     "reblock_interior": q_reblock_interior,
@@ -4201,6 +4257,8 @@ ORACLES: Dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "media_meta": SQL_MEDIA_META,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "media_pixels": SQL_MEDIA_PIXELS,
+    "frame_pixels": SQL_FRAME_PIXELS,
     "reblock_terminals": SQL_REBLOCK_TERMINALS,
     "sessionize": SQL_SESSIONIZE,
     "event_props": SQL_EVENT_PROPS,

@@ -150,6 +150,64 @@ def test_media_roundtrip(ray_session):
     assert m.checksum.tolist()[0] == sum(b"abc")
 
 
+def test_rle_codec_golden():
+    """Byte-level RLE goldens: roundtrip on the synthetic image, runs
+    longer than 255 split correctly, empty payload."""
+    from prclz_ray.stages.media import _rle_encode, rle_decode, synth_pixels
+
+    for d in (0, 7, 47, 12345):
+        img = synth_pixels(d)
+        assert np.array_equal(rle_decode(_rle_encode(img.ravel())), img.ravel())
+    # a 700-long constant run must split into 255+255+190
+    v = np.full(700, 42, np.uint8)
+    enc = np.frombuffer(_rle_encode(v), np.uint8)
+    assert enc[0::2].tolist() == [255, 255, 190]
+    assert set(enc[1::2].tolist()) == {42}
+    assert np.array_equal(rle_decode(enc.tobytes()), v)
+    assert _rle_encode(np.array([], np.uint8)) == b""
+
+
+def test_decode_actor_matches_formula(ray_session):
+    """DecodeActor's byte decode reproduces the formula image exactly:
+    stats AND sampled-frame row sums equal the numpy ground truth."""
+    from prclz_ray.stages.media import (
+        DecodeActor,
+        frame_pixel_sums,
+        synth_media_pixels,
+        synth_pixels,
+    )
+
+    ids = [0, 3, 7, 100, 2400]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x"] * len(ids)),
+        }
+    )
+    media = synth_media_pixels(t)
+    out = DecodeActor()(media).to_pandas().set_index("doc_id")
+    fr = frame_pixel_sums(media, every_n=4).to_pandas()
+    for d in ids:
+        img = synth_pixels(d).astype(np.int64)
+        assert out.loc[d, "width"] == img.shape[1]
+        assert out.loc[d, "height"] == img.shape[0]
+        assert out.loc[d, "n_pixels"] == img.size
+        assert out.loc[d, "px_sum"] == img.sum()
+        assert out.loc[d, "px_max"] == img.max()
+        mine = fr[fr.doc_id == d].sort_values("frame")
+        assert mine.frame.tolist() == list(range(0, img.shape[0], 4))
+        assert mine.row_sum.tolist() == [img[r].sum() for r in range(0, img.shape[0], 4)]
+    # corrupt magic fails loudly
+    bad = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "media": pa.array([b"NOPE" + b"\x00" * 8], pa.large_binary()),
+        }
+    )
+    with pytest.raises(ValueError, match="magic invalid"):
+        DecodeActor()(bad)
+
+
 def test_quality_and_langid_vectorized(ray_session):
     from prclz_ray.stages.textops import lang_id, quality_score
 
