@@ -3,7 +3,7 @@ parquet + lineage manifest.
 
 Same sink contract as ``run_flagship`` / ``run_tiles``
 (pipelines/flagship.py): one Hive directory per partition (here the
-512 text-hash buckets ``kb``), a fingerprint-validated manifest row
+input-scaled text-hash buckets ``kb``), a fingerprint-validated manifest row
 per completed bucket, atomic tmp+rename manifest writes, and crash
 cleanup that deletes partition dirs without a matching manifest row
 before recomputing.
@@ -39,16 +39,22 @@ from ..state.manifest import Manifest
 from .flagship import _partition_counts, _write_run_metrics
 
 
-def _with_kb(batch: pa.Table) -> pa.Table:
+def _make_with_kb(n_buckets: int):
     """Re-derive the text-hash bucket as the write partition column
-    (dedup_keep_min consumed it; same hash → same value)."""
-    from ..stages.hashing import hash_strings62
+    (dedup_keep_min consumed it; same hash → same value). The count is
+    input-scaled like the pipeline's shuffle buckets, and deterministic
+    for a given input — so resume sees the same partition layout."""
 
-    ct = batch.column("clean_text")
-    ct = ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct
-    return batch.append_column(
-        "kb", pa.array(hash_strings62(ct) % KB_BUCKETS, pa.int64())
-    )
+    def _with_kb(batch: pa.Table) -> pa.Table:
+        from ..stages.hashing import hash_strings62
+
+        ct = batch.column("clean_text")
+        ct = ct.combine_chunks() if isinstance(ct, pa.ChunkedArray) else ct
+        return batch.append_column(
+            "kb", pa.array(hash_strings62(ct) % n_buckets, pa.int64())
+        )
+
+    return _with_kb
 
 
 def run_curate(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
@@ -75,7 +81,14 @@ def run_curate(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
     for key in _mine(manifest.completed()) - done:
         manifest.unmark(key)
 
-    ds = q_curate_corpus(input_dir).map_batches(_with_kb, batch_format="pyarrow")
+    from ..stages.scaling import dynamic_buckets, parquet_rows
+
+    kb_n = dynamic_buckets(
+        parquet_rows(os.path.join(input_dir, "documents.parquet")), KB_BUCKETS
+    )
+    ds = q_curate_corpus(input_dir).map_batches(
+        _make_with_kb(kb_n), batch_format="pyarrow"
+    )
     if done:
         done_arr = pa.array(sorted(int(k[2:]) for k in done), pa.int64())
         ds = ds.map_batches(

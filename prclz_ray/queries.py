@@ -51,6 +51,21 @@ def _epoch_cached(name: str, build):
     return _EPOCHED[name][1]
 
 
+def _buckets(sf_dir: str, floor: int, table: str = "documents",
+             fanout: int = 1) -> int:
+    """Input-scaled bucket count for a bounded-bucket shuffle: the
+    family's tuned floor constant at test scale, growing once (rows ×
+    fanout) / floor exceeds the per-group worker budget (VERDICT r3:
+    fixed constants cap reduce parallelism and leave group size =
+    corpus / N). ``fanout`` is the stage's row multiplier (lines or
+    grams per document); the count comes from one parquet footer walk,
+    no data read. Results are bucket-count-invariant — only group
+    sizes and reduce parallelism move."""
+    from .stages.scaling import dynamic_buckets, parquet_rows
+
+    return dynamic_buckets(parquet_rows(f"{sf_dir}/{table}.parquet") * fanout, floor)
+
+
 def _cents(col) -> pa.Array:
     """value*100 rounded half-away-from-zero (DuckDB ROUND semantics),
     sign-correct for negative values, cast to exact int64."""
@@ -974,10 +989,16 @@ def q_decontaminate(sf_dir: str):
     set, no driver compute."""
     import ray.data
 
-    from .stages.dedup import doc_shingle_rows
+    from functools import partial
+
+    from .stages.dedup import JACCARD_BUCKETS, doc_shingle_rows
 
     docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
+    # ~32 distinct shingles per doc enter the shuffle
+    sb_n = _buckets(sf_dir, JACCARD_BUCKETS, fanout=32)
+    rows = docs.map_batches(
+        partial(doc_shingle_rows, n_buckets=sb_n), batch_format="pyarrow"
+    )
 
     def contaminated(group: pa.Table) -> pa.Table:
         """Per shingle-bucket: train docs sharing a shingle string with
@@ -1306,7 +1327,11 @@ def q_dedup_jaccard(sf_dir: str):
     equals the all-pairs oracle bit-for-bit."""
     import ray.data
 
+    from functools import partial
+
     from .stages.dedup import (
+        JACCARD_BUCKETS,
+        PAIR_BUCKETS,
         add_pair_hash,
         doc_shingle_rows,
         pair_jaccard_agg,
@@ -1314,9 +1339,15 @@ def q_dedup_jaccard(sf_dir: str):
     )
 
     docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = docs.map_batches(doc_shingle_rows, batch_format="pyarrow")
+    sb_n = _buckets(sf_dir, JACCARD_BUCKETS, fanout=32)  # shingle rows/doc
+    pb_n = _buckets(sf_dir, PAIR_BUCKETS, fanout=8)      # co-occur rows/doc
+    rows = docs.map_batches(
+        partial(doc_shingle_rows, n_buckets=sb_n), batch_format="pyarrow"
+    )
     pairs = rows.groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
-    pairs = pairs.map_batches(add_pair_hash, batch_format="pyarrow")
+    pairs = pairs.map_batches(
+        partial(add_pair_hash, n_buckets=pb_n), batch_format="pyarrow"
+    )
     return pairs.groupby("pb").map_groups(pair_jaccard_agg, batch_format="pyarrow")
 
 
@@ -2019,12 +2050,21 @@ def q_events_late(sf_dir: str):
         make_late_finish,
     )
 
+    from functools import partial
+
+    from .stages.events import LATE_BUCKETS
+
     ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
-    rows = ds.map_batches(late_bucket_rows, batch_format="pyarrow")
+    # next power of two ≥ the scaled count (the arrival-key bucket is a
+    # bit shift)
+    lb_n = 1 << (_buckets(sf_dir, LATE_BUCKETS, table="events") - 1).bit_length()
+    rows = ds.map_batches(
+        partial(late_bucket_rows, n_buckets=lb_n), batch_format="pyarrow"
+    )
     # two passes over the (2-column, read-pruned) rows: the bucket-max
     # reduce and the grouped finish — recomputing the trivial lineage
     # beats materializing the whole stream at 100 TB
-    prior = bucket_max_ts(rows)
+    prior = bucket_max_ts(rows, n_buckets=lb_n)
     return (
         rows.repartition(8)
         .groupby("lb")
@@ -2064,7 +2104,14 @@ def q_events_asof(sf_dir: str):
     ds = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
-    ds = ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    from functools import partial
+
+    from .stages.events import ASOF_BUCKETS
+
+    ub_n = _buckets(sf_dir, ASOF_BUCKETS, table="events")
+    ds = ds.map_batches(
+        partial(add_user_bucket, n_buckets=ub_n), batch_format="pyarrow"
+    )
     return ds.groupby("ub").map_groups(asof_join_group, batch_format="pyarrow")
 
 
@@ -2090,7 +2137,14 @@ def q_events_range(sf_dir: str):
     ds = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
-    ds = ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    from functools import partial
+
+    from .stages.events import ASOF_BUCKETS
+
+    ub_n = _buckets(sf_dir, ASOF_BUCKETS, table="events")
+    ds = ds.map_batches(
+        partial(add_user_bucket, n_buckets=ub_n), batch_format="pyarrow"
+    )
     return ds.groupby("ub").map_groups(range_join_group, batch_format="pyarrow")
 
 
@@ -2581,8 +2635,15 @@ def q_host_stats(sf_dir: str):
     ds = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
     )
+    from functools import partial
+
+    from .stages.curation import HOST_BUCKETS
+
+    hb_n = _buckets(sf_dir, HOST_BUCKETS)
     return (
-        ds.map_batches(host_partial_stats, batch_format="pyarrow")
+        ds.map_batches(
+            partial(host_partial_stats, n_buckets=hb_n), batch_format="pyarrow"
+        )
         .groupby("hb")
         .map_groups(host_combine_stats, batch_format="pyarrow")
     )
@@ -2602,8 +2663,15 @@ def q_host_cap(sf_dir: str):
     arithmetic inside the bucket."""
     from .stages.curation import host_cap_rows, host_rank_keep
 
+    from functools import partial
+
+    from .stages.curation import HOST_BUCKETS
+
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    rows = ds.map_batches(host_cap_rows, batch_format="pyarrow")
+    hb_n = _buckets(sf_dir, HOST_BUCKETS)
+    rows = ds.map_batches(
+        partial(host_cap_rows, n_buckets=hb_n), batch_format="pyarrow"
+    )
     return rows.groupby("hb").map_groups(host_rank_keep, batch_format="pyarrow")
 
 
@@ -2625,11 +2693,25 @@ def q_line_dedup(sf_dir: str):
     bucket reassembles each document's cleaned text in line order. Two
     bounded all-to-alls, no broadcast line set, no driver compute.
     Output: (doc_id, clean_text, n_lines, n_dropped)."""
-    from .stages.curation import doc_line_rows, line_flag_rows, reassemble_docs
+    from functools import partial
+
+    from .stages.curation import (
+        DOC_BUCKETS,
+        LINE_BUCKETS,
+        doc_line_rows,
+        line_flag_rows,
+        reassemble_docs,
+    )
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = ds.map_batches(doc_line_rows, batch_format="pyarrow")
-    flagged = rows.groupby("lb").map_groups(line_flag_rows, batch_format="pyarrow")
+    lb_n = _buckets(sf_dir, LINE_BUCKETS, fanout=16)  # ≈ lines per doc
+    db_n = _buckets(sf_dir, DOC_BUCKETS)
+    rows = ds.map_batches(
+        partial(doc_line_rows, n_buckets=lb_n), batch_format="pyarrow"
+    )
+    flagged = rows.groupby("lb").map_groups(
+        partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    )
     return flagged.groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
 
 
@@ -2739,10 +2821,12 @@ def q_dedup_keep_best(sf_dir: str):
     )
     joined = clusters.join(qual, join_type="inner", num_partitions=8, on=("doc_id",))
 
+    cb_n = _buckets(sf_dir, CLUSTER_BUCKETS)
+
     def add_cb(b: pa.Table) -> pa.Table:
         c = b.column("cluster_id").to_numpy(zero_copy_only=False)
         return b.append_column(
-            "cb", pa.array((c % CLUSTER_BUCKETS).astype(np.int64), pa.int64())
+            "cb", pa.array((c % cb_n).astype(np.int64), pa.int64())
         )
 
     flagged = (
@@ -2893,7 +2977,13 @@ def q_host_pagerank(sf_dir: str):
         return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
 
     from .stages.curation import PR_SCALE as _PIN
-    return pagerank(ds.map_batches(links, batch_format="pyarrow"), scale=_PIN)
+    from .stages.curation import EDGE_BUCKETS
+
+    return pagerank(
+        ds.map_batches(links, batch_format="pyarrow"),
+        scale=_PIN,
+        edge_buckets=_buckets(sf_dir, EDGE_BUCKETS, fanout=4),  # links/doc
+    )
 
 
 def _sql_pagerank_over(links_ctes: str) -> str:
@@ -3187,7 +3277,13 @@ def q_link_pagerank(sf_dir: str):
         return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
 
     from .stages.curation import PR_SCALE as _PIN
-    return pagerank(ds.map_batches(links, batch_format="pyarrow"), scale=_PIN)
+    from .stages.curation import EDGE_BUCKETS
+
+    return pagerank(
+        ds.map_batches(links, batch_format="pyarrow"),
+        scale=_PIN,
+        edge_buckets=_buckets(sf_dir, EDGE_BUCKETS, fanout=4),  # links/doc
+    )
 
 
 def _sql_link_pagerank() -> str:
@@ -3208,11 +3304,25 @@ def q_tfidf_topk(sf_dir: str):
     shuffle on the word-hash bucket completes each word's document
     frequency and scores rows → ONE bounded shuffle on the doc bucket
     selects each doc's top-k by (score desc, word asc) with rank."""
-    from .stages.curation import doc_topk, tf_score_rows, word_tf_rows
+    from functools import partial
+
+    from .stages.curation import (
+        DOC_BUCKETS,
+        WORD_BUCKETS,
+        doc_topk,
+        tf_score_rows,
+        word_tf_rows,
+    )
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    tf = ds.map_batches(word_tf_rows, batch_format="pyarrow")
-    scored = tf.groupby("wb").map_groups(tf_score_rows, batch_format="pyarrow")
+    wb_n = _buckets(sf_dir, WORD_BUCKETS, fanout=32)  # distinct words/doc
+    db_n = _buckets(sf_dir, DOC_BUCKETS)
+    tf = ds.map_batches(
+        partial(word_tf_rows, n_buckets=wb_n), batch_format="pyarrow"
+    )
+    scored = tf.groupby("wb").map_groups(
+        partial(tf_score_rows, doc_buckets=db_n), batch_format="pyarrow"
+    )
     return scored.groupby("db").map_groups(doc_topk, batch_format="pyarrow")
 
 
@@ -3240,9 +3350,17 @@ def q_ngram_topk(sf_dir: str):
     union) → one final task selects the global top-k."""
     from .stages.curation import bucket_topk_grams, global_topk_grams, ngram_partial_counts
 
+    import functools
+
+    from .stages.curation import GRAM_BUCKETS
+
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    partial = ds.map_batches(ngram_partial_counts, batch_format="pyarrow")
-    cands = partial.groupby("gb").map_groups(bucket_topk_grams, batch_format="pyarrow")
+    gb_n = _buckets(sf_dir, GRAM_BUCKETS, fanout=32)  # grams/doc
+    part = ds.map_batches(
+        functools.partial(ngram_partial_counts, n_buckets=gb_n),
+        batch_format="pyarrow",
+    )
+    cands = part.groupby("gb").map_groups(bucket_topk_grams, batch_format="pyarrow")
     return cands.repartition(1).map_batches(global_topk_grams, batch_format="pyarrow")
 
 
@@ -3283,10 +3401,14 @@ def q_doc_surprisal(sf_dir: str):
     )
     from .stages.hashing import hash_strings62
 
+    from .stages.curation import GRAM_BUCKETS
+
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gb_n = _buckets(sf_dir, GRAM_BUCKETS, fanout=32)  # words/doc
     vocab_ds = (
         ds.map_batches(
-            lambda b: ngram_partial_counts(b, n=1), batch_format="pyarrow"
+            lambda b: ngram_partial_counts(b, n=1, n_buckets=gb_n),
+            batch_format="pyarrow",
         )
         .repartition(8)
         .groupby("gb")
@@ -3331,11 +3453,25 @@ def q_dup_spans(sf_dir: str):
     doc's surviving gram intervals into maximal spans (vectorized
     doc-lifted running-max union). Output per affected doc: words
     covered by duplicated material + span count."""
-    from .stages.curation import dup_flag_rows, dup_span_agg, gram_pos_rows
+    from functools import partial
+
+    from .stages.curation import (
+        DOC_BUCKETS,
+        DUP_BUCKETS,
+        dup_flag_rows,
+        dup_span_agg,
+        gram_pos_rows,
+    )
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = ds.map_batches(gram_pos_rows, batch_format="pyarrow")
-    flagged = rows.groupby("gb").map_groups(dup_flag_rows, batch_format="pyarrow")
+    gb_n = _buckets(sf_dir, DUP_BUCKETS, fanout=32)  # gram occurrences/doc
+    db_n = _buckets(sf_dir, DOC_BUCKETS)
+    rows = ds.map_batches(
+        partial(gram_pos_rows, n_buckets=gb_n), batch_format="pyarrow"
+    )
+    flagged = rows.groupby("gb").map_groups(
+        partial(dup_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    )
     return flagged.groupby("db").map_groups(dup_span_agg, batch_format="pyarrow")
 
 
@@ -3377,7 +3513,14 @@ def q_ccnet_tiers(sf_dir: str):
     ds = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
-    rows = ds.map_batches(ccnet_tier_rows, batch_format="pyarrow")
+    from functools import partial
+
+    from .stages.curation import HOST_BUCKETS
+
+    hb_n = _buckets(sf_dir, HOST_BUCKETS)
+    rows = ds.map_batches(
+        partial(ccnet_tier_rows, n_buckets=hb_n), batch_format="pyarrow"
+    )
     return rows.groupby("hb").map_groups(ccnet_tier_assign, batch_format="pyarrow")
 
 
@@ -3491,9 +3634,16 @@ def q_shuffle_rank(sf_dir: str):
         shuffle_key_rows,
     )
 
+    from functools import partial
+
+    from .stages.packing import PACK_BUCKETS
+
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = ds.map_batches(shuffle_key_rows, batch_format="pyarrow").materialize()
-    bases_ref = ray.put(bucket_bases(rows, "one", "sb"))
+    sb_n = _buckets(sf_dir, PACK_BUCKETS)
+    rows = ds.map_batches(
+        partial(shuffle_key_rows, n_buckets=sb_n), batch_format="pyarrow"
+    ).materialize()
+    bases_ref = ray.put(bucket_bases(rows, "one", "sb", n_buckets=sb_n))
     return compact_for_bucket_groupby(rows, rows).groupby("sb").map_groups(
         make_rank_fn(bases_ref), batch_format="pyarrow"
     )
@@ -3872,11 +4022,13 @@ def q_dedup_delta(sf_dir: str):
     content-hash bucket; the text dies at the projection (32 B/row
     travels), no broadcast snapshot index, no driver compute.
     Output: surviving new doc_ids."""
-    from .stages.dedup import delta_hash_rows, delta_new_rows
+    from .stages.dedup import DELTA_BUCKETS, delta_hash_rows, delta_new_rows
 
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    db_n = _buckets(sf_dir, DELTA_BUCKETS)
     rows = ds.map_batches(
-        lambda b: delta_hash_rows(b, DELTA_SNAPSHOT_MOD), batch_format="pyarrow"
+        lambda b: delta_hash_rows(b, DELTA_SNAPSHOT_MOD, n_buckets=db_n),
+        batch_format="pyarrow",
     )
     return rows.groupby("db").map_groups(delta_new_rows, batch_format="pyarrow")
 
@@ -4016,8 +4168,10 @@ def q_curate_corpus(sf_dir: str):
     broadcast sets, no driver compute. Output: (doc_id, clean_text)
     of the surviving training corpus."""
     from .stages.curation import (
+        DOC_BUCKETS,
         HOST_BUCKETS,
         KB_BUCKETS,
+        LINE_BUCKETS,
         dedup_keep_min,
         doc_line_rows,
         host_rank_keep_text,
@@ -4031,6 +4185,13 @@ def q_curate_corpus(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
 
+    from functools import partial
+
+    hb_n = _buckets(sf_dir, HOST_BUCKETS)
+    lb_n = _buckets(sf_dir, LINE_BUCKETS, fanout=16)
+    db_n = _buckets(sf_dir, DOC_BUCKETS)
+    kb_n = _buckets(sf_dir, KB_BUCKETS)
+
     def host_key(b: pa.Table) -> pa.Table:
         host = b.column("source").combine_chunks() if isinstance(
             b.column("source"), pa.ChunkedArray
@@ -4040,7 +4201,7 @@ def q_curate_corpus(sf_dir: str):
                 "doc_id": b.column("doc_id"),
                 "host": host,
                 "text": b.column("text"),
-                "hb": pa.array(hash_strings(host) % HOST_BUCKETS, pa.int64()),
+                "hb": pa.array(hash_strings(host) % hb_n, pa.int64()),
             }
         )
 
@@ -4049,8 +4210,12 @@ def q_curate_corpus(sf_dir: str):
         .groupby("hb")
         .map_groups(host_rank_keep_text, batch_format="pyarrow")
     )
-    lines = capped.map_batches(doc_line_rows, batch_format="pyarrow")
-    flagged = lines.groupby("lb").map_groups(line_flag_rows, batch_format="pyarrow")
+    lines = capped.map_batches(
+        partial(doc_line_rows, n_buckets=lb_n), batch_format="pyarrow"
+    )
+    flagged = lines.groupby("lb").map_groups(
+        partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    )
     cleaned = flagged.groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
 
     def quality_gate(b: pa.Table) -> pa.Table:
@@ -4071,7 +4236,7 @@ def q_curate_corpus(sf_dir: str):
             kept.column("clean_text"), pa.ChunkedArray
         ) else kept.column("clean_text")
         return kept.append_column(
-            "kb", pa.array(hash_strings62(ct) % KB_BUCKETS, pa.int64())
+            "kb", pa.array(hash_strings62(ct) % kb_n, pa.int64())
         )
 
     return (

@@ -50,15 +50,21 @@ from .dedup import _sorted_runs
 from .hashing import ensure_ascii, hash_strings, hash_strings62
 
 LINE_W = 10          # words per "line" of the synthetic single-line corpus
-LINE_BUCKETS = 1024  # shuffle-key buckets for corpus-wide line df
-DOC_BUCKETS = 256    # shuffle-key buckets for per-doc regrouping
-HOST_BUCKETS = 64    # shuffle-key buckets for per-host ranking
+# The *_BUCKETS constants below are FLOORS, not fixed counts: every
+# stage takes an ``n_buckets``/``doc_buckets`` parameter and the query
+# layer scales it with the input via stages/scaling.dynamic_buckets
+# (group size stays ≈ worker budget at any corpus size; reduce
+# parallelism grows with the data). Results are bucket-count-invariant.
+LINE_BUCKETS = 1024  # floor: corpus-wide line-df shuffle
+DOC_BUCKETS = 256    # floor: per-doc regrouping shuffle
+HOST_BUCKETS = 64    # floor: per-host ranking shuffle
 HOST_CAP = 15        # max documents kept per host (host_cap query)
-KB_BUCKETS = 512     # text-hash buckets for exact keep-min dedup —
-                     # ALSO the curate sink's write-partition count
-                     # (pipelines/curate.py re-derives it by hash)
+KB_BUCKETS = 512     # floor: text-hash buckets for exact keep-min dedup
+                     # — ALSO the curate sink's write-partition floor
+                     # (pipelines/curate.py re-derives it with the same
+                     # dynamic rule, so layout is input-deterministic)
 TFIDF_K = 3          # top terms kept per document
-WORD_BUCKETS = 64    # shuffle-key buckets for document-frequency runs
+WORD_BUCKETS = 64    # floor: document-frequency shuffle
 SCORE_SCALE = 1_000_000  # tf-idf score = tf * SCALE // df (exact integer)
 
 
@@ -104,7 +110,7 @@ def _line_arrays(batch: pa.Table):
 # ---------------------------------------------------------------------------
 # line-level dedup (CCNet shape)
 
-def doc_line_rows(batch: pa.Table) -> pa.Table:
+def doc_line_rows(batch: pa.Table, n_buckets: int = LINE_BUCKETS) -> pa.Table:
     """documents → one row per line with the bounded shuffle key
     ``lb = hash(line) % LINE_BUCKETS``."""
     lines, line_doc, local = _line_arrays(batch)
@@ -114,12 +120,12 @@ def doc_line_rows(batch: pa.Table) -> pa.Table:
             "doc_id": doc_ids,
             "line_idx": _i64(local),
             "line": lines,
-            "lb": _i64(hash_strings(lines) % LINE_BUCKETS),
+            "lb": _i64(hash_strings(lines) % n_buckets),
         }
     )
 
 
-def line_flag_rows(group: pa.Table) -> pa.Table:
+def line_flag_rows(group: pa.Table, doc_buckets: int = DOC_BUCKETS) -> pa.Table:
     """One line-hash bucket: mark every occurrence of a line whose
     corpus-wide count is ≥ 2 (string-exact df inside the bucket — a
     line's occurrences all share its hash bucket). Rows pass through
@@ -145,7 +151,7 @@ def line_flag_rows(group: pa.Table) -> pa.Table:
             "line_idx": g.column("line_idx"),
             "line": g.column("line"),
             "dup": _i64(dup),
-            "db": _i64(doc % DOC_BUCKETS),
+            "db": _i64(doc % doc_buckets),
         }
     )
 
@@ -194,7 +200,7 @@ def reassemble_docs(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # host stats / cap
 
-def host_partial_stats(batch: pa.Table) -> pa.Table:
+def host_partial_stats(batch: pa.Table, n_buckets: int = HOST_BUCKETS) -> pa.Table:
     """Map-side partial per-host (doc count, char sum) — the combiner
     half of the host_stats aggregate. COUNT(*) semantics (count_all,
     not count-non-null — a null n_chars row still counts, matching the
@@ -210,7 +216,7 @@ def host_partial_stats(batch: pa.Table) -> pa.Table:
     )
     host = _combined(agg.column("host"))
     return agg.set_column(0, "host", host).append_column(
-        "hb", _i64(hash_strings(host) % HOST_BUCKETS)
+        "hb", _i64(hash_strings(host) % n_buckets)
     )
 
 
@@ -237,7 +243,7 @@ def host_combine_stats(group: pa.Table) -> pa.Table:
     )
 
 
-def host_cap_rows(batch: pa.Table) -> pa.Table:
+def host_cap_rows(batch: pa.Table, n_buckets: int = HOST_BUCKETS) -> pa.Table:
     """documents → (doc_id, host, hb) rows keyed by the bounded host
     hash bucket."""
     host = _combined(batch.column("source"))
@@ -245,7 +251,7 @@ def host_cap_rows(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch.column("doc_id"),
             "host": host,
-            "hb": _i64(hash_strings(host) % HOST_BUCKETS),
+            "hb": _i64(hash_strings(host) % n_buckets),
         }
     )
 
@@ -312,7 +318,7 @@ def dedup_keep_min(group: pa.Table, text_col: str = "clean_text") -> pa.Table:
     )
 
 
-def ccnet_tier_rows(batch: pa.Table) -> pa.Table:
+def ccnet_tier_rows(batch: pa.Table, n_buckets: int = HOST_BUCKETS) -> pa.Table:
     """documents → (doc_id, host, nw, hb): word count + the bounded
     host bucket for the per-host tier split."""
     host = _combined(batch.column("source"))
@@ -323,7 +329,7 @@ def ccnet_tier_rows(batch: pa.Table) -> pa.Table:
             "doc_id": batch.column("doc_id"),
             "host": host,
             "nw": nw,
-            "hb": _i64(hash_strings(host) % HOST_BUCKETS),
+            "hb": _i64(hash_strings(host) % n_buckets),
         }
     )
 
@@ -483,7 +489,7 @@ def _sorted_runs_2(t: pa.Table, k1: str, k2: str):
 # ---------------------------------------------------------------------------
 # TF-IDF top-k
 
-def word_tf_rows(batch: pa.Table) -> pa.Table:
+def word_tf_rows(batch: pa.Table, n_buckets: int = WORD_BUCKETS) -> pa.Table:
     """documents → (doc_id, word, tf, wb) — per-doc term frequencies
     are complete map-side (one document per input row); ``wb`` is the
     bounded shuffle key for the document-frequency pass."""
@@ -503,12 +509,12 @@ def word_tf_rows(batch: pa.Table) -> pa.Table:
             "doc_id": doc_ids,
             "word": words,
             "tf": _i64(counts),
-            "wb": _i64(hash_strings(words) % WORD_BUCKETS),
+            "wb": _i64(hash_strings(words) % n_buckets),
         }
     )
 
 
-def tf_score_rows(group: pa.Table) -> pa.Table:
+def tf_score_rows(group: pa.Table, doc_buckets: int = DOC_BUCKETS) -> pa.Table:
     """One word bucket of tf rows: a word's rows all share its hash
     bucket, so its document frequency is complete here — score =
     ``tf * SCORE_SCALE // df`` (exact integer), rows leave keyed by
@@ -535,7 +541,7 @@ def tf_score_rows(group: pa.Table) -> pa.Table:
             "word": g.column("word"),
             "tf": g.column("tf"),
             "score": _i64(tf * SCORE_SCALE // df),
-            "db": _i64(d % DOC_BUCKETS),
+            "db": _i64(d % doc_buckets),
         }
     )
 
@@ -606,7 +612,7 @@ def _gram_strings(flat, par: np.ndarray, n: int):
     return grams, par[: m - n + 1][valid], np.flatnonzero(valid)
 
 
-def ngram_partial_counts(batch: pa.Table, n: int = NGRAM_N) -> pa.Table:
+def ngram_partial_counts(batch: pa.Table, n: int = NGRAM_N, n_buckets: int = GRAM_BUCKETS) -> pa.Table:
     """documents → map-side partial n-gram counts (gram, n, gb) — the
     combiner half of the corpus-wide count; one Arrow group_by per
     batch, never a row per occurrence on the wire."""
@@ -632,7 +638,7 @@ def ngram_partial_counts(batch: pa.Table, n: int = NGRAM_N) -> pa.Table:
         {
             "gram": g,
             "n": pc.cast(agg.column("n"), pa.int64()),
-            "gb": _i64(hash_strings(g) % GRAM_BUCKETS),
+            "gb": _i64(hash_strings(g) % n_buckets),
         }
     )
 
@@ -663,7 +669,7 @@ def global_topk_grams(batch: pa.Table, k: int = NGRAM_TOPK) -> pa.Table:
     return batch.sort_by([("n", "descending"), ("gram", "ascending")]).slice(0, k)
 
 
-def gram_pos_rows(batch: pa.Table, n: int = DUP_G) -> pa.Table:
+def gram_pos_rows(batch: pa.Table, n: int = DUP_G, n_buckets: int = DUP_BUCKETS) -> pa.Table:
     """documents → one row per DUP_G-word gram occurrence with its
     1-based word position, keyed by the bounded gram-hash bucket."""
     empty = pa.table(
@@ -686,12 +692,12 @@ def gram_pos_rows(batch: pa.Table, n: int = DUP_G) -> pa.Table:
             "doc_id": ids,
             "p": _i64(pos),
             "gram": grams,
-            "gb": _i64(hash_strings(grams) % DUP_BUCKETS),
+            "gb": _i64(hash_strings(grams) % n_buckets),
         }
     )
 
 
-def dup_flag_rows(group: pa.Table) -> pa.Table:
+def dup_flag_rows(group: pa.Table, doc_buckets: int = DOC_BUCKETS) -> pa.Table:
     """One gram bucket: keep occurrences of grams whose corpus-wide
     count is ≥ 2 (a gram's occurrences all share its hash bucket);
     survivors leave keyed by the per-doc span shuffle's doc bucket."""
@@ -713,7 +719,7 @@ def dup_flag_rows(group: pa.Table) -> pa.Table:
         {
             "doc_id": d,
             "p": g.column("p").filter(dup),
-            "db": _i64(dn % DOC_BUCKETS),
+            "db": _i64(dn % doc_buckets),
         }
     )
 
@@ -1019,7 +1025,7 @@ def _pr_local(wedges: pa.Table, iters: int = PR_ITERS,
     return pa.table({"host": hosts, "pr": pa.array(pr, pa.int64())})
 
 
-def edge_weight_rows(batch: pa.Table) -> pa.Table:
+def edge_weight_rows(batch: pa.Table, n_buckets: int = EDGE_BUCKETS) -> pa.Table:
     """Map-side partial of the raw-link → weighted-edge combine:
     per-batch ``group_by(src, dst).count`` keyed by the bounded
     (src,dst) hash bucket — the reduce is ONE shuffle over
@@ -1032,7 +1038,7 @@ def edge_weight_rows(batch: pa.Table) -> pa.Table:
         .rename_columns(["src", "dst", "w"])
     )
     key = pc.binary_join_element_wise(agg.column("src"), agg.column("dst"), "|")
-    return agg.append_column("eb", _i64(hash_strings(key) % EDGE_BUCKETS))
+    return agg.append_column("eb", _i64(hash_strings(key) % n_buckets))
 
 
 def edge_weight_combine(group: pa.Table) -> pa.Table:
@@ -1057,7 +1063,7 @@ def edge_weight_combine(group: pa.Table) -> pa.Table:
 
 def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
              local_threshold: int = LOCAL_PR_EDGES,
-             scale="auto"):
+             scale="auto", edge_buckets: int | None = None):
     """Raw link Dataset (src, dst) → (host, pr) after ``iters``
     exact-integer PageRank rounds over the weighted host graph.
 
@@ -1089,8 +1095,17 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
     ``connected_components`` above."""
     import ray
 
+    from functools import partial
+
+    from .scaling import dynamic_buckets
+
+    # edge_buckets: callers with a known raw-link count pass a scaled
+    # value (dynamic_buckets); None keeps the tuned test-scale floor
+    ebk = EDGE_BUCKETS if edge_buckets is None else int(edge_buckets)
     wedges = (
-        links.map_batches(edge_weight_rows, batch_format="pyarrow")
+        links.map_batches(
+            partial(edge_weight_rows, n_buckets=ebk), batch_format="pyarrow"
+        )
         .repartition(num_partitions)  # partitions ≤ groups: empty
         # aggregate partitions emit SCHEMA-LESS blocks that break both
         # the front-door concat and the per-round join (the CC hazard)
@@ -1111,6 +1126,9 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
         n_hosts_bound = 2 * n_edges
         scale = _pr_auto_scale(n_hosts_bound, int(w_max))
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // PR_DAMP_DEN
+    # host-bucket count for the per-round reduces, scaled to the
+    # host-count bound (2 × edges) so a round's group stays worker-sized
+    hbk = dynamic_buckets(2 * n_edges, HOST_BUCKETS)
     if n_edges <= local_threshold:
         tabs = [t for t in ray.get(wedges.to_arrow_refs()) if t.num_rows]
         return ray.data.from_arrow(
@@ -1136,7 +1154,7 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             .rename_columns(["src", "ow"])
         )
         return agg.append_column(
-            "hb", _i64(hash_strings(agg.column("src")) % HOST_BUCKETS)
+            "hb", _i64(hash_strings(agg.column("src")) % hbk)
         )
 
     def outw_combine(group: pa.Table) -> pa.Table:
@@ -1174,7 +1192,7 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
             {
                 "host": hosts,
                 "c": pa.array(np.zeros(len(hosts), dtype=np.int64), pa.int64()),
-                "hb": _i64(hash_strings(hosts) % HOST_BUCKETS),
+                "hb": _i64(hash_strings(hosts) % hbk),
             }
         )
 
@@ -1228,7 +1246,7 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
                 {
                     "host": dst,
                     "c": _i64(_pr_flow(prs, w, ow)),
-                    "hb": _i64(hash_strings(dst) % HOST_BUCKETS),
+                    "hb": _i64(hash_strings(dst) % hbk),
                 }
             )
 

@@ -260,7 +260,7 @@ def simhash(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard via prefix filtering (candidates → verify)
 
-def doc_shingle_rows(batch: pa.Table) -> pa.Table:
+def doc_shingle_rows(batch: pa.Table, n_buckets: int = JACCARD_BUCKETS) -> pa.Table:
     """(doc_id, shingle, L, sb) — each doc's DISTINCT shingle STRINGS,
     its distinct-set size L, and the shingle's shuffle bucket
     (hash % JACCARD_BUCKETS). One arrow sort + run-length pass; the
@@ -300,7 +300,7 @@ def doc_shingle_rows(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(doc_ids[d_u], pa.int64()),
             "shingle": s_u,
             "L": pa.array(L, pa.int64()),
-            "sb": pa.array(hash_strings(s_u) % JACCARD_BUCKETS, pa.int64()),
+            "sb": pa.array(hash_strings(s_u) % n_buckets, pa.int64()),
         }
     )
 
@@ -493,7 +493,7 @@ def make_chunk_pair_fn(path: str, threshold: float = 0.9):
 DELTA_BUCKETS = 512  # shuffle-key buckets for the delta anti-join
 
 
-def delta_hash_rows(batch: pa.Table, snapshot_mod: int) -> pa.Table:
+def delta_hash_rows(batch: pa.Table, snapshot_mod: int, n_buckets: int = DELTA_BUCKETS) -> pa.Table:
     """documents → (doc_id, h, old, db): 62-bit content hash, the
     prior-snapshot membership flag (``doc_id % snapshot_mod == 0`` in
     the synthetic world; a crawl-id column in production), and the
@@ -510,7 +510,7 @@ def delta_hash_rows(batch: pa.Table, snapshot_mod: int) -> pa.Table:
             "doc_id": batch.column("doc_id"),
             "h": pa.array(h, pa.int64()),
             "old": pa.array((d % snapshot_mod == 0).astype(np.int64), pa.int64()),
-            "db": pa.array(h % DELTA_BUCKETS, pa.int64()),
+            "db": pa.array(h % n_buckets, pa.int64()),
         }
     )
 

@@ -218,7 +218,7 @@ WATERMARK_US = 5 * 60 * 1_000_000  # 5-min allowed lateness
 LATE_BUCKETS = 256  # arrival-order range buckets for the max-scan
 
 
-def late_bucket_rows(batch: pa.Table) -> pa.Table:
+def late_bucket_rows(batch: pa.Table, n_buckets: int = LATE_BUCKETS) -> pa.Table:
     """Attach the synthetic arrival order and its range bucket. The
     corpus ts column is SORTED by event_id (a perfectly ordered
     stream has zero late events — vacuous), so arrival is
@@ -226,14 +226,17 @@ def late_bucket_rows(batch: pa.Table) -> pa.Table:
     — identical arithmetic in the oracle; a real stream would use the
     ingestion sequence number. ``lb = ak >> 23`` gives LATE_BUCKETS
     contiguous arrival ranges."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("late_bucket_rows: n_buckets must be a power of two")
+    shift = 31 - (n_buckets.bit_length() - 1)
     eid = batch.column("event_id").to_numpy(zero_copy_only=False)
     ak = (eid * 2654435761) % 2**31
     return batch.append_column(
         "ak", pa.array(ak.astype(np.int64), pa.int64())
-    ).append_column("lb", pa.array((ak >> 23).astype(np.int64), pa.int64()))
+    ).append_column("lb", pa.array((ak >> shift).astype(np.int64), pa.int64()))
 
 
-def bucket_max_ts(rows) -> np.ndarray:
+def bucket_max_ts(rows, n_buckets: int = LATE_BUCKETS) -> np.ndarray:
     """Exclusive running max of per-bucket ts maxima — the scan-shape
     reduce of `packing.bucket_bases` with the MAX monoid instead of
     SUM: one bounded groupby, ≤ LATE_BUCKETS rows on the driver.
@@ -257,7 +260,7 @@ def bucket_max_ts(rows) -> np.ndarray:
         .max("m")
         .to_pandas()
     )
-    maxes = np.full(LATE_BUCKETS, np.iinfo(np.int64).min, dtype=np.int64)
+    maxes = np.full(n_buckets, np.iinfo(np.int64).min, dtype=np.int64)
     maxes[totals["lb"].to_numpy()] = totals["max(m)"].to_numpy()
     run = np.maximum.accumulate(maxes)
     return np.concatenate([[np.iinfo(np.int64).min], run[:-1]])

@@ -64,7 +64,8 @@ def _combined(arr):
 # ---------------------------------------------------------------------------
 # scan machinery
 
-def bucket_bases(rows, weight_col: str, bucket_col: str) -> np.ndarray:
+def bucket_bases(rows, weight_col: str, bucket_col: str,
+                 n_buckets: int = PACK_BUCKETS) -> np.ndarray:
     """Exclusive prefix sum of per-bucket weight totals.
 
     One bounded groupby (≤ PACK_BUCKETS groups) reduces the weights;
@@ -90,7 +91,7 @@ def bucket_bases(rows, weight_col: str, bucket_col: str) -> np.ndarray:
         .sum("w")
         .to_pandas()  # ≤ PACK_BUCKETS rows — bytes, not data
     )
-    sums = np.zeros(PACK_BUCKETS, dtype=np.int64)
+    sums = np.zeros(n_buckets, dtype=np.int64)
     sums[totals[bucket_col].to_numpy()] = totals["sum(w)"].to_numpy()
     return np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
 
@@ -131,9 +132,15 @@ def pack_dataset(tok):
             )
         )
 
-    width = tok.max("doc_id") // PACK_BUCKETS + 1
+    from .scaling import dynamic_buckets
+
+    # scale the range-bucket count with the scan length: a fixed count
+    # leaves group size = corpus / N (VERDICT r3); the driver still only
+    # cumsums the n-buckets totals row
+    pb_n = dynamic_buckets(tok.count(), PACK_BUCKETS)
+    width = tok.max("doc_id") // pb_n + 1
     keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
-    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb"))
+    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb", n_buckets=pb_n))
     return compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
         make_pack_fn(bases_ref), batch_format="pyarrow"
     )
@@ -272,7 +279,7 @@ def chunk_rows(batch: pa.Table, w: int = CHUNK_W, s: int = CHUNK_STRIDE) -> pa.T
 # ---------------------------------------------------------------------------
 # global shuffle rank
 
-def shuffle_key_rows(batch: pa.Table) -> pa.Table:
+def shuffle_key_rows(batch: pa.Table, n_buckets: int = PACK_BUCKETS) -> pa.Table:
     """documents → (doc_id, h, sb, one): the 62-bit content hash, its
     uniform range bucket, and the unit scan weight."""
     text = _combined(pc.fill_null(batch.column("text"), ""))
@@ -282,7 +289,7 @@ def shuffle_key_rows(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch.column("doc_id"),
             "h": _i64(h),
-            "sb": _i64(h // (HASH_SPAN // PACK_BUCKETS)),
+            "sb": _i64(h // (HASH_SPAN // n_buckets)),
             "one": _i64(np.ones(n, dtype=np.int64)),
         }
     )

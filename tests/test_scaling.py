@@ -1,0 +1,115 @@
+"""Input-scaled bucket counts (stages/scaling.py): the VERDICT r3
+fix for fixed bucket constants — group size must stay bounded and
+reduce parallelism must grow as the corpus grows, while results stay
+bucket-count-INVARIANT (the property the multi-CPU oracle gate rests
+on)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from prclz_ray.stages.scaling import (
+    MAX_BUCKETS,
+    TARGET_GROUP_ROWS,
+    dynamic_buckets,
+    parquet_rows,
+)
+
+
+def test_dynamic_buckets_floor_growth_cap():
+    # below the crossover: the tuned test-scale floor, exactly
+    assert dynamic_buckets(500, 64) == 64
+    assert dynamic_buckets(64 * TARGET_GROUP_ROWS, 64) == 64
+    # above: grows linearly with input rows → group size stays bounded
+    n = 1000 * TARGET_GROUP_ROWS
+    assert dynamic_buckets(n, 64) == 1000
+    assert n / dynamic_buckets(n, 64) <= TARGET_GROUP_ROWS
+    # monotone in n_rows
+    bs = [dynamic_buckets(k * TARGET_GROUP_ROWS, 64) for k in (1, 100, 10_000)]
+    assert bs == sorted(bs)
+    # capped at the scheduler backstop
+    assert dynamic_buckets(10**18, 64) == MAX_BUCKETS
+
+
+def test_parquet_rows_footer_walk(tmp_path):
+    import pyarrow.parquet as pq
+
+    t = pa.table({"x": pa.array(range(123), pa.int64())})
+    f1 = tmp_path / "a.parquet"
+    pq.write_table(t, f1)
+    d = tmp_path / "shards"
+    d.mkdir()
+    pq.write_table(t.slice(0, 23), d / "s0.parquet")
+    pq.write_table(t.slice(23), d / "s1.parquet")
+    assert parquet_rows(str(f1)) == 123
+    assert parquet_rows(str(d)) == 123
+    assert parquet_rows([str(f1), str(d)]) == 246
+
+
+def test_results_invariant_to_bucket_count(ray_session):
+    """line_dedup's output is identical under the default and a tiny
+    forced bucket count — buckets move WHERE rows meet, never WHAT is
+    computed (the contract that makes input-scaling safe)."""
+    from functools import partial
+
+    import ray.data
+
+    from prclz_ray.stages.curation import (
+        doc_line_rows,
+        line_flag_rows,
+        reassemble_docs,
+    )
+
+    rng = np.random.default_rng(7)
+    texts = []
+    dup_line = " ".join(f"w{i}" for i in range(10))
+    for d in range(40):
+        words = [f"t{d}_{i}" for i in range(int(rng.integers(5, 40)))]
+        body = " ".join(words)
+        texts.append(dup_line + " " + body if d % 3 == 0 else body)
+    docs = pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)}
+    )
+
+    def run(lb, db):
+        ds = ray.data.from_arrow(docs)
+        rows = ds.map_batches(
+            partial(doc_line_rows, n_buckets=lb), batch_format="pyarrow"
+        )
+        flagged = rows.groupby("lb").map_groups(
+            partial(line_flag_rows, doc_buckets=db), batch_format="pyarrow"
+        )
+        out = flagged.groupby("db").map_groups(
+            reassemble_docs, batch_format="pyarrow"
+        )
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a = run(1024, 256)
+    b = run(3, 2)
+    assert a.equals(b)
+    assert (a.loc[a.doc_id % 3 == 0, "n_dropped"] >= 1).all()
+
+
+def test_pagerank_buckets_scale_with_edges(ray_session):
+    """pagerank derives its host-bucket count from the materialized
+    edge count; the public knob (edge_buckets) threads through without
+    changing results."""
+    import ray.data
+
+    from prclz_ray.stages.curation import pagerank
+
+    links = pa.table(
+        {
+            "src": pa.array([f"h{i % 7}" for i in range(100)]),
+            "dst": pa.array([f"h{(i * 3) % 7}" for i in range(100)]),
+        }
+    )
+    a = (
+        pagerank(ray.data.from_arrow(links), scale=10**6)
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    b = (
+        pagerank(ray.data.from_arrow(links), scale=10**6, edge_buckets=3)
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    assert a.equals(b)
