@@ -2540,14 +2540,34 @@ def q_reblock_interior(sf_dir: str):
     parcels: boundary-access buildings dropped
     (`reblock/i_reblock.py:168-210`), outside terminal from
     min-rotated-rect − hull (`:285-291`), access-less blocks skipped
-    with explicit status rows. Interior-ness of a Voronoi cell is not
-    SQL-expressible → rows-only driver check; exact outputs are
-    pytest-golden-checked."""
+    with explicit status rows. The geometry payload columns are
+    emitted HEX-encoded (lossless; `bytes.fromhex` restores the WKB —
+    the run_reblock sink writes real binary) so the driver's
+    stringify-hash covers them; the oracle is the frozen golden table
+    (tools/make_goldens.py), semantics pinned by the pytest goldens."""
     from .pipelines.reblock import reblock_interior_dataset
 
-    return reblock_interior_dataset(limit_blocks=REBLOCK_LIMIT).drop_columns(
+    ds = reblock_interior_dataset(limit_blocks=REBLOCK_LIMIT).drop_columns(
         ["new_lines_wkb"]
     )
+
+    def hexify(b: pa.Table) -> pa.Table:
+        import binascii
+
+        out = {}
+        for name in b.column_names:
+            col = b.column(name)
+            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                out[name + "_hex"] = pa.array(
+                    [binascii.hexlify(v).decode() if v is not None else None
+                     for v in col.to_pylist()],
+                    pa.string(),
+                )
+            else:
+                out[name] = col
+        return pa.table(out)
+
+    return ds.map_batches(hexify, batch_format="pyarrow")
 
 
 SQL_REBLOCK_TERMINALS = f"""
@@ -4388,7 +4408,24 @@ QUERIES: Dict[str, Callable] = {
     "train_pack": q_train_pack,
 }
 
+def _sql_golden(name: str) -> str:
+    """Oracle for a geometry-family query: its frozen golden table
+    (tools/make_goldens.py — regenerate only after an intentional
+    kernel change whose pytest goldens were re-derived first). The
+    fixtures are deterministic and sf-independent, so one golden per
+    query covers every sf_dir the driver runs."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "goldens")
+    return f"SELECT * FROM read_parquet('{os.path.join(os.path.abspath(d), name)}.parquet')"
+
+
 ORACLES: Dict[str, str] = {
+    "reblock": _sql_golden("reblock"),
+    "reblock_interior": _sql_golden("reblock_interior"),
+    "block_complexity": _sql_golden("block_complexity"),
+    "complexity_hist": _sql_golden("complexity_hist"),
+    "parcels_ladder": _sql_golden("parcels_ladder"),
     "extract_text": SQL_EXTRACT,
     "warc_extract": SQL_WARC_EXTRACT,
     "geocode": SQL_GEOCODE,
