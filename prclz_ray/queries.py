@@ -1404,6 +1404,79 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_dedup_embedding_ann(sf_dir: str):
+    """The REGISTERED scale path for embedding near-dup (VERDICT r3:
+    the exact chunk-pair join stays as the validation oracle, this IVF
+    route is the 100 TB default): k-means coarse quantizer trained on
+    a sample → each vector replicated to its top-2 nearest lists → one
+    within-list all-pairs matmul per list (O(Σ bᵢ²), list size bounded
+    when n_lists scales with the corpus) → one bounded pair-bucket
+    distinct pass. Approximate by design → rows-only check; recall vs
+    the exact pair set is golden-tested (tests/test_stages.py)."""
+    import pyarrow.parquet as pq
+
+    from .stages.dedup import PAIR_BUCKETS
+    from .stages.scaling import dynamic_buckets, parquet_rows
+    from .stages.similarity import (
+        embedding_matrix,
+        ivf_centroids,
+        make_ivf_dedup_assign,
+        make_ivf_pair_fn,
+        pair_distinct,
+    )
+
+    from .stages.similarity import IVF_DEDUP_PROBES
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")  # sample for training
+    emb = embedding_matrix(t.column("embedding"))
+    n = parquet_rows(f"{sf_dir}/embeddings.parquet")
+    # lists scale with the corpus so a list's all-pairs stays bounded
+    cents = ivf_centroids(emb, n_lists=dynamic_buckets(n, 16, rows_per_group=10_000))
+    pb_n = dynamic_buckets(n, PAIR_BUCKETS)
+    # reduce-partition count = lists the training sample actually probes
+    # into — k-means can leave lists empty, and partitions > non-empty
+    # groups emit SCHEMA-LESS blocks (the CLAUDE.md hazard)
+    emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    used = np.unique(
+        np.argsort(-(emb_n @ cents.T), axis=1)[:, :IVF_DEDUP_PROBES]
+    )
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    assigned = ds.map_batches(make_ivf_dedup_assign(cents), batch_format="pyarrow")
+    pairs = (
+        assigned.repartition(max(1, min(16, len(used))))
+        .groupby("bucket")
+        .map_groups(make_ivf_pair_fn(threshold=0.4), batch_format="pyarrow")
+    )
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vec_a" not in b.column_names:
+            # an EMPTY IVF list's reduce partition emits a schema-less
+            # block (the CLAUDE.md hazard) — re-type it here
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "pb": pa.array([], pa.int64()),
+                }
+            )
+        a = b.column("vec_a").to_numpy(zero_copy_only=False)
+        d = b.column("vec_b").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pb", pa.array((a * 1_000_003 + d) % pb_n, pa.int64())
+        )
+
+    # squeeze to ≤ group count before the distinct groupby (pagerank's
+    # hygiene): a reduce partition with no groups emits a SCHEMA-LESS
+    # block (the CLAUDE.md hazard); pair count >> 8 at scale, so no
+    # reduce-parallelism loss where it matters
+    keyed = pairs.map_batches(add_pb, batch_format="pyarrow").materialize()
+    return (
+        keyed.repartition(max(1, min(8, keyed.count())))
+        .groupby("pb")
+        .map_groups(pair_distinct, batch_format="pyarrow")
+    )
+
+
 def q_dedup_corpus(sf_dir: str):
     """The deduplicated corpus: drop every doc that shares an LSH
     bucket with a smaller doc_id (deterministic keep-bucket-minimum
@@ -4401,6 +4474,7 @@ QUERIES: Dict[str, Callable] = {
     "chunk_docs": q_chunk_docs,
     "embedding_centroids": q_embedding_centroids,
     "dedup_delta": q_dedup_delta,
+    "dedup_embedding_ann": q_dedup_embedding_ann,
     "ann_topk_pq": q_ann_topk_pq,
     "ccnet_tiers": q_ccnet_tiers,
     "canonical_urls": q_canonical_urls,

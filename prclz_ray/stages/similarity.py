@@ -524,6 +524,101 @@ def make_pq_topk_fn(queries_ref, books: np.ndarray, k: int = 10):
     return topk
 
 
+# ---------------------------------------------------------------------------
+# IVF near-dup PAIRS — the registered 100 TB embedding-dedup path
+# (the exact chunk-pair join in queries.q_dedup_embedding stays as the
+# validation oracle; VERDICT r3 §wrong.3)
+
+IVF_DEDUP_PROBES = 3  # each vector lands in its top-p nearest lists —
+# a near-dup pair straddling centroid boundaries still meets in a
+# runner-up list. Measured on the fixture (16 lists, cos ≥ 0.4):
+# p=2 → recall .77, p=3 → .94, p=4 → .99 at 2/3/4× replication —
+# p=3 is the documented operating point (recall golden in tests)
+
+
+def make_ivf_dedup_assign(centroids: np.ndarray, probes: int = IVF_DEDUP_PROBES):
+    """Map stage: replicate each vector to its ``probes`` nearest IVF
+    lists — (vec_id, embedding, bucket) rows, p× the input. At 100 TB
+    the list count must scale with the corpus (train ``ivf_centroids``
+    with n_lists ≈ dynamic_buckets(n_rows, 16)) so each list's
+    all-pairs stays worker-sized."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch.column("embedding").type),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        emb = embedding_matrix(batch.column("embedding"))
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        p = min(probes, len(centroids))
+        top = np.argsort(-(emb_n @ centroids.T), axis=1)[:, :p]
+        rep = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), p))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").take(rep),
+                "embedding": batch.column("embedding").take(rep),
+                "bucket": pa.array(top.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return assign
+
+
+def make_ivf_pair_fn(threshold: float):
+    """One IVF list → its within-list near-dup pairs (cos ≥ threshold,
+    vec_a < vec_b): one (b, b) matmul over the list — O(Σ bᵢ²) total
+    work instead of the exact path's O(N²). Pairs meeting in several
+    probed lists duplicate; the downstream pair-bucket distinct pass
+    dedups them."""
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        emb = embedding_matrix(group.column("embedding"))
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = emb_n @ emb_n.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = (sim[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+        if not hit.any():
+            return empty
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    return pairs
+
+
+def pair_distinct(group: pa.Table) -> pa.Table:
+    """One pair-hash bucket → its distinct (vec_a, vec_b) rows (a pair's
+    duplicates all share its hash bucket)."""
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0:
+        return empty
+    t = pa.table({"vec_a": group.column("vec_a"), "vec_b": group.column("vec_b")})
+    order = pc.sort_indices(
+        t, sort_keys=[("vec_a", "ascending"), ("vec_b", "ascending")]
+    )
+    g = t.take(order)
+    a = g.column("vec_a").to_numpy(zero_copy_only=False)
+    b = g.column("vec_b").to_numpy(zero_copy_only=False)
+    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    return g.filter(pa.array(first))
+
+
 EMB_D = 64  # embedding dimensionality contract shared by the Gram
 # emitter and decoder — gram keys are i*EMB_D + j, so a mismatched
 # input dim must raise here rather than silently decode to wrong pairs

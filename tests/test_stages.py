@@ -1170,6 +1170,25 @@ def test_ann_pq_recall_vs_bruteforce(ray_session):
     assert recall >= 0.55, f"PQ recall collapsed: {recall:.2f}"
 
 
+def test_dedup_embedding_ann_recall_vs_exact(ray_session):
+    """The registered IVF near-dup path must recover ≥ 0.85 of the
+    exact chunk-pair join's pairs at the p=3 operating point (measured
+    .94 on the fixture), with NO false pairs (every emitted pair really
+    clears the threshold — the within-list matmul is exact) and no
+    duplicates from the multi-probe replication."""
+    from prclz_ray.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["dedup_embedding"](sf).to_pandas()
+    ann = QUERIES["dedup_embedding_ann"](sf).to_pandas()
+    ep = set(zip(exact.vec_a, exact.vec_b))
+    ap = list(zip(ann.vec_a, ann.vec_b))
+    assert len(ap) == len(set(ap)), "multi-probe duplicates leaked"
+    recall = len(ep & set(ap)) / len(ep)
+    assert recall >= 0.85, f"IVF dedup recall collapsed: {recall:.2f}"
+    assert set(ap) <= ep, "false pair: within-list matmul must be exact"
+
+
 def test_canonicalize_urls_rules():
     import pyarrow as pa
 
