@@ -135,6 +135,98 @@ def run_headline(sf_dir: str, amplify: int, num_cpus: int = 32, mode: str = "tas
     return {"rows": int(counted), "wall_s": wall, "rows_per_s": counted / wall}
 
 
+HOT_MOD = 10  # doc_id % HOT_MOD != 0 → forced into ONE res-5 cell:
+# 90% of the amplified stream lands on a single key — harsher than the
+# corpus's natural 4-cluster skew; the salting mechanism must keep the
+# reduce wave balanced or the hot reducer pins the whole job
+
+
+def run_skew(sf_dir: str, amplify: int, num_cpus: int = 32) -> dict:
+    """Hot-key torture: the salted count-by-cell aggregation
+    (stages/skew.py — count pre-pass → make_salter → salted groupby →
+    merge groupby) over the amplified page stream with 90% of rows
+    forced into one cell. Wall time covers BOTH passes (the pre-pass
+    is part of the mechanism). Asserts the hot cell actually fanned
+    out and the counts are exact (salting is semantics-free)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from prclz_ray.stages.skew import hot_keys, key_counts, make_salter
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if amplify > 1:
+        _prepare_amplified(sf_dir, amplify, n_docs)  # cached; not timed
+    total_rows = n_docs * max(1, amplify)
+    hot_cell = 77_000_077  # arbitrary fixed key outside natural cells
+
+    def force_hot(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        cell = b.column("cell_r5").to_numpy(zero_copy_only=False)
+        forced = np.where(d % HOT_MOD != 0, hot_cell, cell)
+        return b.set_column(
+            b.schema.get_field_index("cell_r5"), "cell_r5",
+            pa.array(forced, pa.int64()),
+        )
+
+    def stream():
+        return _amplified_pages(sf_dir, amplify, n_docs).map_batches(
+            force_hot, batch_format="pyarrow"
+        )
+
+    # group budget sized so the hot cell MUST salt: ≈ total/(4×cpus)
+    hot_threshold = max(10_000, total_rows // (4 * num_cpus))
+    t0 = time.time()
+    counts = key_counts(stream(), "cell_r5").to_pandas()
+    hot = hot_keys(counts, "cell_r5", hot_threshold)
+    salted = stream().map_batches(
+        make_salter("cell_r5", hot), batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"cell_r5": batch.column("cell_r5"), "_salt": batch.column("_salt")}
+        )
+        return (
+            t.group_by(["cell_r5", "_salt"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cell_r5", "_salt", "n"])
+        )
+
+    per_salt = (
+        salted.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell_r5", "_salt"])
+        .sum("n")
+    )
+    merged = (
+        per_salt.map_batches(
+            lambda b: pa.table(
+                {"cell_r5": b.column("cell_r5"), "n": b.column("sum(n)")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cell_r5")
+        .sum("n")
+        .to_pandas()
+    )
+    wall = time.time() - t0
+    got_total = int(merged["sum(n)"].sum())
+    got_hot = int(merged.loc[merged.cell_r5 == hot_cell, "sum(n)"].iloc[0])
+    # doc_id' = d + r*n_docs covers [0, total_rows) exactly once
+    want_hot = total_rows - len(range(0, total_rows, HOT_MOD))
+    assert got_total == total_rows, (got_total, total_rows)
+    assert got_hot == want_hot, (got_hot, want_hot)
+    if want_hot > hot_threshold:  # warmup runs can be below the budget
+        assert int(hot.get(hot_cell, 1)) > 1, "hot cell never salted — torture vacuous"
+    return {
+        "rows": total_rows,
+        "wall_s": wall,
+        "rows_per_s": total_rows / wall,
+        "hot_fanout": int(hot.get(hot_cell, 1)),
+    }
+
+
 def run_secondary(sf_dir: str) -> dict:
     """Per-query wall times for the broader operator surface."""
     from prclz_ray.queries import QUERIES
@@ -181,6 +273,13 @@ def run_secondary(sf_dir: str) -> dict:
         "doc_surprisal",
         "train_pack",
         "ann_topk_pq",
+        "dedup_embedding_ann",
+        "media_pixels",
+        "frame_pixels",
+        "dedup_keep_best",
+        "host_stats",
+        "events_late",
+        "blocks_buffered",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",
@@ -201,7 +300,7 @@ def run_secondary(sf_dir: str) -> dict:
 
 
 def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool,
-               mode: str = "task") -> dict:
+               mode: str = "task", skew: bool = False) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -213,6 +312,27 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool,
             DataContext.get_current().enable_progress_bars = False
         except Exception:
             pass
+    if skew:
+        run_skew(sf_dir, max(min(2, amplify), amplify // 8), num_cpus)  # warmup
+        head = run_skew(sf_dir, amplify, num_cpus)
+        second = run_skew(sf_dir, amplify, num_cpus)
+        if second["wall_s"] < head["wall_s"]:
+            head = second
+        result = {
+            "metric": "skewed salted count-by-cell wall seconds (throughput in rows_per_s)",
+            "value": round(head["wall_s"], 3),
+            "unit": "sec",
+            "rows": head["rows"],
+            "rows_per_s": round(head["rows_per_s"], 1),
+            "hot_fanout": head["hot_fanout"],
+            "queries": {"skew_salted_count": round(head["wall_s"], 3)},
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": num_cpus,
+            "amplify": amplify,
+            "mode": "skew",
+        }
+        ray.shutdown()
+        return result
     # warmup sized to touch EVERY worker process (amplify//8 → ≥ 2×cpus
     # shards at the default 2000): a 2-replica warmup left ~30 of 32
     # workers paying import + index build inside the timed run — a
@@ -242,7 +362,8 @@ def single_run(sf_dir: str, num_cpus: int, amplify: int, secondary: bool,
     return result
 
 
-def scaling_run(sf_dir: str, amplify: int, mode: str = "task") -> dict:
+def scaling_run(sf_dir: str, amplify: int, mode: str = "task",
+                skew: bool = False) -> dict:
     """Same job at 8 and 32 CPUs in fresh processes; efficiency =
     rows/s(32) / (4 * rows/s(8))."""
     if "--amplify" not in sys.argv:  # explicit flag wins; else scale up
@@ -253,7 +374,7 @@ def scaling_run(sf_dir: str, amplify: int, mode: str = "task") -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--json-only",
              "--num-cpus", str(cpus), "--amplify", str(amplify),
-             "--mode", mode],
+             "--mode", mode] + (["--skew"] if skew else []),
             env={**os.environ, "GRAFT_SF_DIR": sf_dir},
             capture_output=True, text=True, timeout=1800,
         )
@@ -276,7 +397,8 @@ def scaling_run(sf_dir: str, amplify: int, mode: str = "task") -> dict:
     r8, r32 = results[8]["rows_per_s"], results[32]["rows_per_s"]
     eff = r32 / (4 * r8)
     return {
-        "metric": "scaling efficiency (8→32 CPUs, fresh sessions)",
+        "metric": ("skewed " if skew else "")
+        + "scaling efficiency (8→32 CPUs, fresh sessions)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "rows_per_s_8": r8,
@@ -307,13 +429,16 @@ def main():
     ap.add_argument("--mode", choices=("task", "actor"),
                     default=os.environ.get("GRAFT_MODE", "task"),
                     help="join-stage execution: task (per-worker cache) or actor pools")
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-key torture: salted count-by-cell with 90%% of rows on one cell")
     args = ap.parse_args()
 
     if args.scaling:
-        result = scaling_run(args.sf_dir, args.amplify, args.mode)
+        result = scaling_run(args.sf_dir, args.amplify, args.mode, skew=args.skew)
     else:
         result = single_run(args.sf_dir, args.num_cpus, args.amplify,
-                            secondary=not args.json_only, mode=args.mode)
+                            secondary=not args.json_only, mode=args.mode,
+                            skew=args.skew)
     print(json.dumps(result))
 
 
