@@ -1619,9 +1619,18 @@ def q_ann_topk_ivf(sf_dir: str):
         merge_topk,
         probed_paths,
     )
+    from .stages.scaling import dynamic_buckets, parquet_rows
 
     qref, emb, qmat, _ = _load_query_vectors(sf_dir)
-    cents = ivf_centroids(emb)
+    # list count scales with the corpus (list size ≈ 125 vectors) so
+    # NPROBE/n_lists — the per-query read fraction — SHRINKS as the
+    # corpus grows instead of each list growing unboundedly; at the
+    # test scales (≤2000 vectors) the floor of 16 is in effect and
+    # behavior is identical to the tuned round-3 operating point
+    n_lists = dynamic_buckets(
+        parquet_rows(f"{sf_dir}/embeddings.parquet"), 16, rows_per_group=125
+    )
+    cents = ivf_centroids(emb, n_lists=n_lists)
     root = build_ivf_partitions(sf_dir, cents)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     paths = probed_paths(root, ivf_probe(qn, cents).ravel())
@@ -3945,10 +3954,10 @@ def q_ann_topk_pq(sf_dir: str):
     is stored as codes (16× smaller than float32) and the encode is
     a one-time map_batches. Approximate by design → rows-only check +
     recall pytest."""
-    from .stages.similarity import make_pq_topk_fn, merge_topk, pq_codebooks
+    from .stages.similarity import make_pq_topk_fn, merge_topk, pq_codebooks, pq_k_for
 
     qref, emb, _, _ = _load_query_vectors(sf_dir)
-    books = pq_codebooks(emb)
+    books = pq_codebooks(emb, k=pq_k_for(len(emb)))
     ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

@@ -434,9 +434,24 @@ def centroid_combine(group: pa.Table) -> pa.Table:
 # PQ variant (scale path 3): product quantization + ADC scoring
 
 PQ_M = 16  # subspaces (64-dim embeddings → 4 dims each)
-PQ_K = 64  # codewords per subspace (6-bit codes; 16 uint8 bytes per
-# vector = 16× smaller than float32; measured recall@10 0.68 vs 0.42
-# at the coarser 8×16 setting on the fixture)
+PQ_K = 64  # codewords per subspace at the 500-vector fixture scale
+# (floor of the input-scaled rule below); codes are PQ_M uint8 bytes
+# per vector = 16× smaller than float32 regardless of K
+
+
+def pq_k_for(n_train: int) -> int:
+    """Input-scaled codeword count: the largest power of two in
+    [32, 256] keeping ≥ ~4 training vectors per centroid per subspace.
+    Measured recall@10 (sf0.1, 2000 vectors / 20 queries):
+    K=32 → .515, 64 → .545, 128 → .665, 256 → .740 — richer codebooks
+    win as soon as the training sample supports them, while the code
+    width stays uint8 (K ≤ 256) and the per-query ADC LUT stays
+    trivial (PQ_M × K floats). At n=500 (sf0.001 fixture) this returns
+    the round-3 operating point K=64."""
+    k = 32
+    while k < 256 and k * 8 <= n_train:
+        k *= 2
+    return k
 
 
 def pq_codebooks(vectors: np.ndarray, m: int = PQ_M, k: int = PQ_K,
