@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                    help="solve only the first N blocks (the reference's block_list)")
     r.add_argument("--num-cpus", type=int, default=None)
 
+    qc = sub.add_parser("qc", help="render the corpus QC report (markdown + parquet rollups)")
+    qc.add_argument("--input", required=True, help="sf_dir with the parquet tables")
+    qc.add_argument("--output", required=True, help="artifact dir (QC_REPORT.md, qc_*.parquet)")
+    qc.add_argument("--num-cpus", type=int, default=None)
+
     cp = sub.add_parser(
         "compose",
         help="chain registered document stages (prclz_ray.registry.DOC_STAGES) over documents.parquet",
@@ -115,6 +120,10 @@ def main(argv=None) -> int:
             from .pipelines.reblock import run_reblock
 
             print(json.dumps(run_reblock(args.output, limit_blocks=args.block_limit)))
+        elif args.cmd == "qc":
+            from .pipelines.qc import run_qc_report
+
+            print(json.dumps(run_qc_report(args.input, args.output)))
         elif args.cmd == "compose":
             from .io import read_parquet_clean
             from .registry import compose_stages

@@ -1,0 +1,153 @@
+"""Human-facing QC report — the engine's counterpart of the
+reference's match-rate maps and completeness tracker
+(``data_processing/split_geojson.py:214-249`` renders per-district
+match-rate choropleths; ``data_processing/data_tracker.py:14-70``
+tabulates per-country progress).  Here the same content is one small
+markdown artifact + two parquet tables:
+
+- ``qc_summary.parquet`` — the (section, metric, value) table of
+  ``queries.q_qc_report`` (oracle-checked: every value is an exact
+  integer the DuckDB gate hashes bit-for-bit);
+- ``qc_per_gadm.parquet`` — the 101-row per-admin-cell page counts
+  (zero-filled grid + no-geo sentinel, A3 semantics);
+- ``QC_REPORT.md`` — rendered sections plus an ASCII density map of
+  the admin grid (the choropleth stand-in: no plotting libs in the
+  engine's environment, and a text artifact diffs cleanly in review).
+
+Everything here is driver-side formatting of already-tiny rollup
+results — the distributed work happened inside the oracle-checked
+queries this composes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import world
+
+# density glyphs, lightest→densest (quantile-free: fixed fractions of
+# the max cell count, so two runs over the same corpus render the same)
+_GLYPHS = " .:-=+*#%@"
+
+
+def _ascii_density_map(per_gadm: pa.Table) -> str:
+    """10×10 admin-grid density map, row gy descending (north up)."""
+    n_axis = world.N_BLOCKS * world.BLOCK_E6 // world.GADM_E6
+    counts = dict(
+        zip(
+            per_gadm.column("gadm_key").to_pylist(),
+            per_gadm.column("n_pages").to_pylist(),
+        )
+    )
+    peak = max(
+        (v for k, v in counts.items() if k != world.SENTINEL_GADM), default=0
+    )
+    lines = []
+    for gy in range(n_axis - 1, -1, -1):
+        row = []
+        for gx in range(n_axis):
+            v = counts.get(world.gadm_id_str(gx, gy), 0)
+            if peak <= 0 or v <= 0:
+                row.append(_GLYPHS[0] if v <= 0 else _GLYPHS[1])
+            else:
+                row.append(_GLYPHS[min(len(_GLYPHS) - 1, 1 + v * (len(_GLYPHS) - 2) // peak)])
+        lines.append("".join(row))
+    return "\n".join(lines)
+
+
+def render_qc_report(summary: pa.Table, per_gadm: pa.Table, sf_dir: str) -> str:
+    """Markdown QC report from the two rollup tables (pure driver-side
+    string work — both inputs are ≤ ~101 rows by construction)."""
+    vals = {
+        (s, m): v
+        for s, m, v in zip(
+            summary.column("section").to_pylist(),
+            summary.column("metric").to_pylist(),
+            summary.column("value").to_pylist(),
+        )
+    }
+
+    def pct(ppm_key: tuple[str, str]) -> str:
+        return f"{vals[ppm_key] / 10_000:.2f}%"
+
+    out = [f"# QC report — `{sf_dir}`", ""]
+    out += [
+        "## Coverage",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| pages total | {vals[('coverage', 'n_pages_total')]:,} |",
+        f"| pages with geo | {vals[('coverage', 'n_pages_geo')]:,} "
+        f"({pct(('coverage', 'geo_ppm'))}) |",
+        f"| pages without geo (sentinel) | {vals[('coverage', 'n_pages_no_geo')]:,} |",
+        f"| admin cells with pages | {vals[('coverage', 'n_gadm_nonzero')]} |",
+        "",
+        "Page density by admin cell (north up, ` `=0 → `@`=peak):",
+        "",
+        "```",
+        _ascii_density_map(per_gadm),
+        "```",
+        "",
+    ]
+    out += [
+        "## Dedup",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| documents | {vals[('dedup', 'n_docs')]:,} |",
+        f"| unique texts | {vals[('dedup', 'n_unique_text')]:,} |",
+        f"| duplicate rate | {pct(('dedup', 'dup_ppm'))} |",
+        "",
+        "## Quality gate",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| documents passing | {vals[('quality', 'n_pass')]:,} "
+        f"({pct(('quality', 'pass_ppm'))}) |",
+        "",
+        "## Language mix",
+        "",
+        "| language | pages |",
+        "|---|---|",
+    ]
+    for (s, m), v in sorted(vals.items()):
+        if s == "lang":
+            out.append(f"| {m.removeprefix('n_lang_')} | {v:,} |")
+    out.append("")
+    return "\n".join(out)
+
+
+def run_qc_report(sf_dir: str, out_dir: str) -> dict:
+    """Compute + render the QC artifact set into ``out_dir`` (atomic
+    per-file via same-dir tmp + rename, so a killed run never leaves a
+    half-written report). Returns a small manifest dict."""
+    from ..queries import _joined, q_qc_report
+    from ..stages.rollup import match_count_qc
+
+    os.makedirs(out_dir, exist_ok=True)
+    summary = q_qc_report(sf_dir)
+    per_gadm = match_count_qc(_joined(sf_dir))
+    md = render_qc_report(summary, per_gadm, sf_dir)
+
+    artifacts = {}
+    for name, writer in (
+        ("qc_summary.parquet", lambda p: pq.write_table(summary, p)),
+        ("qc_per_gadm.parquet", lambda p: pq.write_table(per_gadm, p)),
+        ("QC_REPORT.md", lambda p: open(p, "w").write(md)),
+    ):
+        fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=f".{name}.")
+        os.close(fd)
+        writer(tmp)
+        final = os.path.join(out_dir, name)
+        os.replace(tmp, final)
+        artifacts[name] = final
+    return {
+        "out_dir": out_dir,
+        "n_summary_rows": summary.num_rows,
+        "n_gadm_rows": per_gadm.num_rows,
+        "artifacts": sorted(artifacts),
+    }

@@ -2697,6 +2697,109 @@ def q_complexity_hist(sf_dir: str):
     )
 
 
+def q_qc_report(sf_dir: str):
+    """Corpus-level QC SUMMARY — the engine's human-facing QC rollup
+    (reference parity: the match-rate report of
+    ``data_processing/split_geojson.py:214-249`` and the completeness
+    tracker of ``data_processing/data_tracker.py:14-70``). One small
+    (section, metric, value) table assembled from the same distributed
+    rollups the registry already oracles: geographic coverage from the
+    joined page stream (101-row per-gadm table → driver math), exact
+    dedup cardinality, quality-gate pass count, language mix. Every
+    value is an exact integer (rates as parts-per-million via integer
+    division) so the table hashes bit-for-bit against the SQL oracle.
+    ``pipelines/qc.run_qc_report`` renders this plus the per-gadm
+    detail as a markdown artifact."""
+    from .stages.rollup import match_count_qc
+    from .stages.scaling import parquet_rows
+
+    per_gadm = match_count_qc(_joined(sf_dir))  # 101 rows, driver-side
+    n_by_key = dict(
+        zip(
+            per_gadm.column("gadm_key").to_pylist(),
+            per_gadm.column("n_pages").to_pylist(),
+        )
+    )
+    n_no_geo = int(n_by_key.get(world.SENTINEL_GADM, 0))
+    n_total = int(sum(n_by_key.values()))
+    n_geo = n_total - n_no_geo
+    n_gadm_nonzero = sum(
+        1 for k, v in n_by_key.items() if k != world.SENTINEL_GADM and v > 0
+    )
+
+    n_docs = parquet_rows(f"{sf_dir}/documents.parquet")
+    n_unique = q_dedup_exact(sf_dir).count()
+    n_pass = q_quality_filter(sf_dir).count()
+
+    # language mix: tiny partial-aggregate groupby over the lang_id map
+    lang_partial = q_lang_id(sf_dir).map_batches(
+        lambda b: pa.table({"lang_pred": b.column("lang_pred")})
+        .group_by("lang_pred")
+        .aggregate([([], "count_all")])
+        .rename_columns(["lang_pred", "n"]),
+        batch_format="pyarrow",
+    )
+    lang_counts = (
+        lang_partial.repartition(1).groupby("lang_pred").sum("n").to_pandas()
+    )
+
+    rows: list[tuple[str, str, int]] = [
+        ("coverage", "n_pages_total", n_total),
+        ("coverage", "n_pages_geo", n_geo),
+        ("coverage", "n_pages_no_geo", n_no_geo),
+        ("coverage", "geo_ppm", n_geo * 1_000_000 // max(1, n_total)),
+        ("coverage", "n_gadm_nonzero", n_gadm_nonzero),
+        ("dedup", "n_docs", n_docs),
+        ("dedup", "n_unique_text", n_unique),
+        ("dedup", "dup_ppm", (n_docs - n_unique) * 1_000_000 // max(1, n_docs)),
+        ("quality", "n_pass", n_pass),
+        ("quality", "pass_ppm", n_pass * 1_000_000 // max(1, n_docs)),
+    ]
+    for lang, n in sorted(
+        zip(lang_counts["lang_pred"], lang_counts["sum(n)"].astype(int))
+    ):
+        rows.append(("lang", f"n_lang_{lang}", int(n)))
+    return pa.table(
+        {
+            "section": pa.array([r[0] for r in rows], pa.string()),
+            "metric": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_qc_report() -> str:
+    """UNION ALL of small aggregates mirroring q_qc_report exactly —
+    each leg reuses the registry's existing SQL fragments (GEO_CTE,
+    dedup-exact hash, quality filter, lang argmax), so the QC summary
+    is hash-checked against the same semantics the per-op oracles pin.
+    DuckDB ``//`` on BIGINT is floor division, matching Python."""
+    return (
+        _WITH_GEO
+        + f"""
+SELECT 'coverage' AS section, 'n_pages_total' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM pages
+UNION ALL SELECT 'coverage', 'n_pages_geo', CAST(COUNT(*) AS BIGINT) FROM pages WHERE has_geo
+UNION ALL SELECT 'coverage', 'n_pages_no_geo', CAST(COUNT(*) AS BIGINT) FROM pages WHERE NOT has_geo
+UNION ALL SELECT 'coverage', 'geo_ppm',
+  (SELECT CAST(COUNT(*) FILTER (WHERE has_geo) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT) FROM pages)
+UNION ALL SELECT 'coverage', 'n_gadm_nonzero',
+  (SELECT CAST(COUNT(DISTINCT {_GADM_SQL}) AS BIGINT) FROM pages WHERE has_geo)
+UNION ALL SELECT 'dedup', 'n_docs', CAST(COUNT(*) AS BIGINT) FROM documents
+UNION ALL SELECT 'dedup', 'n_unique_text',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_sql_dedup_exact()}))
+UNION ALL SELECT 'dedup', 'dup_ppm',
+  (SELECT CAST((COUNT(*) - (SELECT COUNT(*) FROM ({_sql_dedup_exact()}))) * 1000000
+        // GREATEST(COUNT(*), 1) AS BIGINT) FROM documents)
+UNION ALL SELECT 'quality', 'n_pass',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_sql_quality_filter()}))
+UNION ALL SELECT 'quality', 'pass_ppm',
+  (SELECT CAST((SELECT COUNT(*) FROM ({_sql_quality_filter()})) * 1000000
+        // GREATEST(COUNT(*), 1) AS BIGINT) FROM documents)
+UNION ALL SELECT 'lang', 'n_lang_' || lang_pred, CAST(COUNT(*) AS BIGINT)
+  FROM ({_sql_lang_id()}) GROUP BY 2"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus curation (host caps, line dedup, repetition, clusters, tf-idf)
 
@@ -4489,6 +4592,7 @@ QUERIES: Dict[str, Callable] = {
     "canonical_urls": q_canonical_urls,
     "robots_filter": q_robots_filter,
     "train_pack": q_train_pack,
+    "qc_report": q_qc_report,
 }
 
 def _sql_golden(name: str) -> str:
@@ -4600,6 +4704,7 @@ ORACLES: Dict[str, str] = {
     "canonical_urls": SQL_CANONICAL_URLS,
     "robots_filter": _sql_robots_filter(),
     "train_pack": _sql_train_pack(),
+    "qc_report": _sql_qc_report(),
     # block_complexity / complexity_hist: geometry not SQL-expressible;
     # ann_topk_lsh: approximate by design → rows-only driver checks.
 }

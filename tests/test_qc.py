@@ -1,0 +1,76 @@
+"""QC report (the reference's match-rate map / completeness tracker,
+`data_processing/split_geojson.py:214-249` + `data_tracker.py:14-70`):
+exact-integer summary invariants and the rendered markdown artifact."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def summary(ray_session):
+    from prclz_ray.queries import q_qc_report
+
+    return q_qc_report(SF)
+
+
+def _vals(summary):
+    return {
+        (s, m): v
+        for s, m, v in zip(
+            summary.column("section").to_pylist(),
+            summary.column("metric").to_pylist(),
+            summary.column("value").to_pylist(),
+        )
+    }
+
+
+def test_qc_summary_invariants(summary):
+    v = _vals(summary)
+    total = v[("coverage", "n_pages_total")]
+    geo = v[("coverage", "n_pages_geo")]
+    assert total == geo + v[("coverage", "n_pages_no_geo")]
+    assert v[("coverage", "geo_ppm")] == geo * 1_000_000 // total
+    assert 0 < v[("coverage", "n_gadm_nonzero")] <= 100
+    n_docs = v[("dedup", "n_docs")]
+    assert n_docs == 500  # sf0.001 documents table
+    assert 0 < v[("dedup", "n_unique_text")] <= n_docs
+    assert v[("quality", "n_pass")] <= n_docs
+    # language mix partitions the corpus
+    lang_total = sum(val for (s, _), val in v.items() if s == "lang")
+    assert lang_total == n_docs
+    # every value is a non-negative exact integer
+    assert all(isinstance(val, int) and val >= 0 for val in v.values())
+
+
+def test_qc_report_artifact_roundtrip(ray_session, summary, tmp_path):
+    from prclz_ray.pipelines.qc import render_qc_report, run_qc_report
+
+    out = run_qc_report(SF, str(tmp_path / "qc"))
+    assert sorted(out["artifacts"]) == [
+        "QC_REPORT.md",
+        "qc_per_gadm.parquet",
+        "qc_summary.parquet",
+    ]
+    md = open(tmp_path / "qc" / "QC_REPORT.md").read()
+    for section in ("## Coverage", "## Dedup", "## Quality gate", "## Language mix"):
+        assert section in md
+    # the ascii density map is a 10x10 block inside a code fence
+    fence = md.split("```")[1].strip("\n").split("\n")
+    assert len(fence) == 10 and all(len(r) == 10 for r in fence)
+
+    # parquet artifacts round-trip and the summary matches the query
+    disk = pq.read_table(tmp_path / "qc" / "qc_summary.parquet")
+    assert disk.equals(summary)
+    per_gadm = pq.read_table(tmp_path / "qc" / "qc_per_gadm.parquet")
+    assert per_gadm.num_rows == 101  # 10x10 grid + sentinel
+
+    # renderer is deterministic on the same inputs
+    assert render_qc_report(disk, per_gadm, SF) == render_qc_report(
+        disk, per_gadm, SF
+    )
+    # atomic write: no tmp droppings
+    assert not [f for f in os.listdir(tmp_path / "qc") if f.startswith(".")]

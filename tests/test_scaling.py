@@ -113,3 +113,23 @@ def test_pagerank_buckets_scale_with_edges(ray_session):
         .to_pandas().sort_values("host").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_pq_k_for_scaling_rule():
+    """PQ codewords scale with the training sample: >= ~8 vectors per
+    centroid, K a power of two in [32, 256] so codes stay uint8 and
+    test-scale operating points match the documented sweep (BASELINE
+    round 4: K=64 at n=500 -> recall .72, K=256 at n=2000 -> .74)."""
+    from prclz_ray.stages.similarity import pq_k_for
+
+    assert pq_k_for(500) == 64     # sf0.001 fixture (round-3 point)
+    assert pq_k_for(2000) == 256   # sf0.1
+    assert pq_k_for(100) == 32     # floor: tiny corpora
+    ks = [pq_k_for(n) for n in (100, 300, 500, 1000, 2000, 10**6)]
+    assert ks == sorted(ks)        # monotone in n
+    assert all(32 <= k <= 256 and (k & (k - 1)) == 0 for k in ks)
+    # degeneracy bound above the K=32 floor: >= 4 vectors per centroid
+    # (the doubling rule stops once the NEXT K would drop below 8)
+    assert all(
+        n // pq_k_for(n) >= 4 for n in (300, 500, 2000, 10**6) if pq_k_for(n) > 32
+    )
