@@ -125,12 +125,12 @@ def run_qc_report(sf_dir: str, out_dir: str) -> dict:
     """Compute + render the QC artifact set into ``out_dir`` (atomic
     per-file via same-dir tmp + rename, so a killed run never leaves a
     half-written report). Returns a small manifest dict."""
-    from ..queries import _joined, q_qc_report
-    from ..stages.rollup import match_count_qc
+    from ..queries import _qc_tables
 
     os.makedirs(out_dir, exist_ok=True)
-    summary = q_qc_report(sf_dir)
-    per_gadm = match_count_qc(_joined(sf_dir))
+    # one joined-pipeline run yields both tables (the summary is
+    # derived from the per-gadm rollup — never compute it twice)
+    summary, per_gadm = _qc_tables(sf_dir)
     md = render_qc_report(summary, per_gadm, sf_dir)
 
     artifacts = {}

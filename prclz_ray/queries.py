@@ -1404,6 +1404,39 @@ ORDER BY vec_a, vec_b
 """
 
 
+_EMPTY_PAIR_PB = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "pb": pa.array([], pa.int64()),
+    }
+)
+
+EMB_TRAIN_SAMPLE = 20_000  # vectors read onto the driver for k-means
+# training / partition sizing — everything else stays distributed
+
+
+def _embedding_sample(path: str, cap: int = EMB_TRAIN_SAMPLE) -> np.ndarray:
+    """First row groups of the embeddings table up to ``cap`` rows, as
+    a normalized-ready float matrix — the driver's training sample. At
+    every test sf this is the whole table (single small file), so
+    behavior there is unchanged; at corpus scale the read is bounded."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import embedding_matrix
+
+    pf = pq.ParquetFile(path)
+    parts, got = [], 0
+    for i in range(pf.num_row_groups):
+        rg = pf.read_row_group(i, columns=["embedding"])
+        parts.append(rg)
+        got += rg.num_rows
+        if got >= cap:
+            break
+    t = pa.concat_tables(parts).slice(0, cap)
+    return embedding_matrix(t.column("embedding"))
+
+
 def q_dedup_embedding_ann(sf_dir: str):
     """The REGISTERED scale path for embedding near-dup (VERDICT r3:
     the exact chunk-pair join stays as the validation oracle, this IVF
@@ -1413,9 +1446,7 @@ def q_dedup_embedding_ann(sf_dir: str):
     when n_lists scales with the corpus) → one bounded pair-bucket
     distinct pass. Approximate by design → rows-only check; recall vs
     the exact pair set is golden-tested (tests/test_stages.py)."""
-    import pyarrow.parquet as pq
-
-    from .stages.dedup import PAIR_BUCKETS
+    from .stages.dedup import PAIR_BUCKETS, add_pair_hash
     from .stages.scaling import dynamic_buckets, parquet_rows
     from .stages.similarity import (
         embedding_matrix,
@@ -1427,15 +1458,19 @@ def q_dedup_embedding_ann(sf_dir: str):
 
     from .stages.similarity import IVF_DEDUP_PROBES
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")  # sample for training
-    emb = embedding_matrix(t.column("embedding"))
+    # BOUNDED training sample (first row groups up to the cap): at
+    # test scales this is the whole table (identical behavior); at
+    # corpus scale only the sample — never the full embedding matrix —
+    # touches the driver. k-means quality needs ~10^4 vectors, not 10^8.
+    emb = _embedding_sample(f"{sf_dir}/embeddings.parquet")
     n = parquet_rows(f"{sf_dir}/embeddings.parquet")
     # lists scale with the corpus so a list's all-pairs stays bounded
     cents = ivf_centroids(emb, n_lists=dynamic_buckets(n, 16, rows_per_group=10_000))
     pb_n = dynamic_buckets(n, PAIR_BUCKETS)
-    # reduce-partition count = lists the training sample actually probes
-    # into — k-means can leave lists empty, and partitions > non-empty
-    # groups emit SCHEMA-LESS blocks (the CLAUDE.md hazard)
+    # reduce-partition count ≤ lists the SAMPLE probes into — k-means
+    # can leave lists empty, and partitions > non-empty groups emit
+    # SCHEMA-LESS blocks (the CLAUDE.md hazard). Undercounting from
+    # the sample is safe (fewer partitions, never empty ones).
     emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
     used = np.unique(
         np.argsort(-(emb_n @ cents.T), axis=1)[:, :IVF_DEDUP_PROBES]
@@ -1452,28 +1487,29 @@ def q_dedup_embedding_ann(sf_dir: str):
         if b.num_rows == 0 or "vec_a" not in b.column_names:
             # an EMPTY IVF list's reduce partition emits a schema-less
             # block (the CLAUDE.md hazard) — re-type it here
+            return _EMPTY_PAIR_PB
+        return add_pair_hash(b, n_buckets=pb_n, a_col="vec_a", b_col="vec_b")
+
+    def retype_pairs(b: pa.Table) -> pa.Table:
+        # a pb reduce partition that received no groups re-emits
+        # schema-less — re-type so the output Dataset always carries
+        # the (vec_a, vec_b) schema
+        if b.num_rows == 0 or "vec_a" not in b.column_names:
             return pa.table(
-                {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
-                    "pb": pa.array([], pa.int64()),
-                }
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
             )
-        a = b.column("vec_a").to_numpy(zero_copy_only=False)
-        d = b.column("vec_b").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "pb", pa.array((a * 1_000_003 + d) % pb_n, pa.int64())
-        )
+        return b
 
     # squeeze to ≤ group count before the distinct groupby (pagerank's
-    # hygiene): a reduce partition with no groups emits a SCHEMA-LESS
-    # block (the CLAUDE.md hazard); pair count >> 8 at scale, so no
-    # reduce-parallelism loss where it matters
+    # hygiene); the row-count cap alone is NOT a group-count bound
+    # (multi-probe duplicates rows), hence retype_pairs downstream.
+    # Pair count >> 8 at scale, so no reduce-parallelism loss.
     keyed = pairs.map_batches(add_pb, batch_format="pyarrow").materialize()
     return (
         keyed.repartition(max(1, min(8, keyed.count())))
         .groupby("pb")
         .map_groups(pair_distinct, batch_format="pyarrow")
+        .map_batches(retype_pairs, batch_format="pyarrow")
     )
 
 
@@ -2684,10 +2720,12 @@ def q_complexity_hist(sf_dir: str):
         return t.group_by("k").aggregate([([], "count_all")]).rename_columns(["k", "n"])
 
     # repartition ≤ distinct-k count before the groupby: empty aggregate
-    # partitions emit schema-less blocks (CLAUDE.md invariant)
+    # partitions emit schema-less blocks (CLAUDE.md invariant). The
+    # fixture has 3 distinct k values, so 1 is the only always-safe
+    # count (the partial stream is ≤ distinct-k rows per block — bytes)
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(4)
+        .repartition(1)
         .groupby("k")
         .sum("n")
     )
@@ -2710,6 +2748,14 @@ def q_qc_report(sf_dir: str):
     division) so the table hashes bit-for-bit against the SQL oracle.
     ``pipelines/qc.run_qc_report`` renders this plus the per-gadm
     detail as a markdown artifact."""
+    return _qc_tables(sf_dir)[0]
+
+
+def _qc_tables(sf_dir: str):
+    """(summary, per_gadm) for the QC family — one joined-pipeline run
+    serves both (run_qc_report needs the per-gadm detail the summary
+    is derived from; recomputing it would double the report's most
+    expensive stage)."""
     from .stages.rollup import match_count_qc
     from .stages.scaling import parquet_rows
 
@@ -2759,13 +2805,14 @@ def q_qc_report(sf_dir: str):
         zip(lang_counts["lang_pred"], lang_counts["sum(n)"].astype(int))
     ):
         rows.append(("lang", f"n_lang_{lang}", int(n)))
-    return pa.table(
+    summary = pa.table(
         {
             "section": pa.array([r[0] for r in rows], pa.string()),
             "metric": pa.array([r[1] for r in rows], pa.string()),
             "value": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+    return summary, per_gadm
 
 
 def _sql_qc_report() -> str:

@@ -94,8 +94,17 @@ def _annotator(compute: Callable[[pa.Table], pa.Table]) -> Callable[[pa.Table], 
         feats = compute(batch)
         out = batch
         for name in feats.column_names:
+            if name == "doc_id":
+                continue  # the key echo every kernel emits
             if name in out.column_names:
-                continue  # doc_id (and any echoed input column)
+                # a silent skip here would leave the EXISTING column in
+                # place and drop the stage's output — un-annotated data
+                # with no error (e.g. redact_pii over a table that
+                # already has clean_text). Loud beats wrong.
+                raise ValueError(
+                    f"stage output column {name!r} already exists in the "
+                    "batch; rename the input column or the stage output"
+                )
             out = out.append_column(name, feats.column(name))
         return out
 

@@ -362,12 +362,15 @@ def shingle_cooccur_pairs(group: pa.Table, max_df: int = MAX_SHINGLE_DF) -> pa.T
 PAIR_BUCKETS = 512  # shuffle-key buckets for the pair-count aggregation
 
 
-def add_pair_hash(batch: pa.Table, n_buckets: int = PAIR_BUCKETS) -> pa.Table:
-    """Append ``pb = hash(doc_a, doc_b) % n_buckets`` — the bounded
-    shuffle key of the inverted-index join's count stage (same
-    tiny-groups rule as `add_bucket_hash`)."""
-    a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-    d = batch.column("doc_b").to_numpy(zero_copy_only=False)
+def add_pair_hash(batch: pa.Table, n_buckets: int = PAIR_BUCKETS,
+                  a_col: str = "doc_a", b_col: str = "doc_b") -> pa.Table:
+    """Append ``pb = hash(a, b) % n_buckets`` — the bounded shuffle key
+    of every pair-distinct/pair-count stage (same tiny-groups rule as
+    `add_bucket_hash`). The ONE home of the pair-bucket formula: both
+    the Jaccard count join (doc_a/doc_b) and the embedding near-dup
+    pass (vec_a/vec_b) key through here."""
+    a = batch.column(a_col).to_numpy(zero_copy_only=False)
+    d = batch.column(b_col).to_numpy(zero_copy_only=False)
     return batch.append_column(
         "pb", pa.array((a * 1_000_003 + d) % n_buckets, pa.int64())
     )

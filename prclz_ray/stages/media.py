@@ -190,6 +190,14 @@ def _decode_batch_pixels(batch: pa.Table):
             raise ValueError(f"bad media blob at row {int(np.argmax(bad))}: magic invalid")
     width = d64[starts + 4] * 256 + d64[starts + 5]
     height = d64[starts + 6] * 256 + d64[starts + 7]
+    if (width * height == 0).any():
+        # a zero-area image passes the pixel-count check (0 == 0·h) but
+        # puts a repeated/terminal offset into the reduceat calls
+        # downstream (wrong-doc px_max, or IndexError when last)
+        raise ValueError(
+            f"bad media blob at row {int(np.argmax(width * height == 0))}: "
+            "zero-area image"
+        )
     npairs = (lens - 8) // 2
     tot = int(npairs.sum())
     base = np.repeat(starts + 8, npairs)
@@ -266,8 +274,7 @@ def frame_pixel_sums(batch: pa.Table, every_n: int = 4) -> pa.Table:
             }
         )
     doc, width, height, flat, n_px = _decode_batch_pixels(batch)
-    if (width == 0).any():
-        raise ValueError("width=0 IMG2 blob has no frames")
+    # zero-area blobs already rejected by the decode
     n = len(doc)
     tot_rows = int(height.sum())
     img_of_row = np.repeat(np.arange(n), height)

@@ -285,11 +285,16 @@ def shuffle_key_rows(batch: pa.Table, n_buckets: int = PACK_BUCKETS) -> pa.Table
     text = _combined(pc.fill_null(batch.column("text"), ""))
     h = hash_strings62(text)
     n = len(batch)
+    # CEIL width: a floor width (HASH_SPAN // n) maps the top
+    # (HASH_SPAN mod n) hash values to bucket index n — out of range
+    # for bucket_bases' sums array — whenever the input-scaled count
+    # is not a power of two
+    width = -(-HASH_SPAN // n_buckets)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "h": _i64(h),
-            "sb": _i64(h // (HASH_SPAN // n_buckets)),
+            "sb": _i64(h // width),
             "one": _i64(np.ones(n, dtype=np.int64)),
         }
     )

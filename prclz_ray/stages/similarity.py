@@ -121,11 +121,16 @@ def ivf_centroids(vectors: np.ndarray, n_lists: int = 16, iters: int = 10,
     c = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)
-        for j in range(len(c)):
-            sel = x[assign == j]
-            if len(sel):
-                m = sel.mean(axis=0)
-                c[j] = m / max(np.linalg.norm(m), 1e-12)
+        # vectorized centroid update (np.add.at + bincount): the
+        # per-centroid boolean-mask loop was O(n_lists · n · d) per
+        # iteration — quadratic in corpus size once n_lists is
+        # input-scaled; this is O(n · d) regardless of list count
+        sums = np.zeros_like(c, dtype=np.float64)
+        np.add.at(sums, assign, x)
+        cnt = np.bincount(assign, minlength=len(c))
+        nz = cnt > 0
+        m = sums[nz] / cnt[nz, None]
+        c[nz] = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return c
 
 
@@ -256,8 +261,11 @@ def build_srp_partitions(sf_dir: str, planes: np.ndarray) -> str:
 
 
 def build_ivf_partitions(sf_dir: str, centroids: np.ndarray) -> str:
+    # cache kind "ivf2": the vectorized Lloyd update (round 4) shifts
+    # centroids at float-rounding level, so partitions built by the
+    # old quantizer must not be served to the new probe sets
     return _build_partitions(
-        sf_dir, "ivf", lambda x: np.argmax(x @ centroids.T, axis=1).astype(np.int64)
+        sf_dir, "ivf2", lambda x: np.argmax(x @ centroids.T, axis=1).astype(np.int64)
     )
 
 

@@ -74,3 +74,24 @@ def test_qc_report_artifact_roundtrip(ray_session, summary, tmp_path):
     )
     # atomic write: no tmp droppings
     assert not [f for f in os.listdir(tmp_path / "qc") if f.startswith(".")]
+
+
+def test_img2_zero_area_blob_rejected():
+    """A width=0 (or height=0) IMG2 blob passes the pixel-count check
+    (0 == 0*h) but would corrupt the reduceat offsets downstream —
+    the decoder must reject it loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from prclz_ray.stages.media import MAGIC2, _decode_batch_pixels
+
+    blob = MAGIC2 + (0).to_bytes(2, "big") + (5).to_bytes(2, "big")  # w=0,h=5
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "media": pa.array([blob], pa.large_binary()),
+        }
+    )
+    with _pytest.raises(ValueError, match="zero-area"):
+        _decode_batch_pixels(batch)

@@ -97,3 +97,22 @@ def test_doc_stage_compose_annotates_in_order(ray_session):
     with pytest.raises(KeyError, match="registered:"):
         compose_stages(ray.data.from_arrow(docs), ["no_such_stage"])
     assert "token_counts" in DOC_STAGES.names()
+
+
+def test_annotator_column_collision_is_loud():
+    """A stage whose output column already exists must raise — the old
+    silent skip kept the EXISTING column and dropped the stage output
+    (un-annotated data with no error)."""
+    import pyarrow as pa
+
+    from prclz_ray.registry import DOC_STAGES
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["email a@b.com"]),
+            "clean_text": pa.array(["already here"]),
+        }
+    )
+    with pytest.raises(ValueError, match="clean_text.*already exists"):
+        DOC_STAGES["redact_pii"](b)

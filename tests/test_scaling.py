@@ -133,3 +133,34 @@ def test_pq_k_for_scaling_rule():
     assert all(
         n // pq_k_for(n) >= 4 for n in (300, 500, 2000, 10**6) if pq_k_for(n) > 32
     )
+
+
+def test_shuffle_bucket_width_never_overflows():
+    """Range-bucket width must be CEIL(HASH_SPAN / n): with the old
+    floor width, the top (HASH_SPAN mod n) hash values landed in
+    bucket index n — out of range for bucket_bases' sums array —
+    whenever the input-scaled count was not a power of two."""
+    from prclz_ray.stages.packing import HASH_SPAN
+
+    for n in (3, 7, 256, 300, 1000, 1_000_003):
+        width = -(-HASH_SPAN // n)
+        assert (HASH_SPAN - 1) // width < n  # max hash stays in range
+        # the floor width really was broken for non-powers-of-two
+        if HASH_SPAN % n:
+            assert (HASH_SPAN - 1) // (HASH_SPAN // n) >= n
+
+
+def test_shuffle_key_rows_buckets_in_range(ray_session):
+    import pyarrow as pa
+
+    from prclz_ray.stages.packing import shuffle_key_rows
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "text": pa.array([f"doc text {i} body" for i in range(200)]),
+        }
+    )
+    for n in (3, 300):  # non-power-of-two input-scaled counts
+        sb = shuffle_key_rows(batch, n_buckets=n).column("sb").to_numpy()
+        assert (sb >= 0).all() and (sb < n).all()
