@@ -280,6 +280,7 @@ def run_secondary(sf_dir: str) -> dict:
         "host_stats",
         "events_late",
         "blocks_buffered",
+        "qc_report",
         "sessionize",
         "events_sliding",
         "lang_id_trigram",
