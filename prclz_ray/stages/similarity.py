@@ -477,15 +477,21 @@ def pq_codebooks(vectors: np.ndarray, m: int = PQ_M, k: int = PQ_K,
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, ds), dtype=np.float64)
     for i in range(m):
-        sub = x[:, i * ds : (i + 1) * ds]
+        sub = np.ascontiguousarray(x[:, i * ds : (i + 1) * ds])
         c = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        s2 = (sub ** 2).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||s - c||² via the matmul expansion + vectorized
+            # centroid update (np.add.at): the (n,1,k) broadcast + per-
+            # centroid mask loop cost 3.5 s at K=256/n=2000 on the
+            # driver — this form is ~10× cheaper and scales O(n·k·d)
+            d2 = s2 - 2.0 * (sub @ c.T) + (c ** 2).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
-            for j in range(len(c)):
-                sel = sub[assign == j]
-                if len(sel):
-                    c[j] = sel.mean(axis=0)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, sub)
+            cnt = np.bincount(assign, minlength=len(c))
+            nz = cnt > 0
+            c[nz] = sums[nz] / cnt[nz, None]
         books[i] = c
     return books
 
@@ -495,8 +501,14 @@ def pq_encode(emb_n: np.ndarray, books: np.ndarray) -> np.ndarray:
     m, k, ds = books.shape
     codes = np.empty((len(emb_n), m), dtype=np.uint8)
     for i in range(m):
-        sub = emb_n[:, i * ds : (i + 1) * ds]
-        d2 = ((sub[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+        sub = np.ascontiguousarray(emb_n[:, i * ds : (i + 1) * ds])
+        # matmul distance expansion (see pq_codebooks) — this runs per
+        # WORKER batch in the scorer, so the cheap form matters twice
+        d2 = (
+            (sub ** 2).sum(axis=1)[:, None]
+            - 2.0 * (sub @ books[i].T)
+            + (books[i] ** 2).sum(axis=1)[None, :]
+        )
         codes[:, i] = np.argmin(d2, axis=1)
     return codes
 
