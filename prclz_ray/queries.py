@@ -1412,28 +1412,43 @@ _EMPTY_PAIR_PB = pa.table(
     }
 )
 
-EMB_TRAIN_SAMPLE = 20_000  # vectors read onto the driver for k-means
-# training / partition sizing — everything else stays distributed
+EMB_TRAIN_SAMPLE = 20_000  # min vectors read onto the driver for
+# k-means / codebook training — everything else stays distributed
+TRAIN_PER_LIST = 40  # k-means needs ~30-50 training vectors per
+# centroid; the sample cap grows with the requested list count so the
+# quantizer never silently degenerates (review r4: a fixed 20k sample
+# clamped min(n_lists, len(x)) back to 20k lists of ~1 point each)
+MAX_TRAIN_LISTS = 1 << 15  # single-level IVF ceiling: 32768 lists ×
+# 40 train vecs × 512 B ≈ 670 MB driver sample. Beyond ~3×10^8 vectors
+# (lists would exceed this at 10k rows/list) the next step is a
+# two-level quantizer (coarse driver k-means + per-list worker split),
+# not a bigger driver matrix — documented limit, SURVEY round-5 seeds.
 
 
 def _embedding_sample(path: str, cap: int = EMB_TRAIN_SAMPLE) -> np.ndarray:
-    """First row groups of the embeddings table up to ``cap`` rows, as
-    a normalized-ready float matrix — the driver's training sample. At
-    every test sf this is the whole table (single small file), so
-    behavior there is unchanged; at corpus scale the read is bounded."""
+    """STRIDED row-group sample of the embeddings table (≤ ``cap``
+    rows) as a float matrix — the driver's training sample. Row groups
+    are taken evenly across the file, not head-first: real corpora are
+    written in crawl/host order, which correlates with embedding
+    clusters, and a head sample would leave tail clusters without
+    centroids. At every test sf the table fits the cap whole, so
+    behavior there is unchanged."""
     import pyarrow.parquet as pq
 
     from .stages.similarity import embedding_matrix
 
     pf = pq.ParquetFile(path)
-    parts, got = [], 0
-    for i in range(pf.num_row_groups):
-        rg = pf.read_row_group(i, columns=["embedding"])
-        parts.append(rg)
-        got += rg.num_rows
-        if got >= cap:
-            break
-    t = pa.concat_tables(parts).slice(0, cap)
+    total = pf.metadata.num_rows
+    if total <= cap:
+        t = pf.read(columns=["embedding"])
+    else:
+        nrg = pf.num_row_groups
+        rows_per_rg = max(1, total // nrg)
+        need = min(nrg, -(-cap // rows_per_rg))
+        idx = np.unique(np.linspace(0, nrg - 1, num=need).astype(np.int64))
+        t = pa.concat_tables(
+            pf.read_row_group(int(i), columns=["embedding"]) for i in idx
+        ).slice(0, cap)
     return embedding_matrix(t.column("embedding"))
 
 
@@ -1458,22 +1473,28 @@ def q_dedup_embedding_ann(sf_dir: str):
 
     from .stages.similarity import IVF_DEDUP_PROBES
 
-    # BOUNDED training sample (first row groups up to the cap): at
-    # test scales this is the whole table (identical behavior); at
-    # corpus scale only the sample — never the full embedding matrix —
-    # touches the driver. k-means quality needs ~10^4 vectors, not 10^8.
-    emb = _embedding_sample(f"{sf_dir}/embeddings.parquet")
     n = parquet_rows(f"{sf_dir}/embeddings.parquet")
-    # lists scale with the corpus so a list's all-pairs stays bounded
-    cents = ivf_centroids(emb, n_lists=dynamic_buckets(n, 16, rows_per_group=10_000))
+    # lists scale with the corpus so a list's all-pairs stays bounded;
+    # the TRAINING SAMPLE scales with the list count (TRAIN_PER_LIST
+    # vectors per centroid) so the quantizer never degenerates, capped
+    # at the single-level ceiling (see MAX_TRAIN_LISTS)
+    n_lists = min(dynamic_buckets(n, 16, rows_per_group=10_000), MAX_TRAIN_LISTS)
+    emb = _embedding_sample(
+        f"{sf_dir}/embeddings.parquet",
+        cap=max(EMB_TRAIN_SAMPLE, TRAIN_PER_LIST * n_lists),
+    )
+    cents = ivf_centroids(emb, n_lists=n_lists)
     pb_n = dynamic_buckets(n, PAIR_BUCKETS)
     # reduce-partition count ≤ lists the SAMPLE probes into — k-means
     # can leave lists empty, and partitions > non-empty groups emit
     # SCHEMA-LESS blocks (the CLAUDE.md hazard). Undercounting from
     # the sample is safe (fewer partitions, never empty ones).
+    # argpartition, not argsort: the top-p SET is all that's needed,
+    # and a full (sample × n_lists) index sort is GBs at the ceiling
     emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    p = min(IVF_DEDUP_PROBES, len(cents))
     used = np.unique(
-        np.argsort(-(emb_n @ cents.T), axis=1)[:, :IVF_DEDUP_PROBES]
+        np.argpartition(-(emb_n @ cents.T), p - 1, axis=1)[:, :p]
     )
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     assigned = ds.map_batches(make_ivf_dedup_assign(cents), batch_format="pyarrow")
@@ -1563,19 +1584,31 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 # similarity search (ANN top-k)
 
 def _load_query_vectors(sf_dir: str):
-    """(query ObjectRef, full matrix, query matrix, query ids) —
-    queries are the vec_id % 100 == 0 rows; loaded once per call via
-    pq.read_table (at 100 TB: a sampled read for quantizer training +
-    the query-set table)."""
+    """(query ObjectRef, bounded TRAINING sample, query matrix, query
+    ids). Queries are the vec_id % 100 == 0 rows, gathered by a
+    STREAMED batch scan (driver memory = the query set, never the
+    corpus); the second element is ``_embedding_sample`` — the strided
+    ≤20k-row quantizer/codebook training matrix, which IS the whole
+    table at every test sf (identical behavior there)."""
     import pyarrow.parquet as pq
 
     from .stages.similarity import embedding_matrix, put_queries
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    emb = embedding_matrix(t.column("embedding"))
-    qsel = ids % 100 == 0
-    return put_queries(emb[qsel], ids[qsel]), emb, emb[qsel], ids[qsel]
+    path = f"{sf_dir}/embeddings.parquet"
+    pf = pq.ParquetFile(path)
+    id_parts, mat_parts = [], []
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=65_536):
+        ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 100 == 0
+        if m.any():
+            id_parts.append(ids[m])
+            mat_parts.append(
+                embedding_matrix(pa.Table.from_batches([rb]).column("embedding"))[m]
+            )
+    qids = np.concatenate(id_parts)
+    qmat = np.concatenate(mat_parts)
+    emb = _embedding_sample(path)
+    return put_queries(qmat, qids), emb, qmat, qids
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10: per-batch local top-k vs broadcast
@@ -1662,10 +1695,20 @@ def q_ann_topk_ivf(sf_dir: str):
     # NPROBE/n_lists — the per-query read fraction — SHRINKS as the
     # corpus grows instead of each list growing unboundedly; at the
     # test scales (≤2000 vectors) the floor of 16 is in effect and
-    # behavior is identical to the tuned round-3 operating point
-    n_lists = dynamic_buckets(
-        parquet_rows(f"{sf_dir}/embeddings.parquet"), 16, rows_per_group=125
+    # behavior is identical to the tuned round-3 operating point.
+    # The training sample grows with the list count (TRAIN_PER_LIST
+    # per centroid, single-level ceiling MAX_TRAIN_LISTS) so the
+    # quantizer never silently degenerates to one-point lists.
+    n_lists = min(
+        dynamic_buckets(
+            parquet_rows(f"{sf_dir}/embeddings.parquet"), 16, rows_per_group=125
+        ),
+        MAX_TRAIN_LISTS,
     )
+    if TRAIN_PER_LIST * n_lists > len(emb):
+        emb = _embedding_sample(
+            f"{sf_dir}/embeddings.parquet", cap=TRAIN_PER_LIST * n_lists
+        )
     cents = ivf_centroids(emb, n_lists=n_lists)
     root = build_ivf_partitions(sf_dir, cents)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

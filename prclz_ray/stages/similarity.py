@@ -590,7 +590,10 @@ def make_ivf_dedup_assign(centroids: np.ndarray, probes: int = IVF_DEDUP_PROBES)
         emb = embedding_matrix(batch.column("embedding"))
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         p = min(probes, len(centroids))
-        top = np.argsort(-(emb_n @ centroids.T), axis=1)[:, :p]
+        # argpartition: replication needs the top-p SET, not its order —
+        # a full argsort materializes a (batch × n_lists) index matrix
+        # per batch once list counts are input-scaled
+        top = np.argpartition(-(emb_n @ centroids.T), p - 1, axis=1)[:, :p]
         rep = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), p))
         return pa.table(
             {

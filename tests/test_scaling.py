@@ -164,3 +164,30 @@ def test_shuffle_key_rows_buckets_in_range(ray_session):
     for n in (3, 300):  # non-power-of-two input-scaled counts
         sb = shuffle_key_rows(batch, n_buckets=n).column("sb").to_numpy()
         assert (sb >= 0).all() and (sb < n).all()
+
+
+def test_embedding_sample_strided_and_capped(tmp_path):
+    """The quantizer training sample takes row groups EVENLY across
+    the file (a head sample is cluster-biased on crawl-ordered
+    corpora) and respects the cap; under the cap it is the whole
+    table bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_ray.queries import _embedding_sample
+
+    n, d = 1000, 4
+    emb = [[float(i)] * d for i in range(n)]
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()), "embedding": emb})
+    f = tmp_path / "emb.parquet"
+    pq.write_table(t, f, row_group_size=100)  # 10 row groups
+
+    whole = _embedding_sample(str(f), cap=n)
+    assert whole.shape == (n, d) and whole[0, 0] == 0.0 and whole[-1, 0] == float(n - 1)
+
+    s = _embedding_sample(str(f), cap=300)
+    assert len(s) == 300
+    # strided: rows come from row groups across the WHOLE file, not
+    # just the head 3 groups (first values of each selected group)
+    firsts = sorted(set(int(v) // 100 for v in s[:, 0]))
+    assert max(firsts) >= 5, f"head-biased sample: groups {firsts}"
