@@ -515,3 +515,26 @@ def test_surprisal_split_invariant(ray_session):
     whole = fn(t)
     parts = pa.concat_tables([fn(t.slice(0, 1)), fn(t.slice(1, 2)), fn(t.slice(3, 1))])
     assert whole.to_pylist() == parts.to_pylist()
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=0, max_size=2000),
+    st.integers(1, 900),
+)
+@settings(max_examples=60, deadline=None)
+def test_rle_roundtrip_property(vals, run_len):
+    """decode(encode(v)) == v for arbitrary byte streams, including
+    runs longer than the 255-length chunk limit (the split path)."""
+    import numpy as np
+
+    from prclz_ray.stages.media import _rle_encode, rle_decode
+
+    v = np.array(vals, dtype=np.uint8)
+    if len(v):
+        # splice in a long run to force the chunk-split path
+        v = np.concatenate([v, np.full(run_len, v[0], np.uint8)])
+    out = rle_decode(_rle_encode(v))
+    assert np.array_equal(out, v)
+    # encode never emits a zero run length (would decode to nothing)
+    enc = np.frombuffer(_rle_encode(v), np.uint8)
+    assert (enc[0::2] > 0).all()
