@@ -1464,42 +1464,69 @@ def q_dedup_embedding_ann(sf_dir: str):
     from .stages.dedup import PAIR_BUCKETS, add_pair_hash
     from .stages.scaling import dynamic_buckets, parquet_rows
     from .stages.similarity import (
-        embedding_matrix,
+        HIER_COARSE,
         ivf_centroids,
+        make_hier_dedup_assign,
         make_ivf_dedup_assign,
         make_ivf_pair_fn,
         pair_distinct,
+        train_hier_quantizer,
     )
 
     from .stages.similarity import IVF_DEDUP_PROBES
 
-    n = parquet_rows(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    n = parquet_rows(path)
     # lists scale with the corpus so a list's all-pairs stays bounded;
     # the TRAINING SAMPLE scales with the list count (TRAIN_PER_LIST
-    # vectors per centroid) so the quantizer never degenerates, capped
-    # at the single-level ceiling (see MAX_TRAIN_LISTS)
-    n_lists = min(dynamic_buckets(n, 16, rows_per_group=10_000), MAX_TRAIN_LISTS)
-    emb = _embedding_sample(
-        f"{sf_dir}/embeddings.parquet",
-        cap=max(EMB_TRAIN_SAMPLE, TRAIN_PER_LIST * n_lists),
-    )
-    cents = ivf_centroids(emb, n_lists=n_lists)
+    # vectors per centroid) so the quantizer never degenerates. PAST
+    # the single-level ceiling the TWO-LEVEL quantizer takes over:
+    # coarse driver k-means + DISTRIBUTED per-cell fine training, so
+    # the driver holds centroids only (never a list-count-linear
+    # sample). Both paths feed the identical downstream pipeline.
+    n_lists_req = dynamic_buckets(n, 16, rows_per_group=10_000)
+    ds = _read_parquet_clean(path)
+    if n_lists_req <= MAX_TRAIN_LISTS:
+        emb = _embedding_sample(
+            path, cap=max(EMB_TRAIN_SAMPLE, TRAIN_PER_LIST * n_lists_req)
+        )
+        cents = ivf_centroids(emb, n_lists=n_lists_req)
+        # reduce-partition count ≤ lists the SAMPLE probes into —
+        # k-means can leave lists empty, and partitions > non-empty
+        # groups emit SCHEMA-LESS blocks (the CLAUDE.md hazard).
+        # Undercounting from the sample is safe (fewer partitions,
+        # never empty ones). argpartition, not argsort: the top-p SET
+        # is all that's needed, and a full (sample × n_lists) index
+        # sort is GBs at the ceiling
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        p = min(IVF_DEDUP_PROBES, len(cents))
+        used_n = len(np.unique(
+            np.argpartition(-(emb_n @ cents.T), p - 1, axis=1)[:, :p]
+        ))
+        assigned = ds.map_batches(make_ivf_dedup_assign(cents), batch_format="pyarrow")
+    else:
+        coarse = ivf_centroids(_embedding_sample(path), n_lists=HIER_COARSE)
+        subs_per_cell = -(-n_lists_req // HIER_COARSE)
+        # deterministic distributed training sample: every k-th vec_id
+        # (map-side filter — no driver data); rate sized to
+        # TRAIN_PER_LIST rows per fine list
+        stride = max(1, n // (TRAIN_PER_LIST * n_lists_req))
+
+        def train_rows(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(ids % stride == 0))
+
+        subs_flat, cell_off = train_hier_quantizer(
+            ds.map_batches(train_rows, batch_format="pyarrow"), coarse, subs_per_cell
+        )
+        used_n = 16  # pair rows >> 16 on any corpus this deep
+        assigned = ds.map_batches(
+            make_hier_dedup_assign(coarse, subs_flat, cell_off),
+            batch_format="pyarrow",
+        )
     pb_n = dynamic_buckets(n, PAIR_BUCKETS)
-    # reduce-partition count ≤ lists the SAMPLE probes into — k-means
-    # can leave lists empty, and partitions > non-empty groups emit
-    # SCHEMA-LESS blocks (the CLAUDE.md hazard). Undercounting from
-    # the sample is safe (fewer partitions, never empty ones).
-    # argpartition, not argsort: the top-p SET is all that's needed,
-    # and a full (sample × n_lists) index sort is GBs at the ceiling
-    emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-    p = min(IVF_DEDUP_PROBES, len(cents))
-    used = np.unique(
-        np.argpartition(-(emb_n @ cents.T), p - 1, axis=1)[:, :p]
-    )
-    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
-    assigned = ds.map_batches(make_ivf_dedup_assign(cents), batch_format="pyarrow")
     pairs = (
-        assigned.repartition(max(1, min(16, len(used))))
+        assigned.repartition(max(1, min(16, used_n)))
         .groupby("bucket")
         .map_groups(make_ivf_pair_fn(threshold=0.4), batch_format="pyarrow")
     )

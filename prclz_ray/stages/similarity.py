@@ -704,3 +704,168 @@ def gram_finish(batch: pa.Table, d: int = EMB_D) -> pa.Table:
             "s": pc.cast(s, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# two-level (hierarchical) IVF quantizer — the scale path past the
+# single-level training ceiling (queries.MAX_TRAIN_LISTS): a coarse
+# driver k-means picks ~HIER_COARSE cells, then each cell's share of
+# fine lists trains DISTRIBUTED (one map_groups task per cell over
+# that cell's training rows), and the driver only ever holds
+# CENTROIDS (n_lists × d floats), never a corpus-linear sample.
+# Standard IVF-IMI shape (FAISS coarse+fine), re-expressed Ray-first.
+
+HIER_COARSE = 256       # coarse cells; each fine k-means sees
+                        # ~sample/256 rows — a bounded worker problem
+HIER_PROBE_CELLS = 3    # coarse cells a vector considers when picking
+                        # its top-p fine lists (candidates per vector =
+                        # probe_cells × subs_per_cell, not n_lists)
+
+
+def hier_cell_rows(centroids: np.ndarray):
+    """Map stage: tag each embedding row with its nearest COARSE cell
+    (the shuffle key of the distributed fine-level training)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "cell": pa.array([], pa.int64()),
+                }
+            )
+        emb = embedding_matrix(batch.column("embedding"))
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cell = np.argmax(emb_n @ centroids.T, axis=1).astype(np.int64)
+        return pa.table(
+            {"embedding": batch.column("embedding"), "cell": pa.array(cell)}
+        )
+
+    return tag
+
+
+def make_hier_subs_fn(subs_per_cell: int, seed: int = 42):
+    """Group fn: ONE coarse cell's training rows → its fine
+    sub-centroids as (cell, sub, centroid list<double>) rows. Runs as
+    a worker task — the fine level never touches the driver."""
+
+    def subs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "sub": pa.array([], pa.int64()),
+                "centroid": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        emb = embedding_matrix(group.column("embedding"))
+        k = max(1, min(subs_per_cell, len(emb)))
+        c = ivf_centroids(emb, n_lists=k, seed=seed)
+        cell = int(group.column("cell")[0].as_py())
+        return pa.table(
+            {
+                "cell": pa.array([cell] * len(c), pa.int64()),
+                "sub": pa.array(np.arange(len(c), dtype=np.int64)),
+                "centroid": pa.array([row.tolist() for row in c],
+                                     pa.list_(pa.float64())),
+            }
+        )
+
+    return subs
+
+
+def train_hier_quantizer(ds, coarse: np.ndarray, subs_per_cell: int,
+                         seed: int = 42):
+    """Distributed fine-level training over a Dataset of training
+    embeddings: tag by coarse cell → groupby(cell) (≤ HIER_COARSE
+    groups) → per-cell k-means task → collect centroids.
+
+    Returns (subs_flat, cell_off): sub-centroids stacked (total_lists,
+    d) and (k1+1,) offsets so cell c's lists are global ids
+    [cell_off[c], cell_off[c+1]). A coarse cell with no training rows
+    falls back to its coarse centroid as a single fine list, so every
+    cell has ≥ 1 list and assignment never dead-ends."""
+    k1 = len(coarse)
+    tagged = ds.map_batches(hier_cell_rows(coarse), batch_format="pyarrow")
+    got = (
+        tagged.repartition(max(1, min(k1, 64)))
+        .groupby("cell")
+        .map_groups(make_hier_subs_fn(subs_per_cell, seed), batch_format="pyarrow")
+        .to_pandas()  # ≤ k1 × subs_per_cell centroid rows — bytes/MBs
+    )
+    per_cell: dict[int, np.ndarray] = {}
+    for cell, grp in got.groupby("cell"):
+        g = grp.sort_values("sub")
+        per_cell[int(cell)] = np.vstack([np.asarray(v) for v in g["centroid"]])
+    parts, off = [], np.zeros(k1 + 1, dtype=np.int64)
+    for c in range(k1):
+        block = per_cell.get(c)
+        if block is None:
+            block = coarse[c : c + 1]  # empty cell → coarse fallback list
+        parts.append(block)
+        off[c + 1] = off[c] + len(block)
+    return np.vstack(parts), off
+
+
+def make_hier_dedup_assign(coarse: np.ndarray, subs_flat: np.ndarray,
+                           cell_off: np.ndarray,
+                           probes: int = IVF_DEDUP_PROBES,
+                           probe_cells: int = HIER_PROBE_CELLS):
+    """Two-level top-p assignment: score the HIER_COARSE coarse cells,
+    take the top probe_cells, score ONLY those cells' fine lists, and
+    replicate to the global top-p — candidates per vector are
+    probe_cells × subs_per_cell instead of n_lists. Emits the same
+    (vec_id, embedding, bucket) rows as make_ivf_dedup_assign, so the
+    downstream within-list pair matmul + pair-distinct stages are
+    unchanged. Batch-size note: the scorer builds ~probe_cells ×
+    subs_per_cell candidates per row; size batches so rows ×
+    candidates × 16 B fits the worker heap."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch.column("embedding").type),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        emb = embedding_matrix(batch.column("embedding"))
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        n = len(emb_n)
+        pc_ = min(probe_cells, len(coarse))
+        s1 = emb_n @ coarse.T
+        cells = np.argpartition(-s1, pc_ - 1, axis=1)[:, :pc_]
+        rows_l, scores_l, lists_l = [], [], []
+        row_of = np.repeat(np.arange(n, dtype=np.int64), pc_)
+        cell_flat = cells.ravel()
+        for cell in np.unique(cell_flat):
+            m = cell_flat == cell
+            r = row_of[m]
+            sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
+            sc = emb_n[r] @ sub.T  # (rows probing this cell, subs)
+            k = sub.shape[0]
+            rows_l.append(np.repeat(r, k))
+            scores_l.append(sc.ravel())
+            lists_l.append(np.tile(np.arange(k, dtype=np.int64) + cell_off[cell], len(r)))
+        rows_a = np.concatenate(rows_l)
+        scores_a = np.concatenate(scores_l)
+        lists_a = np.concatenate(lists_l)
+        order = np.lexsort((lists_a, -scores_a, rows_a))
+        rs = rows_a[order]
+        first = np.concatenate([[True], rs[1:] != rs[:-1]])
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(rs)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(rs)]])))
+        keep = rank < probes
+        sel, blists = order[keep], lists_a[order][keep]
+        take = pa.array(rows_a[sel])
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").take(take),
+                "embedding": batch.column("embedding").take(take),
+                "bucket": pa.array(blists, pa.int64()),
+            }
+        )
+
+    return assign
