@@ -1419,10 +1419,10 @@ TRAIN_PER_LIST = 40  # k-means needs ~30-50 training vectors per
 # quantizer never silently degenerates (review r4: a fixed 20k sample
 # clamped min(n_lists, len(x)) back to 20k lists of ~1 point each)
 MAX_TRAIN_LISTS = 1 << 15  # single-level IVF ceiling: 32768 lists ×
-# 40 train vecs × 512 B ≈ 670 MB driver sample. Beyond ~3×10^8 vectors
-# (lists would exceed this at 10k rows/list) the next step is a
-# two-level quantizer (coarse driver k-means + per-list worker split),
-# not a bigger driver matrix — documented limit, SURVEY round-5 seeds.
+# 40 train vecs × 512 B ≈ 670 MB driver sample. Past it the TWO-LEVEL
+# quantizer takes over (similarity.train_hier_quantizer: coarse driver
+# k-means + distributed per-cell fine training — the driver holds
+# centroids only), so the ceiling is a dispatch point, not a limit.
 
 
 def _embedding_sample(path: str, cap: int = EMB_TRAIN_SAMPLE) -> np.ndarray:
@@ -1724,25 +1724,58 @@ def q_ann_topk_ivf(sf_dir: str):
     # test scales (≤2000 vectors) the floor of 16 is in effect and
     # behavior is identical to the tuned round-3 operating point.
     # The training sample grows with the list count (TRAIN_PER_LIST
-    # per centroid, single-level ceiling MAX_TRAIN_LISTS) so the
-    # quantizer never silently degenerates to one-point lists.
-    n_lists = min(
-        dynamic_buckets(
-            parquet_rows(f"{sf_dir}/embeddings.parquet"), 16, rows_per_group=125
-        ),
-        MAX_TRAIN_LISTS,
-    )
-    if TRAIN_PER_LIST * n_lists > len(emb):
-        emb = _embedding_sample(
-            f"{sf_dir}/embeddings.parquet", cap=TRAIN_PER_LIST * n_lists
-        )
-    cents = ivf_centroids(emb, n_lists=n_lists)
-    root = build_ivf_partitions(sf_dir, cents)
+    # per centroid) so the quantizer never silently degenerates; PAST
+    # the single-level ceiling the TWO-LEVEL quantizer takes over
+    # (distributed fine training, hier_top1-keyed partitions, probes
+    # and scorer sharing the hier descent — the NPROBE invariant).
+    path = f"{sf_dir}/embeddings.parquet"
+    n = parquet_rows(path)
+    n_lists_req = dynamic_buckets(n, 16, rows_per_group=125)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    paths = probed_paths(root, ivf_probe(qn, cents).ravel())
+    if n_lists_req <= MAX_TRAIN_LISTS:
+        if TRAIN_PER_LIST * n_lists_req > len(emb):
+            emb = _embedding_sample(path, cap=TRAIN_PER_LIST * n_lists_req)
+        cents = ivf_centroids(emb, n_lists=n_lists_req)
+        root = build_ivf_partitions(sf_dir, cents)
+        paths = probed_paths(root, ivf_probe(qn, cents).ravel())
+        score_fn = make_ivf_topk_fn(qref, cents, k=10)
+    else:
+        from .stages.similarity import (
+            HIER_COARSE,
+            _build_partitions,
+            hier_probe,
+            hier_top1,
+            make_hier_topk_fn,
+            train_hier_quantizer,
+        )
+
+        coarse = ivf_centroids(emb, n_lists=HIER_COARSE)
+        subs_per_cell = -(-n_lists_req // HIER_COARSE)
+        stride = max(1, n // (TRAIN_PER_LIST * n_lists_req))
+
+        def train_rows(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(ids % stride == 0))
+
+        subs_flat, cell_off = train_hier_quantizer(
+            _read_parquet_clean(path).map_batches(train_rows, batch_format="pyarrow"),
+            coarse,
+            subs_per_cell,
+        )
+        # kind carries the layout shape: a cache built under different
+        # (patched or re-tuned) knobs must never serve this probe set
+        root = _build_partitions(
+            sf_dir,
+            f"ivfh{len(subs_flat)}x{len(coarse)}",
+            hier_top1(coarse, subs_flat, cell_off),
+        )
+        paths = probed_paths(
+            root, hier_probe(qn, coarse, subs_flat, cell_off).ravel()
+        )
+        score_fn = make_hier_topk_fn(qref, coarse, subs_flat, cell_off, k=10)
 
     ds = _read_parquet_clean(paths)
-    local = ds.map_batches(make_ivf_topk_fn(qref, cents, k=10), batch_format="pyarrow")
+    local = ds.map_batches(score_fn, batch_format="pyarrow")
     return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
     )  # candidate set is k x queries x batches rows - one partition

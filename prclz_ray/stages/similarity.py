@@ -869,3 +869,89 @@ def make_hier_dedup_assign(coarse: np.ndarray, subs_flat: np.ndarray,
         )
 
     return assign
+
+
+def hier_top1(coarse: np.ndarray, subs_flat: np.ndarray, cell_off: np.ndarray):
+    """(n,) global fine-list id per normalized row via the two-level
+    descent (nearest coarse cell → nearest sub within it) — the
+    partition key of the hier-IVF Hive layout, and the scorer's
+    membership rule (they MUST share this function, same invariant as
+    NPROBE)."""
+
+    def top1(emb_n: np.ndarray) -> np.ndarray:
+        cells = np.argmax(emb_n @ coarse.T, axis=1)
+        out = np.empty(len(emb_n), dtype=np.int64)
+        for cell in np.unique(cells):
+            m = cells == cell
+            sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
+            out[m] = cell_off[cell] + np.argmax(emb_n[m] @ sub.T, axis=1)
+        return out
+
+    return top1
+
+
+def hier_probe(qn: np.ndarray, coarse: np.ndarray, subs_flat: np.ndarray,
+               cell_off: np.ndarray, nprobe: int = NPROBE,
+               probe_cells: int = HIER_PROBE_CELLS) -> np.ndarray:
+    """(Q, ≤nprobe) probed GLOBAL fine-list ids per normalized query —
+    top probe_cells coarse cells, then the best nprobe fine lists among
+    those cells' subs. Single source of truth for the pruned read AND
+    the scorer (the NPROBE agreement invariant)."""
+    pc_ = min(probe_cells, len(coarse))
+    cells = np.argpartition(-(qn @ coarse.T), pc_ - 1, axis=1)[:, :pc_]
+    out = np.empty((len(qn), nprobe), dtype=np.int64)
+    for i in range(len(qn)):
+        lists_l, scores_l = [], []
+        for cell in cells[i]:
+            sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
+            scores_l.append(qn[i] @ sub.T)
+            lists_l.append(np.arange(len(sub), dtype=np.int64) + cell_off[cell])
+        sc = np.concatenate(scores_l)
+        ls = np.concatenate(lists_l)
+        kk = min(nprobe, len(ls))
+        top = np.argpartition(-sc, kk - 1)[:kk] if kk < len(ls) else np.arange(len(ls))
+        row = np.sort(ls[top])
+        out[i, :len(row)] = row
+        out[i, len(row):] = row[-1] if len(row) else 0  # pad (dup ids are harmless)
+    return out
+
+
+def make_hier_topk_fn(queries_ref, coarse: np.ndarray, subs_flat: np.ndarray,
+                      cell_off: np.ndarray, k: int = 10, nprobe: int = NPROBE):
+    """Two-level IVF ANN scorer: like make_ivf_topk_fn but membership
+    and probes use the hier descent, so it pairs with a Hive layout
+    partitioned by ``hier_top1`` and a read pruned by ``hier_probe``."""
+    cache: dict = {}
+    top1 = hier_top1(coarse, subs_flat, cell_off)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        if "q" not in cache:
+            side = ray.get(queries_ref)
+            cache["q"], cache["ids"] = side["q"], side["ids"]
+            cache["probe"] = hier_probe(cache["q"], coarse, subs_flat, cell_off, nprobe)
+        qn, q_ids, qprobe = cache["q"], cache["ids"], cache["probe"]
+        emb = embedding_matrix(batch.column("embedding"))
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vlist = top1(emb_n)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qn)):
+            sel = np.flatnonzero(np.isin(vlist, qprobe[qi]))
+            if len(sel) == 0:
+                continue
+            sim = emb_n[sel] @ qn[qi]
+            order = np.lexsort((vids[sel], -sim))[: min(k, len(sel))]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(vids[sel][order].tolist())
+            out_s.extend(sim[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return topk

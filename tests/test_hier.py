@@ -89,3 +89,18 @@ def test_dedup_embedding_ann_hier_dispatch(ray_session, monkeypatch):
     assert list(out.columns) == ["vec_a", "vec_b"]
     assert (out["vec_a"] < out["vec_b"]).all()  # canonical order
     assert not out.duplicated().any()           # pair-distinct held
+
+
+def test_ann_topk_ivf_hier_dispatch(ray_session, monkeypatch):
+    """Force q_ann_topk_ivf down the two-level branch: partitions
+    keyed by hier_top1, read pruned by hier_probe, scorer sharing the
+    descent — output stays a well-formed ranked top-k table."""
+    import prclz_ray.queries as q
+
+    monkeypatch.setattr(q, "MAX_TRAIN_LISTS", 8)  # 16 requested > 8
+    out = q.q_ann_topk_ivf("/root/testdata/sf0.001").to_pandas()
+    assert list(out.columns) == ["query_id", "rank", "vec_id"]
+    assert (out["query_id"] % 100 == 0).all()
+    for _, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 10
