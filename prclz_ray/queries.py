@@ -1674,21 +1674,29 @@ def q_ann_topk_lsh(sf_dir: str):
     design; rows-only check + pruning pytest."""
     import ray.data
 
+    from .stages.scaling import parquet_rows
     from .stages.similarity import (
         build_srp_partitions,
         bucket_of,
         make_bucketed_topk_fn,
         merge_topk,
         probed_paths,
+        srp_n_planes_for,
         srp_planes,
         srp_probe_set,
     )
 
     qref, emb, qmat, _ = _load_query_vectors(sf_dir)
-    planes = srp_planes(emb.shape[1])
+    # plane count scales with the corpus (avg bucket ≤ ~10k rows) so
+    # the radius-2 multiprobe read fraction SHRINKS as the corpus
+    # grows; every test sf stays at the tuned 8-plane operating point
+    n_planes = srp_n_planes_for(parquet_rows(f"{sf_dir}/embeddings.parquet"))
+    planes = srp_planes(emb.shape[1], n_planes=n_planes)
     root = build_srp_partitions(sf_dir, planes)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    paths = probed_paths(root, srp_probe_set(bucket_of(qn, planes)))
+    paths = probed_paths(
+        root, srp_probe_set(bucket_of(qn, planes), n_planes=n_planes)
+    )
 
     ds = _read_parquet_clean(paths)
     local = ds.map_batches(

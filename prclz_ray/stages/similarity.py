@@ -188,18 +188,37 @@ def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
 # ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 
-N_PLANES = 8  # sign-random-projection bits → 256 buckets
+N_PLANES = 8       # floor: sign-random-projection bits → 256 buckets
+MAX_PLANES = 24    # cap: 16M buckets; beyond this bucket COUNT, not
+                   # bucket size, is the limit (scheduler + probe set)
+SRP_TARGET_BUCKET = 10_000  # target rows per bucket — the plane count
+# grows with the corpus so bucket size stays bounded (the same
+# input-scaling contract as dynamic_buckets, in log2 form)
 
 
-def srp_planes(dim: int, seed: int = 42) -> np.ndarray:
+def srp_n_planes_for(n_rows: int) -> int:
+    """Input-scaled plane count: smallest bit width keeping an average
+    bucket ≤ SRP_TARGET_BUCKET rows, floored at the tuned test-scale
+    N_PLANES=8 and capped at MAX_PLANES. At every test sf this returns
+    8 (identical behavior); at 10^9 vectors it returns 17 (~131k
+    buckets of ~7.6k rows, radius-2 multiprobe reads 154 of them —
+    0.1% of the corpus per query)."""
+    bits = N_PLANES
+    while bits < MAX_PLANES and (n_rows >> bits) > SRP_TARGET_BUCKET:
+        bits += 1
+    return bits
+
+
+def srp_planes(dim: int, seed: int = 42, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((N_PLANES, dim))
+    return rng.standard_normal((n_planes, dim))
 
 
 def bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """Sign-random-projection bucket id per vector."""
+    """Sign-random-projection bucket id per vector (plane count comes
+    from the planes matrix — the single source of truth)."""
     bits = (vectors @ planes.T) > 0
-    return (bits.astype(np.int64) << np.arange(N_PLANES)[None, :]).sum(axis=1)
+    return (bits.astype(np.int64) << np.arange(planes.shape[0])[None, :]).sum(axis=1)
 
 
 def _partition_root(sf_dir: str, kind: str) -> str:
@@ -257,7 +276,11 @@ def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
 
 
 def build_srp_partitions(sf_dir: str, planes: np.ndarray) -> str:
-    return _build_partitions(sf_dir, "srp", lambda x: bucket_of(x, planes))
+    # kind carries the plane count: a cache built at a different
+    # input-scaled width must never serve this probe set
+    return _build_partitions(
+        sf_dir, f"srp{planes.shape[0]}", lambda x: bucket_of(x, planes)
+    )
 
 
 def build_ivf_partitions(sf_dir: str, centroids: np.ndarray) -> str:
@@ -293,16 +316,28 @@ PROBE_RADIUS = 2  # multi-probe Hamming radius: radius 1 read 9/256
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
-def srp_probe_set(qbuckets: np.ndarray, radius: int = PROBE_RADIUS) -> set[int]:
+def popcount(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for bucket ids up to MAX_PLANES bits (three
+    byte-table lookups — numpy 1.x has no bitwise_count)."""
+    return (
+        _POPCOUNT8[x & 0xFF]
+        + _POPCOUNT8[(x >> 8) & 0xFF]
+        + _POPCOUNT8[(x >> 16) & 0xFF]
+    )
+
+
+def srp_probe_set(qbuckets: np.ndarray, radius: int = PROBE_RADIUS,
+                  n_planes: int = N_PLANES) -> set[int]:
     """Multi-probe set: each query's bucket plus all buckets within
     Hamming distance ``radius`` (must mirror the popcount≤radius
-    candidate rule in the scorer)."""
+    candidate rule in the scorer; ``n_planes`` must match the planes
+    matrix that produced ``qbuckets``)."""
     import itertools
 
     probe: set[int] = set()
     for b in qbuckets.tolist():
         for r in range(radius + 1):
-            for bits in itertools.combinations(range(N_PLANES), r):
+            for bits in itertools.combinations(range(n_planes), r):
                 m = 0
                 for j in bits:
                     m |= 1 << j
@@ -332,7 +367,7 @@ def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
         for qi in range(len(qn)):
             # multi-probe: all buckets within PROBE_RADIUS of the query
             xor = vbuck ^ qbuck[qi]
-            sel = np.flatnonzero(_POPCOUNT8[xor] <= PROBE_RADIUS)
+            sel = np.flatnonzero(popcount(xor) <= PROBE_RADIUS)
             if len(sel) == 0:
                 continue
             sim = emb_n[sel] @ qn[qi]

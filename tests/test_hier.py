@@ -104,3 +104,47 @@ def test_ann_topk_ivf_hier_dispatch(ray_session, monkeypatch):
     for _, g in out.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert len(g) <= 10
+
+
+def test_srp_plane_count_scaling_and_probe_agreement():
+    """Input-scaled SRP plane count: 8 at every test sf, grows log2
+    with the corpus, capped; and for ANY plane count the scorer's
+    popcount<=radius candidate rule only ever selects buckets the
+    probe set read (the read/scorer agreement invariant)."""
+    import numpy as np
+
+    from prclz_ray.stages.similarity import (
+        MAX_PLANES,
+        PROBE_RADIUS,
+        bucket_of,
+        popcount,
+        srp_n_planes_for,
+        srp_planes,
+        srp_probe_set,
+    )
+
+    assert srp_n_planes_for(500) == 8
+    assert srp_n_planes_for(2000) == 8
+    assert srp_n_planes_for(2_560_000) == 8      # 256 buckets x 10k
+    assert srp_n_planes_for(10_000_000) == 10
+    assert srp_n_planes_for(10**9) == 17
+    assert srp_n_planes_for(10**15) == MAX_PLANES
+    ns = [srp_n_planes_for(10**k) for k in range(3, 16)]
+    assert ns == sorted(ns)
+
+    # popcount correct over the full bucket range
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1 << MAX_PLANES, size=1000)
+    assert all(popcount(np.array([x]))[0] == bin(x).count("1") for x in xs)
+
+    # read/scorer agreement at a non-default plane count
+    n_planes = 12
+    planes = srp_planes(64, n_planes=n_planes)
+    x = rng.standard_normal((3000, 64))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:7]
+    vb, qb = bucket_of(x, planes), bucket_of(q, planes)
+    probe = srp_probe_set(qb, n_planes=n_planes)
+    scored = (popcount(vb[:, None] ^ qb[None, :]) <= PROBE_RADIUS).any(axis=1)
+    assert set(vb[scored].tolist()) <= probe
+    assert (vb < (1 << n_planes)).all()
