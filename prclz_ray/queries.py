@@ -1452,6 +1452,35 @@ def _embedding_sample(path: str, cap: int = EMB_TRAIN_SAMPLE) -> np.ndarray:
     return embedding_matrix(t.column("embedding"))
 
 
+def _hier_quantizer(path: str, n: int, n_lists_req: int):
+    """Shared two-level-quantizer build for the beyond-ceiling ANN
+    paths: coarse driver k-means from the strided sample, then
+    DISTRIBUTED per-cell fine training over a deterministic every-k-th
+    vec_id sample (map-side filter — no driver data). Returns
+    (coarse, subs_flat, cell_off). ONE home for the stride/coarse
+    rules so the dedup and top-k dispatches cannot drift."""
+    from .stages.similarity import (
+        HIER_COARSE,
+        ivf_centroids,
+        train_hier_quantizer,
+    )
+
+    coarse = ivf_centroids(_embedding_sample(path), n_lists=HIER_COARSE)
+    subs_per_cell = -(-n_lists_req // HIER_COARSE)
+    stride = max(1, n // (TRAIN_PER_LIST * n_lists_req))
+
+    def train_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % stride == 0))
+
+    subs_flat, cell_off = train_hier_quantizer(
+        _read_parquet_clean(path).map_batches(train_rows, batch_format="pyarrow"),
+        coarse,
+        subs_per_cell,
+    )
+    return coarse, subs_flat, cell_off
+
+
 def q_dedup_embedding_ann(sf_dir: str):
     """The REGISTERED scale path for embedding near-dup (VERDICT r3:
     the exact chunk-pair join stays as the validation oracle, this IVF
@@ -1464,13 +1493,11 @@ def q_dedup_embedding_ann(sf_dir: str):
     from .stages.dedup import PAIR_BUCKETS, add_pair_hash
     from .stages.scaling import dynamic_buckets, parquet_rows
     from .stages.similarity import (
-        HIER_COARSE,
         ivf_centroids,
         make_hier_dedup_assign,
         make_ivf_dedup_assign,
         make_ivf_pair_fn,
         pair_distinct,
-        train_hier_quantizer,
     )
 
     from .stages.similarity import IVF_DEDUP_PROBES
@@ -1505,20 +1532,7 @@ def q_dedup_embedding_ann(sf_dir: str):
         ))
         assigned = ds.map_batches(make_ivf_dedup_assign(cents), batch_format="pyarrow")
     else:
-        coarse = ivf_centroids(_embedding_sample(path), n_lists=HIER_COARSE)
-        subs_per_cell = -(-n_lists_req // HIER_COARSE)
-        # deterministic distributed training sample: every k-th vec_id
-        # (map-side filter — no driver data); rate sized to
-        # TRAIN_PER_LIST rows per fine list
-        stride = max(1, n // (TRAIN_PER_LIST * n_lists_req))
-
-        def train_rows(b: pa.Table) -> pa.Table:
-            ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            return b.filter(pa.array(ids % stride == 0))
-
-        subs_flat, cell_off = train_hier_quantizer(
-            ds.map_batches(train_rows, batch_format="pyarrow"), coarse, subs_per_cell
-        )
+        coarse, subs_flat, cell_off = _hier_quantizer(path, n, n_lists_req)
         used_n = 16  # pair rows >> 16 on any corpus this deep
         assigned = ds.map_batches(
             make_hier_dedup_assign(coarse, subs_flat, cell_off),
@@ -1749,38 +1763,33 @@ def q_ann_topk_ivf(sf_dir: str):
         score_fn = make_ivf_topk_fn(qref, cents, k=10)
     else:
         from .stages.similarity import (
-            HIER_COARSE,
+            _arr_digest,
             _build_partitions,
             hier_probe,
             hier_top1,
             make_hier_topk_fn,
-            train_hier_quantizer,
         )
 
-        coarse = ivf_centroids(emb, n_lists=HIER_COARSE)
-        subs_per_cell = -(-n_lists_req // HIER_COARSE)
-        stride = max(1, n // (TRAIN_PER_LIST * n_lists_req))
-
-        def train_rows(b: pa.Table) -> pa.Table:
-            ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            return b.filter(pa.array(ids % stride == 0))
-
-        subs_flat, cell_off = train_hier_quantizer(
-            _read_parquet_clean(path).map_batches(train_rows, batch_format="pyarrow"),
-            coarse,
-            subs_per_cell,
-        )
-        # kind carries the layout shape: a cache built under different
-        # (patched or re-tuned) knobs must never serve this probe set
+        # past the ceiling the fine granularity SWITCHES to the same
+        # ~10k-row list target the dedup path uses: at 125-row lists
+        # the fine training sample (40 per list) would be a third of
+        # the corpus — 10k-row lists keep training at ~0.4% of rows
+        # and per-query read at nprobe × 10k rows (≤ 0.001% there)
+        n_lists_hier = dynamic_buckets(n, 16, rows_per_group=10_000)
+        coarse, subs_flat, cell_off = _hier_quantizer(path, n, n_lists_hier)
+        # kind carries the CONTENT of the trained quantizer — a cache
+        # built under different (patched or re-tuned) knobs/centroids
+        # must never serve this probe set
         root = _build_partitions(
             sf_dir,
-            f"ivfh{len(subs_flat)}x{len(coarse)}",
+            f"ivfh_{_arr_digest(coarse, subs_flat, cell_off)}",
             hier_top1(coarse, subs_flat, cell_off),
         )
-        paths = probed_paths(
-            root, hier_probe(qn, coarse, subs_flat, cell_off).ravel()
+        qprobe = hier_probe(qn, coarse, subs_flat, cell_off)
+        paths = probed_paths(root, qprobe.ravel())
+        score_fn = make_hier_topk_fn(
+            qref, coarse, subs_flat, cell_off, k=10, qprobe=qprobe
         )
-        score_fn = make_hier_topk_fn(qref, coarse, subs_flat, cell_off, k=10)
 
     ds = _read_parquet_clean(paths)
     local = ds.map_batches(score_fn, batch_format="pyarrow")

@@ -112,6 +112,23 @@ def merge_topk(group: pa.Table, k: int = 10) -> pa.Table:
 # ---------------------------------------------------------------------------
 # IVF variant (scale path 2): k-means coarse quantizer
 
+ASSIGN_CHUNK = 1 << 14  # rows per argmax chunk: bounds the (rows × k)
+# score matrix to ≤ 0.5 GB float64 even at k = 4096 subs/cell — the
+# per-task temporary is what OOMs a worker at the knob ceiling, not
+# the row count
+
+
+def nearest_centroid(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """argmax(x @ c.T) in bounded-memory chunks (one matmul when the
+    score matrix is small)."""
+    if len(x) * len(c) <= (1 << 22):
+        return np.argmax(x @ c.T, axis=1)
+    out = np.empty(len(x), dtype=np.int64)
+    for s in range(0, len(x), ASSIGN_CHUNK):
+        out[s : s + ASSIGN_CHUNK] = np.argmax(x[s : s + ASSIGN_CHUNK] @ c.T, axis=1)
+    return out
+
+
 def ivf_centroids(vectors: np.ndarray, n_lists: int = 16, iters: int = 10,
                   seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd's k-means over normalized vectors (the IVF
@@ -120,7 +137,7 @@ def ivf_centroids(vectors: np.ndarray, n_lists: int = 16, iters: int = 10,
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
     for _ in range(iters):
-        assign = np.argmax(x @ c.T, axis=1)
+        assign = nearest_centroid(x, c)
         # vectorized centroid update (np.add.at + bincount): the
         # per-centroid boolean-mask loop was O(n_lists · n · d) per
         # iteration — quadratic in corpus size once n_lists is
@@ -163,7 +180,7 @@ def make_ivf_topk_fn(queries_ref, centroids: np.ndarray, k: int = 10,
         emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        vlist = np.argmax(emb_n @ centroids.T, axis=1)
+        vlist = nearest_centroid(emb_n, centroids)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qn)):
             sel = np.flatnonzero(np.isin(vlist, qprobe[qi]))
@@ -275,20 +292,37 @@ def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
     return root
 
 
+def _arr_digest(*arrays: np.ndarray) -> str:
+    """Content fingerprint of trained arrays (centroids/planes) for
+    partition-cache kinds: a cache whose bucket layout came from
+    DIFFERENT trained values must never serve a new probe set — a
+    count-only or name-only tag cannot see retuned seeds/iters/samples
+    (silent recall collapse, no error)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:12]
+
+
 def build_srp_partitions(sf_dir: str, planes: np.ndarray) -> str:
-    # kind carries the plane count: a cache built at a different
-    # input-scaled width must never serve this probe set
+    # kind carries plane count AND content (see _arr_digest)
     return _build_partitions(
-        sf_dir, f"srp{planes.shape[0]}", lambda x: bucket_of(x, planes)
+        sf_dir,
+        f"srp{planes.shape[0]}_{_arr_digest(planes)}",
+        lambda x: bucket_of(x, planes),
     )
 
 
 def build_ivf_partitions(sf_dir: str, centroids: np.ndarray) -> str:
-    # cache kind "ivf2": the vectorized Lloyd update (round 4) shifts
-    # centroids at float-rounding level, so partitions built by the
-    # old quantizer must not be served to the new probe sets
+    # kind carries the centroid CONTENT (_arr_digest) — supersedes the
+    # manual "ivf"→"ivf2" bump: any retuned seed/iters/sample that
+    # shifts centroids gets a fresh layout automatically
     return _build_partitions(
-        sf_dir, "ivf2", lambda x: np.argmax(x @ centroids.T, axis=1).astype(np.int64)
+        sf_dir,
+        f"ivf_{_arr_digest(centroids)}",
+        lambda x: nearest_centroid(x, centroids).astype(np.int64),
     )
 
 
@@ -763,15 +797,17 @@ def hier_cell_rows(centroids: np.ndarray):
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # propagate the SOURCE list type — a hardcoded float32
+            # empty block would schema-mismatch a list<double> corpus
             return pa.table(
                 {
-                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "embedding": pa.array([], batch.column("embedding").type),
                     "cell": pa.array([], pa.int64()),
                 }
             )
         emb = embedding_matrix(batch.column("embedding"))
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        cell = np.argmax(emb_n @ centroids.T, axis=1).astype(np.int64)
+        cell = nearest_centroid(emb_n, centroids).astype(np.int64)
         return pa.table(
             {"embedding": batch.column("embedding"), "cell": pa.array(cell)}
         )
@@ -823,10 +859,27 @@ def train_hier_quantizer(ds, coarse: np.ndarray, subs_per_cell: int,
     cell has ≥ 1 list and assignment never dead-ends."""
     k1 = len(coarse)
     tagged = ds.map_batches(hier_cell_rows(coarse), batch_format="pyarrow")
+
+    def retype(b: pa.Table) -> pa.Table:
+        # a reduce partition with no cells emits a SCHEMA-LESS block
+        # (the CLAUDE.md hazard — the repartition below is capped by
+        # the coarse CENTROID count, not the non-empty cell count,
+        # and skewed training rows can leave cells empty)
+        if b.num_rows == 0 or "cell" not in b.column_names:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "sub": pa.array([], pa.int64()),
+                    "centroid": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return b
+
     got = (
         tagged.repartition(max(1, min(k1, 64)))
         .groupby("cell")
         .map_groups(make_hier_subs_fn(subs_per_cell, seed), batch_format="pyarrow")
+        .map_batches(retype, batch_format="pyarrow")
         .to_pandas()  # ≤ k1 × subs_per_cell centroid rows — bytes/MBs
     )
     per_cell: dict[int, np.ndarray] = {}
@@ -914,7 +967,7 @@ def hier_top1(coarse: np.ndarray, subs_flat: np.ndarray, cell_off: np.ndarray):
     NPROBE)."""
 
     def top1(emb_n: np.ndarray) -> np.ndarray:
-        cells = np.argmax(emb_n @ coarse.T, axis=1)
+        cells = nearest_centroid(emb_n, coarse)
         out = np.empty(len(emb_n), dtype=np.int64)
         for cell in np.unique(cells):
             m = cells == cell
@@ -934,28 +987,53 @@ def hier_probe(qn: np.ndarray, coarse: np.ndarray, subs_flat: np.ndarray,
     the scorer (the NPROBE agreement invariant)."""
     pc_ = min(probe_cells, len(coarse))
     cells = np.argpartition(-(qn @ coarse.T), pc_ - 1, axis=1)[:, :pc_]
-    out = np.empty((len(qn), nprobe), dtype=np.int64)
-    for i in range(len(qn)):
-        lists_l, scores_l = [], []
-        for cell in cells[i]:
-            sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
-            scores_l.append(qn[i] @ sub.T)
-            lists_l.append(np.arange(len(sub), dtype=np.int64) + cell_off[cell])
-        sc = np.concatenate(scores_l)
-        ls = np.concatenate(lists_l)
-        kk = min(nprobe, len(ls))
-        top = np.argpartition(-sc, kk - 1)[:kk] if kk < len(ls) else np.arange(len(ls))
-        row = np.sort(ls[top])
-        out[i, :len(row)] = row
-        out[i, len(row):] = row[-1] if len(row) else 0  # pad (dup ids are harmless)
+    # vectorized per-CELL gather (≤ k1 iterations, never per query):
+    # flat (row, score, list) candidates → lexsort → rank < nprobe —
+    # the same shape as make_hier_dedup_assign's candidate pass
+    nq = len(qn)
+    row_of = np.repeat(np.arange(nq, dtype=np.int64), pc_)
+    cell_flat = cells.ravel()
+    rows_l, scores_l, lists_l = [], [], []
+    for cell in np.unique(cell_flat):
+        m = cell_flat == cell
+        r = row_of[m]
+        sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
+        sc = qn[r] @ sub.T
+        kk = sub.shape[0]
+        rows_l.append(np.repeat(r, kk))
+        scores_l.append(sc.ravel())
+        lists_l.append(np.tile(np.arange(kk, dtype=np.int64) + cell_off[cell], len(r)))
+    rows_a = np.concatenate(rows_l)
+    scores_a = np.concatenate(scores_l)
+    lists_a = np.concatenate(lists_l)
+    order = np.lexsort((lists_a, -scores_a, rows_a))
+    rs = rows_a[order]
+    first = np.concatenate([[True], rs[1:] != rs[:-1]])
+    starts = np.flatnonzero(first)
+    rank = np.arange(len(rs)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(rs)]]))
+    )
+    keep = rank < nprobe
+    out = np.zeros((nq, nprobe), dtype=np.int64)
+    fill = np.zeros(nq, dtype=np.int64)
+    kr, kl = rs[keep], lists_a[order][keep]
+    out[kr, rank[keep]] = kl
+    np.maximum.at(fill, kr, rank[keep] + 1)
+    # pad short rows with their last probed id (dup ids are harmless
+    # to both probed_paths and np.isin)
+    for i in np.flatnonzero(fill < nprobe):
+        out[i, fill[i]:] = out[i, max(0, fill[i] - 1)]
     return out
 
 
 def make_hier_topk_fn(queries_ref, coarse: np.ndarray, subs_flat: np.ndarray,
-                      cell_off: np.ndarray, k: int = 10, nprobe: int = NPROBE):
+                      cell_off: np.ndarray, k: int = 10, nprobe: int = NPROBE,
+                      qprobe: np.ndarray | None = None):
     """Two-level IVF ANN scorer: like make_ivf_topk_fn but membership
     and probes use the hier descent, so it pairs with a Hive layout
-    partitioned by ``hier_top1`` and a read pruned by ``hier_probe``."""
+    partitioned by ``hier_top1`` and a read pruned by ``hier_probe``.
+    Pass the driver's ``hier_probe`` matrix as ``qprobe`` so workers
+    reuse it instead of recomputing per process."""
     cache: dict = {}
     top1 = hier_top1(coarse, subs_flat, cell_off)
 
@@ -965,15 +1043,19 @@ def make_hier_topk_fn(queries_ref, coarse: np.ndarray, subs_flat: np.ndarray,
         if "q" not in cache:
             side = ray.get(queries_ref)
             cache["q"], cache["ids"] = side["q"], side["ids"]
-            cache["probe"] = hier_probe(cache["q"], coarse, subs_flat, cell_off, nprobe)
-        qn, q_ids, qprobe = cache["q"], cache["ids"], cache["probe"]
+            cache["probe"] = (
+                qprobe
+                if qprobe is not None
+                else hier_probe(cache["q"], coarse, subs_flat, cell_off, nprobe)
+            )
+        qn, q_ids, qprobe_m = cache["q"], cache["ids"], cache["probe"]
         emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         vlist = top1(emb_n)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qn)):
-            sel = np.flatnonzero(np.isin(vlist, qprobe[qi]))
+            sel = np.flatnonzero(np.isin(vlist, qprobe_m[qi]))
             if len(sel) == 0:
                 continue
             sim = emb_n[sel] @ qn[qi]
