@@ -117,6 +117,16 @@ def render_qc_report(summary: pa.Table, per_gadm: pa.Table, sf_dir: str) -> str:
     for (s, m), v in sorted(vals.items()):
         if s == "lang":
             out.append(f"| {m.removeprefix('n_lang_')} | {v:,} |")
+    out += [
+        "",
+        "## Block complexity (k)",
+        "",
+        "| k | blocks |",
+        "|---|---|",
+    ]
+    for (s, m), v in sorted(vals.items()):
+        if s == "complexity":
+            out.append(f"| {m.removeprefix('n_blocks_k')} | {v:,} |")
     out.append("")
     return "\n".join(out)
 

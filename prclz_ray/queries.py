@@ -2925,6 +2925,11 @@ def _qc_tables(sf_dir: str):
         zip(lang_counts["lang_pred"], lang_counts["sum(n)"].astype(int))
     ):
         rows.append(("lang", f"n_lang_{lang}", int(n)))
+    # geometry-side QC: the block-complexity distribution (the
+    # reference's per-country A8 rollup) from the complexity cache
+    comp = q_complexity_hist(sf_dir).to_pandas()
+    for k, nb in sorted(zip(comp["k"].astype(int), comp["n_blocks"].astype(int))):
+        rows.append(("complexity", f"n_blocks_k{k}", int(nb)))
     summary = pa.table(
         {
             "section": pa.array([r[0] for r in rows], pa.string()),
@@ -2963,7 +2968,9 @@ UNION ALL SELECT 'quality', 'pass_ppm',
   (SELECT CAST((SELECT COUNT(*) FROM ({_sql_quality_filter()})) * 1000000
         // GREATEST(COUNT(*), 1) AS BIGINT) FROM documents)
 UNION ALL SELECT 'lang', 'n_lang_' || lang_pred, CAST(COUNT(*) AS BIGINT)
-  FROM ({_sql_lang_id()}) GROUP BY 2"""
+  FROM ({_sql_lang_id()}) GROUP BY 2
+UNION ALL SELECT 'complexity', 'n_blocks_k' || CAST(k AS VARCHAR),
+  CAST(n_blocks AS BIGINT) FROM ({_sql_golden("complexity_hist")})"""
     )
 
 
