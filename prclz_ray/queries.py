@@ -3198,7 +3198,46 @@ def q_dedup_keep_best(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = clusters.join(qual, join_type="inner", num_partitions=8, on=("doc_id",))
+    # size-gated join (the CC/pagerank front-door pattern): near-dup
+    # cluster membership is a SMALL fraction of the corpus — below the
+    # threshold, broadcast it once and annotate map-side instead of a
+    # hash-join shuffle (measured ~1.5 s of fixed join latency at test
+    # scale); above, the distributed join runs unchanged.
+    clusters = clusters.materialize()
+    if 0 < clusters.count() <= 2_000_000:
+        import ray as _ray
+
+        ct = pa.concat_tables(
+            [t for t in _ray.get(clusters.to_arrow_refs()) if t.num_rows]
+        )
+        k = ct.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = ct.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(k)
+        side_ref = _ray.put({"k": k[o], "v": v[o]})
+
+        def annotate(b: pa.Table) -> pa.Table:
+            # sorted-key searchsorted lookup (the per-DISTINCT-host
+            # idiom) — no Python loop over rows
+            import ray as _ray
+
+            side = _ray.get(side_ref)
+            sk, sv = side["k"], side["v"]
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(sk, ids)
+            pos_c = np.minimum(pos, len(sk) - 1)
+            hit = np.flatnonzero(sk[pos_c] == ids)
+            sel = b.take(pa.array(hit))
+            return pa.table(
+                {
+                    "doc_id": sel.column("doc_id"),
+                    "cluster_id": pa.array(sv[pos_c[hit]], pa.int64()),
+                    "score": sel.column("score"),
+                }
+            )
+
+        joined = qual.map_batches(annotate, batch_format="pyarrow")
+    else:
+        joined = clusters.join(qual, join_type="inner", num_partitions=8, on=("doc_id",))
 
     cb_n = _buckets(sf_dir, CLUSTER_BUCKETS)
 
