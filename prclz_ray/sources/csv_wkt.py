@@ -47,6 +47,8 @@ def wkt_polygon(ring: np.ndarray) -> str:
 
 
 def _decode_batch(batch: pa.Table) -> pa.Table:
+    # per-row WKT parse is deliberate: block CSVs are side tables
+    # (10^4 polygons), not the page stream
     wkbs = [wkb_polygon(parse_wkt_polygon(w)) for w in batch.column("geometry").to_pylist()]
     cols = {
         name: batch.column(name)

@@ -74,6 +74,8 @@ def _make_decoder(keys: tuple, promote_lines: bool = False, explode: bool = Fals
     feature may yield several rows (or none) — properties replicate."""
 
     def decode(batch: pa.Table) -> pa.Table:
+        # per-feature json.loads is deliberate: GeoJSON is a SIDE-TABLE
+        # source (fixture/boundary scale), never the page stream
         feats = [json.loads(s) for s in batch.column("text").to_pylist() if s.strip()]
         props: dict[str, list] = {k: [] for k in keys}
         wkbs, types = [], []

@@ -85,6 +85,8 @@ def read_warc(paths):
     ds = ray.data.read_binary_files(paths)
 
     def decode(batch: pa.Table) -> pa.Table:
+        # per-FILE parse (not per record): a batch holds whole WARC
+        # files; the loop runs once per file, records parse vectorized
         tables = [parse_warc_bytes(b) for b in batch.column("bytes").to_pylist()]
         if not tables:
             return parse_warc_bytes(b"")

@@ -40,6 +40,8 @@ def key_counts(ds, key: str):
 def hot_keys(counts_df, key: str, hot_threshold: int) -> dict:
     """Keys needing salting → salt fan-out, proportional to excess."""
     out = {}
+    # iterrows over the DRIVER-SIDE hot-key count table (rows = salted
+    # keys only, bounded by distinct hot keys — never corpus rows)
     for _, row in counts_df.iterrows():
         n = int(row["sum(n)"])
         if n > hot_threshold:
