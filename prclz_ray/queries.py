@@ -2207,7 +2207,12 @@ def q_sessionize(sf_dir: str):
     from .stages.events import sessionize_group
 
     ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessionize_group, batch_format="pyarrow")
+    # repartition ≤ group count before map_groups (CLAUDE.md): user
+    # count >> 8 on any events corpus; without this, groupless
+    # partitions emit schema-less blocks
+    return ds.repartition(8).groupby("user_id").map_groups(
+        sessionize_group, batch_format="pyarrow"
+    )
 
 
 SQL_SESSIONIZE = """
@@ -2302,11 +2307,15 @@ def q_events_late(sf_dir: str):
     # two passes over the (2-column, read-pruned) rows: the bucket-max
     # reduce and the grouped finish — recomputing the trivial lineage
     # beats materializing the whole stream at 100 TB
-    prior = bucket_max_ts(rows, n_buckets=lb_n)
+    import ray as _ray
+
+    # broadcast the prior array once (input-scaled bucket count →
+    # closure-pickling would re-ship it per task)
+    prior_ref = _ray.put(bucket_max_ts(rows, n_buckets=lb_n))
     return (
         rows.repartition(8)
         .groupby("lb")
-        .map_groups(make_late_finish(prior, WATERMARK_US), batch_format="pyarrow")
+        .map_groups(make_late_finish(prior_ref, WATERMARK_US), batch_format="pyarrow")
     )
 
 
@@ -2350,7 +2359,11 @@ def q_events_asof(sf_dir: str):
     ds = ds.map_batches(
         partial(add_user_bucket, n_buckets=ub_n), batch_format="pyarrow"
     )
-    return ds.groupby("ub").map_groups(asof_join_group, batch_format="pyarrow")
+    # repartition ≤ group count (CLAUDE.md; ub has ≥ ASOF_BUCKETS
+    # non-empty values on any events corpus with ≥ 8 users)
+    return ds.repartition(8).groupby("ub").map_groups(
+        asof_join_group, batch_format="pyarrow"
+    )
 
 
 SQL_EVENTS_ASOF = """
@@ -2383,7 +2396,10 @@ def q_events_range(sf_dir: str):
     ds = ds.map_batches(
         partial(add_user_bucket, n_buckets=ub_n), batch_format="pyarrow"
     )
-    return ds.groupby("ub").map_groups(range_join_group, batch_format="pyarrow")
+    # repartition ≤ group count (CLAUDE.md; see q_events_asof)
+    return ds.repartition(8).groupby("ub").map_groups(
+        range_join_group, batch_format="pyarrow"
+    )
 
 
 SQL_EVENTS_RANGE = """
@@ -2722,7 +2738,7 @@ def q_zonal_raster(sf_dir: str):
 
 
 def _sql_zonal() -> str:
-    from .stages.raster import TILE_E6
+    from .stages.raster import RASTER_TILE_E6 as TILE_E6
 
     B, E = world.BLOCK_E6, world.STREET_EPS_E6
     return f"""

@@ -23,6 +23,19 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 def sessionize_group(group: pa.Table) -> pa.Table:
     """One user's events → session rows (gap > 30 min starts a new
     session). Exact-integer output (µs epochs)."""
+    if group.num_rows == 0:
+        # empty shuffle partitions can reach a map_groups fn — the
+        # [True]-seeded new_session mask would IndexError on 0 rows
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "duration_us": pa.array([], pa.int64()),
+            }
+        )
     ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     order = np.argsort(ts, kind="stable")
     ts = ts[order]
@@ -84,8 +97,28 @@ def sliding_window_counts(batch: pa.Table) -> pa.Table:
 
 def extract_props_k(batch: pa.Table) -> pa.Table:
     """Parse the integer ``k`` out of the JSON ``props`` column —
-    vectorized regex (per-record parser, M2 analogue)."""
-    m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?[0-9]+)')
+    vectorized regex (per-record parser, M2 analogue).
+
+    FLAT-PROPS CONTRACT (enforced, not assumed): the regex is only
+    equivalent to the oracle's ``json_extract_string(props, '$.k')``
+    on single-level objects with integer values. Nested objects (the
+    regex would match an inner ``\"k\"`` the JSON path ignores) and
+    non-integer ``k`` (regex truncates, SQL CAST errors) RAISE here
+    instead of silently diverging — the ensure_ascii convention."""
+    props = batch.column("props")
+    nested = pc.greater(pc.count_substring(pc.fill_null(props, ""), "{"), 1)
+    if pc.any(nested).as_py():
+        raise ValueError(
+            "extract_props_k: nested props object (flat contract; the "
+            "regex parser and the JSON-path oracle would diverge)"
+        )
+    frac = pc.match_substring_regex(props, r'"k":\s*-?[0-9]+\.')
+    if pc.any(frac).as_py():
+        raise ValueError(
+            "extract_props_k: non-integer k (regex would truncate "
+            "where the oracle's CAST errors)"
+        )
+    m = pc.extract_regex(props, r'"k":\s*(?P<k>-?[0-9]+)')
     k = pc.cast(pc.struct_field(m, "k"), pa.int64())
     # k stays NULL when props has no integer k — aggregates skip nulls,
     # matching SQL SUM semantics (oracle parity)
@@ -239,7 +272,8 @@ def late_bucket_rows(batch: pa.Table, n_buckets: int = LATE_BUCKETS) -> pa.Table
 def bucket_max_ts(rows, n_buckets: int = LATE_BUCKETS) -> np.ndarray:
     """Exclusive running max of per-bucket ts maxima — the scan-shape
     reduce of `packing.bucket_bases` with the MAX monoid instead of
-    SUM: one bounded groupby, ≤ LATE_BUCKETS rows on the driver.
+    SUM: one bounded groupby, ≤ n_buckets rows on the driver (the
+    count is input-scaled — LATE_BUCKETS is only the floor).
     prior[b] = max ts of all buckets < b (INT64_MIN for bucket 0)."""
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -266,10 +300,26 @@ def bucket_max_ts(rows, n_buckets: int = LATE_BUCKETS) -> np.ndarray:
     return np.concatenate([[np.iinfo(np.int64).min], run[:-1]])
 
 
-def make_late_finish(prior: np.ndarray, watermark_us: int = WATERMARK_US):
+def make_late_finish(prior, watermark_us: int = WATERMARK_US):
     """One arrival bucket: sort by event_id, seed the running ts max
     with the prior buckets' max, flag events older than watermark
-    behind the high-water mark. Emits ONLY the late rows."""
+    behind the high-water mark. Emits ONLY the late rows.
+
+    ``prior`` may be the bases array or a ``ray.ObjectRef`` to it —
+    pass the ref: the array is n_buckets int64s and the bucket count
+    is INPUT-SCALED, so closure-pickling it would re-ship it with
+    every task instead of once per node (the bucket_bases broadcast
+    pattern in stages/packing.py)."""
+    cache: dict = {}
+
+    def _prior() -> np.ndarray:
+        if "p" not in cache:
+            import ray
+
+            cache["p"] = (
+                ray.get(prior) if isinstance(prior, ray.ObjectRef) else prior
+            )
+        return cache["p"]
 
     def finish(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -284,7 +334,7 @@ def make_late_finish(prior: np.ndarray, watermark_us: int = WATERMARK_US):
         g = group.sort_by([("ak", "ascending"), ("event_id", "ascending")])
         t = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         b = int(g.column("lb")[0].as_py())
-        wm = np.maximum(np.maximum.accumulate(t), prior[b])
+        wm = np.maximum(np.maximum.accumulate(t), _prior()[b])
         late = (wm - t) > watermark_us
         if not late.any():
             return empty

@@ -29,7 +29,9 @@ import pyarrow as pa
 
 import ray
 
-TILE_E6 = 250_000  # 0.25° raster tile pitch in µdeg
+RASTER_TILE_E6 = 250_000  # 0.25° raster tile pitch in µdeg —
+# named distinctly from rollup.TILE_E6 (the 1° rollup grid): two
+# different pitches must never be one wrong-import apart
 
 
 def raster_value(tx, ty):
@@ -42,7 +44,7 @@ def tiles_table() -> pa.Table:
     """The raster as a materialized tile table (S11 source)."""
     from .. import world
 
-    n = world.N_GADM_AXIS * world.GADM_E6 // TILE_E6  # tiles per axis
+    n = world.N_GADM_AXIS * world.GADM_E6 // RASTER_TILE_E6  # tiles per axis
     tx, ty = np.meshgrid(np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64), indexing="ij")
     tx, ty = tx.ravel(), ty.ravel()
     return pa.table(
@@ -90,10 +92,10 @@ def make_zonal_fn(tiles_ref):
         ymax = batch.column("ymax_e6").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(xmin)
 
-        tx0 = xmin // TILE_E6
-        tx1 = (xmax - 1) // TILE_E6
-        ty0 = ymin // TILE_E6
-        ty1 = (ymax - 1) // TILE_E6
+        tx0 = xmin // RASTER_TILE_E6
+        tx1 = (xmax - 1) // RASTER_TILE_E6
+        ty0 = ymin // RASTER_TILE_E6
+        ty1 = (ymax - 1) // RASTER_TILE_E6
         # a 0.1° block intersects at most 2×2 of the 0.25° tiles
         zonal_acc = np.zeros(n, dtype=np.int64)
         for dx in range(2):
@@ -101,8 +103,8 @@ def make_zonal_fn(tiles_ref):
                 tx = tx0 + dx
                 ty = ty0 + dy
                 valid = (tx <= tx1) & (ty <= ty1)
-                ox = np.minimum(xmax, (tx + 1) * TILE_E6) - np.maximum(xmin, tx * TILE_E6)
-                oy = np.minimum(ymax, (ty + 1) * TILE_E6) - np.maximum(ymin, ty * TILE_E6)
+                ox = np.minimum(xmax, (tx + 1) * RASTER_TILE_E6) - np.maximum(xmin, tx * RASTER_TILE_E6)
+                oy = np.minimum(ymax, (ty + 1) * RASTER_TILE_E6) - np.maximum(ymin, ty * RASTER_TILE_E6)
                 overlap = np.where(valid & (ox > 0) & (oy > 0), ox * oy, 0)
                 vals = grid[np.clip(tx, 0, nmax), np.clip(ty, 0, nmax)]
                 zonal_acc += vals * overlap

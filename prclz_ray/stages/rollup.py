@@ -103,7 +103,7 @@ def match_count_qc(joined_ds) -> pa.Table:
     counts = partial_ds.groupby("gadm_key").sum("n").to_pandas()
     got: Dict[str, int] = dict(zip(counts["gadm_key"], counts["sum(n)"]))
 
-    n_axis = world.N_BLOCKS * world.BLOCK_E6 // world.GADM_E6
+    n_axis = world.N_GADM_AXIS  # one definition, shared with SQL_QC
     keys = [world.gadm_id_str(gx, gy) for gx in range(n_axis) for gy in range(n_axis)]
     keys.append(world.SENTINEL_GADM)
     return pa.table(
@@ -196,23 +196,31 @@ def exact_quantiles_int(ds, col: str, qs: Sequence[float], n_buckets: int = 4096
         ub, cnt = np.unique(b, return_counts=True)
         return pa.table({"bucket": ub.astype(np.int64), "cnt": cnt.astype(np.int64)})
 
-    hdf = ds.select_columns([col]).map_batches(hist, batch_format="pyarrow")
+    hdf = ds.map_batches(hist, batch_format="pyarrow")
     hist_pd = hdf.groupby("bucket").sum("cnt").to_pandas().sort_values("bucket")
     buckets = hist_pd["bucket"].to_numpy()
     cnts = hist_pd["sum(cnt)"].to_numpy()
     cum = np.cumsum(cnts)
 
-    out = []
-    for q in qs:
+    # group quantiles by the histogram bucket they land in: ONE
+    # filter+sort pass per DISTINCT bucket (p50/p95 sharing a bucket
+    # previously re-scanned identical data)
+    per_bucket: dict = {}
+    for qi, q in enumerate(qs):
         target = math.ceil(q * n) - 1  # 0-based order statistic
         target = min(max(target, 0), n - 1)
         bi = int(np.searchsorted(cum, target + 1))
+        per_bucket.setdefault(bi, []).append((qi, target))
+
+    out: List[int] = [0] * len(qs)
+    for bi, wants in per_bucket.items():
         b = int(buckets[bi])
         before = int(cum[bi - 1]) if bi > 0 else 0
         blo, bhi = lo + b * width, lo + (b + 1) * width - 1
         vals = ds.filter(
             expr=f"{col} >= {blo} and {col} <= {bhi}"
-        ).select_columns([col]).to_pandas()[col].to_numpy()
+        ).to_pandas()[col].to_numpy()
         vals.sort(kind="stable")
-        out.append(int(vals[target - before]))
+        for qi, target in wants:
+            out[qi] = int(vals[target - before])
     return out

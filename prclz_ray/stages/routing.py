@@ -79,7 +79,10 @@ def segment_rect_mask(px, py, qx, qy, x0, y0, x1, y1) -> np.ndarray:
     ly, hy, dy, oky = _slab(py, qy - py, y0, y1)
     # t1 > t0 ⇔ every upper bound beats every lower bound (strict):
     return (
-        okx
+        ((px != qx) | (py != qy))  # a point "segment" has no length —
+        # without this, p==q inside the rect takes both d=0 branches
+        # and passes every condition, violating the contract above
+        & okx
         & oky
         & (hx > 0)                # tx_hi > 0
         & (hy > 0)                # ty_hi > 0
@@ -106,7 +109,9 @@ def sql_segment_rect(px, py, qx, qy, x0, y0, x1, y1) -> str:
     lx, hx, dx, okx = slab(px, qx, x0, x1)
     ly, hy, dy, oky = slab(py, qy, y0, y1)
     return (
-        f"({okx} AND {oky} AND {hx} > 0 AND {hy} > 0 "
+        f"(({px} != {qx} OR {py} != {qy}) "  # degenerate-segment
+        # reject, mirrored term for term with segment_rect_mask
+        f"AND {okx} AND {oky} AND {hx} > 0 AND {hy} > 0 "
         f"AND {lx} < {dx} AND {ly} < {dy} "
         f"AND {hx} * {dy} > {ly} * {dx} AND {hy} * {dx} > {lx} * {dy})"
     )
