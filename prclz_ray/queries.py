@@ -1028,7 +1028,7 @@ def q_decontaminate(sf_dir: str):
             }
         )
 
-    flagged = rows.groupby("sb").map_groups(contaminated, batch_format="pyarrow")
+    flagged = rows.repartition(8).groupby("sb").map_groups(contaminated, batch_format="pyarrow")
     def train_rows(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         keep = ids % DECON_EVAL_MOD != 0
@@ -1240,17 +1240,59 @@ sh AS (
 
 def _minhash_pairs(sf_dir: str):
     """Distinct MinHash+LSH candidate pairs as a Dataset — the shared
-    front half of dedup_minhash and dedup_clusters."""
-    from .stages.dedup import add_bucket_hash, band_bucket_pairs, minhash_signatures
+    front half of dedup_minhash and dedup_clusters. Band-bucket count
+    is INPUT-SCALED (band rows = 4/doc); the distinct pass rides the
+    bounded ``add_pair_hash`` bucket + a vectorized in-group dedup,
+    never a Ray group per distinct pair (the tiny-groups pathology)."""
+    from functools import partial
 
+    from .stages.dedup import (
+        BAND_BUCKETS,
+        PAIR_BUCKETS,
+        add_bucket_hash,
+        add_pair_hash,
+        band_bucket_pairs,
+        distinct_pairs_group,
+        minhash_signatures,
+    )
+
+    bb_n = _buckets(sf_dir, BAND_BUCKETS, fanout=4)
+    pb_n = _buckets(sf_dir, PAIR_BUCKETS, fanout=4)
     ds = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
-    ds = ds.map_batches(add_bucket_hash, batch_format="pyarrow")
-    pairs = ds.groupby("bb").map_groups(band_bucket_pairs, batch_format="pyarrow")
+    ds = ds.map_batches(
+        partial(add_bucket_hash, n_buckets=bb_n), batch_format="pyarrow"
+    )
+    pairs = (
+        ds.repartition(8)
+        .groupby("bb")
+        .map_groups(band_bucket_pairs, batch_format="pyarrow")
+    )
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_a" not in b.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "pb": pa.array([], pa.int64()),
+                }
+            )
+        return add_pair_hash(b, n_buckets=pb_n)
+
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .count()
+        pairs.map_batches(add_pb, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("pb")
+        .map_groups(distinct_pairs_group, batch_format="pyarrow")
         .map_batches(
-            lambda b: pa.table({"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b")}),
+            lambda b: pa.table(
+                {
+                    "doc_a": b.column("doc_a") if "doc_a" in b.column_names
+                    else pa.array([], pa.int64()),
+                    "doc_b": b.column("doc_b") if "doc_b" in b.column_names
+                    else pa.array([], pa.int64()),
+                }
+            ),
             batch_format="pyarrow",
         )
     )
@@ -1344,11 +1386,11 @@ def q_dedup_jaccard(sf_dir: str):
     rows = docs.map_batches(
         partial(doc_shingle_rows, n_buckets=sb_n), batch_format="pyarrow"
     )
-    pairs = rows.groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
+    pairs = rows.repartition(8).groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(
         partial(add_pair_hash, n_buckets=pb_n), batch_format="pyarrow"
     )
-    return pairs.groupby("pb").map_groups(pair_jaccard_agg, batch_format="pyarrow")
+    return pairs.repartition(8).groupby("pb").map_groups(pair_jaccard_agg, batch_format="pyarrow")
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -1587,11 +1629,25 @@ def q_dedup_corpus(sf_dir: str):
     web scale the drop set is 30-50% of the corpus)."""
     import ray.data
 
-    from .stages.dedup import add_bucket_hash, band_bucket_drops, minhash_signatures
+    from functools import partial
 
+    from .stages.dedup import (
+        BAND_BUCKETS,
+        add_bucket_hash,
+        band_bucket_drops,
+        minhash_signatures,
+    )
+
+    bb_n = _buckets(sf_dir, BAND_BUCKETS, fanout=4)  # band rows/doc
     sig = _docs(sf_dir).map_batches(minhash_signatures, batch_format="pyarrow")
-    sig = sig.map_batches(add_bucket_hash, batch_format="pyarrow")
-    flagged = sig.groupby("bb").map_groups(band_bucket_drops, batch_format="pyarrow")
+    sig = sig.map_batches(
+        partial(add_bucket_hash, n_buckets=bb_n), batch_format="pyarrow"
+    )
+    flagged = (
+        sig.repartition(8)
+        .groupby("bb")
+        .map_groups(band_bucket_drops, batch_format="pyarrow")
+    )
     everyone = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(
@@ -3107,7 +3163,7 @@ def q_line_dedup(sf_dir: str):
     flagged = rows.groupby("lb").map_groups(
         partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
     )
-    return flagged.groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
+    return flagged.repartition(8).groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
 
 
 def _sql_line_dedup() -> str:
@@ -3757,7 +3813,7 @@ def q_tfidf_topk(sf_dir: str):
     scored = tf.groupby("wb").map_groups(
         partial(tf_score_rows, doc_buckets=db_n), batch_format="pyarrow"
     )
-    return scored.groupby("db").map_groups(doc_topk, batch_format="pyarrow")
+    return scored.repartition(8).groupby("db").map_groups(doc_topk, batch_format="pyarrow")
 
 
 def _sql_tfidf_topk() -> str:
@@ -3906,7 +3962,7 @@ def q_dup_spans(sf_dir: str):
     flagged = rows.groupby("gb").map_groups(
         partial(dup_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
     )
-    return flagged.groupby("db").map_groups(dup_span_agg, batch_format="pyarrow")
+    return flagged.repartition(8).groupby("db").map_groups(dup_span_agg, batch_format="pyarrow")
 
 
 def _sql_dup_spans() -> str:
@@ -4347,13 +4403,21 @@ WITH raw AS (
   FROM documents
 ), s0 AS (
   SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM raw
-), s AS (
-  SELECT doc_id, url,
-         CASE WHEN length(u0) - length(replace(u0, '/', '')) < 3
-              THEN u0 || '/' ELSE u0 END AS u
+), s0b AS (
+  -- pathless-query pad + absolute-URL gate, mirrored term for term
+  -- with canonicalize_urls (no-ops on this fixture's always-pathed
+  -- absolute URLs, but the engines must share the full rule)
+  SELECT doc_id, url, u0,
+         regexp_replace(u0, '^([^/?#]*//[^/?#]*)\?', '\1/?') AS u1,
+         u0 LIKE '%://%' AS is_abs
   FROM s0
+), s AS (
+  SELECT doc_id, url, u0, is_abs,
+         CASE WHEN is_abs AND length(u1) - length(replace(u1, '/', '')) < 3
+              THEN u1 || '/' ELSE u1 END AS u
+  FROM s0b
 ), r3 AS (
-  SELECT doc_id, url, u,
+  SELECT doc_id, url, u, u0, is_abs,
          regexp_replace(regexp_replace(regexp_replace(
              regexp_extract(u, '^[^/]*//[^/]*/(.*)$', 1),
              '([?&])utm_[^&]*&?', '\1', 'g'),
@@ -4362,10 +4426,11 @@ WITH raw AS (
   FROM s
 )
 SELECT doc_id, url,
+       CASE WHEN NOT is_abs THEN u0 ELSE
        lower(regexp_extract(u, '^([^/]+)//', 1)) || '//' ||
        regexp_replace(lower(regexp_extract(u, '^[^/]*//([^/]*)', 1)), '^www\.', '') ||
        '/' ||
-       regexp_replace(rest, '[?&]+$', '') AS canon_url
+       regexp_replace(rest, '[?&]+$', '') END AS canon_url
 FROM r3
 """
 
@@ -4464,7 +4529,7 @@ def q_dedup_delta(sf_dir: str):
         lambda b: delta_hash_rows(b, DELTA_SNAPSHOT_MOD, n_buckets=db_n),
         batch_format="pyarrow",
     )
-    return rows.groupby("db").map_groups(delta_new_rows, batch_format="pyarrow")
+    return rows.repartition(8).groupby("db").map_groups(delta_new_rows, batch_format="pyarrow")
 
 
 def _sql_dedup_delta() -> str:

@@ -230,10 +230,35 @@ def band_bucket_drops(group: pa.Table) -> pa.Table:
     )
 
 
-def add_bucket_hash(batch: pa.Table, n_buckets: int = 512) -> pa.Table:
+BAND_BUCKETS = 512  # floor: LSH band-bucket shuffle (input-scaled by
+# the query layer — band rows = N_HASHES // BAND per doc)
+
+
+def add_bucket_hash(batch: pa.Table, n_buckets: int = BAND_BUCKETS) -> pa.Table:
     """Append ``bb = hash(bucket) % n_buckets`` (the bounded shuffle key)."""
     return batch.append_column(
         "bb", pa.array(hash_strings(batch.column("bucket")) % n_buckets, pa.int64())
+    )
+
+
+def distinct_pairs_group(group: pa.Table, a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> pa.Table:
+    """One pair-hash bucket → its distinct (a, b) rows, vectorized
+    (lexsort + run-start diff) — the bounded-bucket counterpart of a
+    per-distinct-pair groupby (the CLAUDE.md tiny-groups pathology).
+    A pair's duplicates all share its ``add_pair_hash`` bucket."""
+    empty = pa.table(
+        {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0 or a_col not in group.column_names:
+        return empty
+    a = group.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = group.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    return pa.table(
+        {a_col: pa.array(a[first], pa.int64()), b_col: pa.array(b[first], pa.int64())}
     )
 
 
@@ -430,20 +455,31 @@ def make_chunk_pair_fn(path: str, threshold: float = 0.9):
 
     cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
+    meta: dict = {}  # per-worker: row-group boundaries scanned once
+
     def load(start: int, end: int) -> tuple[np.ndarray, np.ndarray]:
         key = (start, end)
         hit = cache.get(key)
         if hit is not None:
+            # LRU refresh: re-insert so eviction drops the least
+            # RECENTLY used chunk (plain FIFO evicted the hottest
+            # early chunk over and over under >6 live chunks)
+            cache.pop(key)
+            cache[key] = hit
             return hit
-        pf = pq.ParquetFile(path)
-        groups, base, first_base = [], 0, None
-        for i in range(pf.metadata.num_row_groups):
-            nr = pf.metadata.row_group(i).num_rows
-            if base < end and base + nr > start:
-                if first_base is None:
-                    first_base = base
-                groups.append(i)
-            base += nr
+        if "pf" not in meta:
+            pf = pq.ParquetFile(path)
+            bounds = np.cumsum(
+                [0] + [pf.metadata.row_group(i).num_rows
+                       for i in range(pf.metadata.num_row_groups)]
+            )
+            meta["pf"], meta["bounds"] = pf, bounds
+        pf, bounds = meta["pf"], meta["bounds"]
+        groups = [
+            i for i in range(len(bounds) - 1)
+            if bounds[i] < end and bounds[i + 1] > start
+        ]
+        first_base = int(bounds[groups[0]])
         t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
         t = t.slice(start - first_base, end - start)
         from .similarity import embedding_matrix

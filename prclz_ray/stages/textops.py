@@ -214,6 +214,14 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     from .hashing import A_CHAR, P31, _powers, ensure_ascii, hash_strings
 
     texts_col = batch.column("text")
+    if texts_col.null_count:
+        # NULL text is a contract violation here, not a fillable case:
+        # the oracle's md5(text) yields NULL where a COALESCE'd Ray
+        # side would hash '' — raise (the ensure_ascii convention)
+        raise ValueError(
+            "fingerprint: null text rows (md5 oracle would be NULL; "
+            "fill or drop nulls upstream)"
+        )
     texts = texts_col.to_pylist()
     full = [hashlib.md5(t.encode()).hexdigest() for t in texts]
     n = len(batch)
@@ -280,11 +288,22 @@ def canonicalize_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """
     u = batch.column(url_col)
     u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
-    u = pc.replace_substring_regex(u, r"#.*$", "")
+    u0 = pc.replace_substring_regex(u, r"#.*$", "")
+    # canonicalization is defined for ABSOLUTE URLs; relative hrefs
+    # (no '://') pass through fragment-stripped — previously one
+    # relative row crashed the whole batch at the parts[3] gather
+    is_abs = pc.match_substring(u0, "://")
+    # pathless query: insert '/' before '?' so the query never rides
+    # the host slot ('http://h?x' → 'http://h/?x'; the pattern needs
+    # '//' so relative rows are untouched)
+    ua = pc.replace_substring_regex(u0, r"^([^/?#]*//[^/?#]*)\?", r"\1/?")
     # bare scheme://host (no third '/') → give it an empty path
-    bare = pc.less(pc.count_substring(u, "/"), 3)
-    u = pc.if_else(bare, pc.binary_join_element_wise(u, "/", ""), u)
-    parts = pc.split_pattern(u, "/", max_splits=3)
+    bare = pc.and_(is_abs, pc.less(pc.count_substring(ua, "/"), 3))
+    ua = pc.if_else(bare, pc.binary_join_element_wise(ua, "/", ""), ua)
+    # non-absolute rows get a dummy so the fixed-index gather is safe;
+    # their canon comes from the passthrough branch below
+    ua = pc.if_else(is_abs, ua, pa.scalar("x://x/x"))
+    parts = pc.split_pattern(ua, "/", max_splits=3)
     scheme = pc.utf8_lower(pc.list_element(parts, 0))
     host = pc.utf8_lower(pc.list_element(parts, 2))
     host = pc.replace_substring_regex(host, r"^www\.", "")
@@ -293,6 +312,7 @@ def canonicalize_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
         rest = pc.replace_substring_regex(rest, r"([?&])utm_[^&]*&?", r"\1")
     rest = pc.replace_substring_regex(rest, r"[?&]+$", "")
     canon = pc.binary_join_element_wise(scheme, "//", host, "/", rest, "")
+    canon = pc.if_else(is_abs, canon, u0)
     out = pa.table(
         {
             "doc_id": batch.column("doc_id"),
