@@ -4134,8 +4134,23 @@ def q_shuffle_rank(sf_dir: str):
         partial(shuffle_key_rows, n_buckets=sb_n), batch_format="pyarrow"
     ).materialize()
     bases_ref = ray.put(bucket_bases(rows, "one", "sb", n_buckets=sb_n))
-    return compact_for_bucket_groupby(rows, rows).groupby("sb").map_groups(
-        make_rank_fn(bases_ref), batch_format="pyarrow"
+
+    def retype(b: pa.Table) -> pa.Table:
+        # groupless reduce partitions emit schema-less blocks
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shuffle_pos": pa.array([], pa.int64()),
+                }
+            )
+        return b
+
+    return (
+        compact_for_bucket_groupby(rows, rows)
+        .groupby("sb")
+        .map_groups(make_rank_fn(bases_ref), batch_format="pyarrow")
+        .map_batches(retype, batch_format="pyarrow")
     )
 
 

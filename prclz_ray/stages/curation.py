@@ -68,12 +68,8 @@ WORD_BUCKETS = 64    # floor: document-frequency shuffle
 SCORE_SCALE = 1_000_000  # tf-idf score = tf * SCALE // df (exact integer)
 
 
-def _i64(x: np.ndarray) -> pa.Array:
-    return pa.array(x.astype(np.int64, copy=False), pa.int64())
-
-
-def _combined(arr):
-    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+from .hashing import arrow_combined as _combined
+from .hashing import arrow_i64 as _i64
 
 
 def _split_words(batch: pa.Table):
@@ -753,7 +749,11 @@ def dup_span_agg(group: pa.Table, g: int = DUP_G) -> pa.Table:
     newdoc = np.concatenate([[True], d[1:] != d[:-1]])
     di = np.cumsum(newdoc) - 1  # dense doc rank within the sorted bucket
     stride = np.int64(int(p.max()) + g + 1)  # > any within-doc end offset
-    assert int(di[-1]) < (1 << 62) // int(stride), "dup_span_agg lift overflow"
+    if int(di[-1]) >= (1 << 62) // int(stride):
+        # a raise, not an assert: python -O strips asserts and the
+        # wrapped product would SILENTLY corrupt spans (_pr_flow
+        # convention)
+        raise OverflowError("dup_span_agg lift overflow")
     q = di * stride + p  # doc-lifted positions
     endmax = np.maximum.accumulate(q + g)
     newspan = np.concatenate([[True], q[1:] > endmax[:-1]])
@@ -861,7 +861,9 @@ def connected_components(pairs, num_partitions: int = 8,
         # instead of 3+ join+groupby rounds at seconds of fixed latency
         import ray
 
-        t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        t = pa.concat_tables(
+            [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        )  # filter schema-less empties (CLAUDE.md concat rule)
         return ray.data.from_arrow(_cc_local(t))
     if n_edges == 0:
         # the round-1 join on a fully-empty, schema-less Dataset raises
@@ -1044,6 +1046,13 @@ def edge_weight_rows(batch: pa.Table, n_buckets: int = EDGE_BUCKETS) -> pa.Table
 def edge_weight_combine(group: pa.Table) -> pa.Table:
     """Reduce half of the weighted-edge combine: vectorized regroup of
     one hash bucket's (src, dst, w) partials via sorted-run sums."""
+    if group.num_rows == 0:
+        # empty groups reach group fns on some Ray versions; _key_runs'
+        # slice(0, -1) + reduceat both raise on 0 rows
+        return pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+             "w": pa.array([], pa.int64())}
+        )
     key = pc.binary_join_element_wise(
         _combined(group.column("src")), _combined(group.column("dst")), "|"
     )
@@ -1158,6 +1167,10 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
         )
 
     def outw_combine(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "ow": pa.array([], pa.int64())}
+            )
         g, runs = _key_runs(group, "src")
         ow = g.column("ow").to_numpy(zero_copy_only=False).astype(np.int64)
         sums = np.add.reduceat(np.ascontiguousarray(ow), runs[:-1])
@@ -1197,6 +1210,11 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
         )
 
     def dedup_hosts(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], pa.string()), "c": pa.array([], pa.int64()),
+                 "hb": pa.array([], pa.int64())}
+            )
         # host_zero_rows dedups per BATCH only; the round-0 pr table
         # must be globally one-row-per-host or the per-round edge⋈pr
         # join replicates every edge per duplicate row
@@ -1219,6 +1237,10 @@ def pagerank(links, iters: int = PR_ITERS, num_partitions: int = 8,
     )
 
     def sum_to_pr(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
+            )
         g, runs = _key_runs(group, "host")
         c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
         sums = np.add.reduceat(np.ascontiguousarray(c), runs[:-1])

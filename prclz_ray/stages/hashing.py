@@ -34,6 +34,18 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+
+def arrow_i64(x: "np.ndarray") -> "pa.Array":
+    """int64 Arrow array from any integer ndarray (no copy when the
+    dtype already matches) — ONE home for the idiom (was triplicated
+    across curation/packing/routing; drift risk)."""
+    return pa.array(x.astype(np.int64, copy=False), pa.int64())
+
+
+def arrow_combined(arr):
+    """ChunkedArray → contiguous Array (no-op otherwise)."""
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
 P31 = 2_147_483_647   # 2^31 - 1, prime
 P31B = 2_147_483_629  # 2^31 - 19, prime (second modulus for pair62)
 A_CHAR = 131

@@ -53,12 +53,8 @@ PACK_BUCKETS = 256   # range buckets for the prefix-sum scan
 HASH_SPAN = 1 << 62  # hash_strings62 codomain (for uniform range buckets)
 
 
-def _i64(x: np.ndarray) -> pa.Array:
-    return pa.array(x.astype(np.int64, copy=False), pa.int64())
-
-
-def _combined(arr):
-    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+from .hashing import arrow_combined as _combined
+from .hashing import arrow_i64 as _i64
 
 
 # ---------------------------------------------------------------------------
@@ -138,11 +134,32 @@ def pack_dataset(tok):
     # leaves group size = corpus / N (VERDICT r3); the driver still only
     # cumsums the n-buckets totals row
     pb_n = dynamic_buckets(tok.count(), PACK_BUCKETS)
-    width = tok.max("doc_id") // pb_n + 1
-    keyed = tok.map_batches(add_range_bucket(width), batch_format="pyarrow")
+    # range anchored at the key MINIMUM so negative (md5-int64) ids
+    # bucket correctly (see add_range_bucket)
+    lo = tok.min("doc_id")
+    width = (tok.max("doc_id") - lo) // pb_n + 1
+    keyed = tok.map_batches(add_range_bucket(width, lo=lo), batch_format="pyarrow")
     bases_ref = ray.put(bucket_bases(keyed, "nt", "pb", n_buckets=pb_n))
-    return compact_for_bucket_groupby(keyed, tok).groupby("pb").map_groups(
-        make_pack_fn(bases_ref), batch_format="pyarrow"
+
+    def retype(b: pa.Table) -> pa.Table:
+        # a reduce partition with no pb groups emits a SCHEMA-LESS
+        # block (sparse non-empty buckets can undercut any fixed
+        # repartition count) — re-type so the manifest schema is total
+        if b.num_rows == 0 or "seq_id" not in b.column_names:
+            return pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok_in_seq": pa.array([], pa.int64()),
+                }
+            )
+        return b
+
+    return (
+        compact_for_bucket_groupby(keyed, tok)
+        .groupby("pb")
+        .map_groups(make_pack_fn(bases_ref), batch_format="pyarrow")
+        .map_batches(retype, batch_format="pyarrow")
     )
 
 
@@ -161,13 +178,19 @@ def token_count_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def add_range_bucket(width: int, key: str = "doc_id", out: str = "pb"):
+def add_range_bucket(width: int, key: str = "doc_id", out: str = "pb",
+                     lo: int = 0):
     """map_batches fn attaching the key-range scan bucket — a cheap
-    map over the materialized scan state, never over the corpus."""
+    map over the materialized scan state, never over the corpus.
+    ``lo`` anchors the range: with md5-int64 keys (negative values,
+    explicitly supported by the hash contract) an unanchored
+    ``k // width`` yields bucket -1, which numpy SILENTLY wraps into
+    the last bucket's slot in bucket_bases — corrupted offsets, no
+    error. Callers pass the key minimum."""
 
     def add(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_numpy(zero_copy_only=False)
-        return batch.append_column(out, _i64(k // width))
+        return batch.append_column(out, _i64((k - lo) // width))
 
     return add
 

@@ -40,8 +40,7 @@ import pyarrow.compute as pc
 from .. import world
 
 
-def _i64(x: np.ndarray) -> pa.Array:
-    return pa.array(x.astype(np.int64, copy=False), pa.int64())
+from .hashing import arrow_i64 as _i64
 
 
 def gadm_ids_vec(gx: np.ndarray, gy: np.ndarray) -> pa.Array:

@@ -18,10 +18,26 @@ import time
 from typing import Dict, Iterable, Set
 
 
+STALE_TMP_S = 3600  # sweep .tmp droppings older than this on open
+
+
 class Manifest:
     def __init__(self, out_dir: str):
         self.dir = os.path.join(out_dir, "_manifest")
         os.makedirs(self.dir, exist_ok=True)
+        # a run killed between mkstemp and os.replace leaves a .tmp
+        # file forever; sweep old ones so crashed runs don't grow the
+        # dir unboundedly. AGE-GATED: a concurrent live run's tmp is
+        # milliseconds old — deleting it would break its os.replace.
+        now = time.time()
+        for f in os.listdir(self.dir):
+            if f.endswith(".tmp"):
+                p = os.path.join(self.dir, f)
+                try:
+                    if now - os.path.getmtime(p) > STALE_TMP_S:
+                        os.unlink(p)
+                except OSError:
+                    pass  # raced another sweeper / the writer finished
 
     def _path(self, partition: str) -> str:
         return os.path.join(self.dir, f"{partition}.json")
@@ -32,10 +48,13 @@ class Manifest:
         matches — resuming against a DIFFERENT input must not skip
         partitions completed from the old one (they are recomputed and
         their stale dirs removed by the caller's crash cleanup)."""
+        # half-written rows are excluded by NAMING: writers only ever
+        # hold ".tmp"-suffixed files (mark() above) until the atomic
+        # replace — the .json filter is the whole protection
         keys = {
             f[: -len(".json")]
             for f in os.listdir(self.dir)
-            if f.endswith(".json") and not f.endswith(".tmp")
+            if f.endswith(".json")
         }
         if fingerprint is None:
             return keys

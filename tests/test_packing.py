@@ -187,3 +187,34 @@ def test_shuffle_rank_is_a_permutation(ray_session):
     h = P.hash_strings62(docs.column("text"))
     dup_pos = {d: p for d, p in zip(got["doc_id"], got["shuffle_pos"])}
     assert dup_pos[7] == dup_pos[50] - 1 or h[7] != h[50]
+
+
+def test_pack_dataset_negative_md5_ids(ray_session):
+    """md5-int64 doc_ids are NEGATIVE half the time; the range bucket
+    must anchor at the key minimum — unanchored `id // width` gave
+    bucket -1, which numpy silently wrapped into the LAST bucket's
+    bases slot (corrupted global offsets, no error)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from prclz_ray.stages.packing import SEQ_LEN, pack_dataset
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(-(1 << 62), 1 << 62, size=300, dtype=np.int64)
+    ids = np.unique(ids)
+    nt = rng.integers(1, 50, size=len(ids)).astype(np.int64)
+    tok = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "nt": pa.array(nt)})
+    ).materialize()
+    out = pack_dataset(tok).to_pandas()
+    # total packed tokens must equal the corpus total, exactly once
+    assert out["tok_in_seq"].sum() == nt.sum()
+    # every doc appears, with its full token count
+    per_doc = out.groupby("doc_id")["tok_in_seq"].sum()
+    order = np.argsort(ids)
+    assert (per_doc.loc[ids[order]].to_numpy() == nt[order]).all()
+    # seq ids are a dense 0..n-1 range and no sequence exceeds SEQ_LEN
+    per_seq = out.groupby("seq_id")["tok_in_seq"].sum()
+    assert (per_seq <= SEQ_LEN).all()
+    assert sorted(per_seq.index) == list(range(len(per_seq)))
