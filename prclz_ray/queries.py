@@ -1564,14 +1564,23 @@ def q_dedup_embedding_ann(sf_dir: str):
         # k-means can leave lists empty, and partitions > non-empty
         # groups emit SCHEMA-LESS blocks (the CLAUDE.md hazard).
         # Undercounting from the sample is safe (fewer partitions,
-        # never empty ones). argpartition, not argsort: the top-p SET
-        # is all that's needed, and a full (sample × n_lists) index
-        # sort is GBs at the ceiling
+        # never empty ones), so used_n comes from a small STRIDED
+        # subsample scored in bounded chunks (the nearest_centroid
+        # invariant — a full (sample × n_lists) score matrix is
+        # hundreds of GB at the MAX_TRAIN_LISTS ceiling), with early
+        # exit once the min(16, used_n) consumer is saturated.
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         p = min(IVF_DEDUP_PROBES, len(cents))
-        used_n = len(np.unique(
-            np.argpartition(-(emb_n @ cents.T), p - 1, axis=1)[:, :p]
-        ))
+        sub = emb_n[:: max(1, len(emb_n) // 4096)][:4096]
+        seen: set = set()
+        for s0 in range(0, len(sub), 512):
+            top = np.argpartition(
+                -(sub[s0 : s0 + 512] @ cents.T), p - 1, axis=1
+            )[:, :p]
+            seen.update(np.unique(top).tolist())
+            if len(seen) >= 16:
+                break
+        used_n = len(seen)
         assigned = ds.map_batches(make_ivf_dedup_assign(cents), batch_format="pyarrow")
     else:
         coarse, subs_flat, cell_off = _hier_quantizer(path, n, n_lists_req)

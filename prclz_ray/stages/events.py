@@ -106,7 +106,14 @@ def extract_props_k(batch: pa.Table) -> pa.Table:
     non-integer ``k`` (regex truncates, SQL CAST errors) RAISE here
     instead of silently diverging — the ensure_ascii convention."""
     props = batch.column("props")
-    nested = pc.greater(pc.count_substring(pc.fill_null(props, ""), "{"), 1)
+    # nesting is detected STRUCTURALLY: strip every quoted string
+    # literal (escape-aware) first, so a flat object whose VALUE
+    # contains a brace ({"k": 1, "msg": "use {}"}) is not
+    # misclassified — only braces outside strings mark an inner object
+    stripped = pc.replace_substring_regex(
+        pc.fill_null(props, ""), r'"(?:[^"\\]|\\.)*"', ""
+    )
+    nested = pc.greater(pc.count_substring(stripped, "{"), 1)
     if pc.any(nested).as_py():
         raise ValueError(
             "extract_props_k: nested props object (flat contract; the "

@@ -691,16 +691,31 @@ def make_ivf_pair_fn(threshold: float):
         emb = embedding_matrix(group.column("embedding"))
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sim = emb_n @ emb_n.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = (sim[iu, ju] >= threshold) & (ids[iu] != ids[ju])
-        if not hit.any():
+        n = len(ids)
+        # chunked pair scan (the nearest_centroid memory invariant):
+        # a full (n, n) sim matrix + triu index arrays is ~7 GB each at
+        # the designed ~30k-row probed list — instead score row blocks
+        # against only the j ≥ block-start suffix (upper triangle by
+        # construction, and half the total flops), so one task never
+        # holds more than ~chunk × n float64
+        chunk = max(256, (1 << 25) // n)
+        outs_a, outs_b = [], []
+        for s in range(0, n - 1, chunk):
+            blk = emb_n[s : s + chunk]
+            sim = blk @ emb_n[s:].T  # (b, n-s); local col j' ↔ global s+j'
+            bi, bj = np.nonzero(sim >= threshold)
+            gi, gj = bi + s, bj + s
+            keep = (gj > gi) & (ids[gi] != ids[gj])
+            if keep.any():
+                a, b = ids[gi[keep]], ids[gj[keep]]
+                outs_a.append(np.minimum(a, b))
+                outs_b.append(np.maximum(a, b))
+        if not outs_a:
             return empty
-        a, b = ids[iu[hit]], ids[ju[hit]]
         return pa.table(
             {
-                "vec_a": pa.array(np.minimum(a, b), pa.int64()),
-                "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+                "vec_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(outs_b), pa.int64()),
             }
         )
 
