@@ -66,6 +66,36 @@ def _buckets(sf_dir: str, floor: int, table: str = "documents",
     return dynamic_buckets(parquet_rows(f"{sf_dir}/{table}.parquet") * fanout, floor)
 
 
+def _rwidth(sf_dir: str, n_buckets: int, table: str = "documents",
+            fanout: int = 1, floor: int = 8) -> int:
+    """Input-scaled partition width for the repartition feeding a
+    bounded-bucket reduce (or a join's ``num_partitions``) — the
+    companion of ``_buckets`` (VERDICT r4 §wrong.1: a fixed
+    ``repartition(8)`` on a full-corpus stream makes each reduce task
+    materialize corpus/8 rows and caps a multi-node cluster at 8-way
+    reduce parallelism). Same row estimate as the bucket count it
+    pairs with; capped at ``n_buckets`` so partitions never exceed
+    groups (schema-less empty-block hazard)."""
+    from .stages.scaling import parquet_rows, reduce_width
+
+    return reduce_width(
+        parquet_rows(f"{sf_dir}/{table}.parquet") * fanout, n_buckets, floor=floor
+    )
+
+
+def _jwidth(sf_dir: str, table: str = "documents", fanout: int = 1,
+            floor: int = 8) -> int:
+    """Input-scaled ``num_partitions`` for a Ray hash join — sized on
+    the BIGGER side's rows, uncapped by any group count (hash-join
+    partitions carry no schema-less empty-group hazard)."""
+    from .stages.scaling import MAX_BUCKETS, parquet_rows, reduce_width
+
+    return reduce_width(
+        parquet_rows(f"{sf_dir}/{table}.parquet") * fanout,
+        MAX_BUCKETS, floor=floor,
+    )
+
+
 def _cents(col) -> pa.Array:
     """value*100 rounded half-away-from-zero (DuckDB ROUND semantics),
     sign-correct for negative values, cast to exact int64."""
@@ -1028,7 +1058,11 @@ def q_decontaminate(sf_dir: str):
             }
         )
 
-    flagged = rows.repartition(8).groupby("sb").map_groups(contaminated, batch_format="pyarrow")
+    flagged = (
+        rows.repartition(_rwidth(sf_dir, sb_n, fanout=32))
+        .groupby("sb")
+        .map_groups(contaminated, batch_format="pyarrow")
+    )
     def train_rows(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         keep = ids % DECON_EVAL_MOD != 0
@@ -1263,7 +1297,7 @@ def _minhash_pairs(sf_dir: str):
         partial(add_bucket_hash, n_buckets=bb_n), batch_format="pyarrow"
     )
     pairs = (
-        ds.repartition(8)
+        ds.repartition(_rwidth(sf_dir, bb_n, fanout=4))
         .groupby("bb")
         .map_groups(band_bucket_pairs, batch_format="pyarrow")
     )
@@ -1281,7 +1315,7 @@ def _minhash_pairs(sf_dir: str):
 
     return (
         pairs.map_batches(add_pb, batch_format="pyarrow")
-        .repartition(8)
+        .repartition(_rwidth(sf_dir, pb_n, fanout=4))
         .groupby("pb")
         .map_groups(distinct_pairs_group, batch_format="pyarrow")
         .map_batches(
@@ -1386,11 +1420,19 @@ def q_dedup_jaccard(sf_dir: str):
     rows = docs.map_batches(
         partial(doc_shingle_rows, n_buckets=sb_n), batch_format="pyarrow"
     )
-    pairs = rows.repartition(8).groupby("sb").map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
+    pairs = (
+        rows.repartition(_rwidth(sf_dir, sb_n, fanout=32))
+        .groupby("sb")
+        .map_groups(shingle_cooccur_pairs, batch_format="pyarrow")
+    )
     pairs = pairs.map_batches(
         partial(add_pair_hash, n_buckets=pb_n), batch_format="pyarrow"
     )
-    return pairs.repartition(8).groupby("pb").map_groups(pair_jaccard_agg, batch_format="pyarrow")
+    return (
+        pairs.repartition(_rwidth(sf_dir, pb_n, fanout=8))
+        .groupby("pb")
+        .map_groups(pair_jaccard_agg, batch_format="pyarrow")
+    )
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -1653,7 +1695,7 @@ def q_dedup_corpus(sf_dir: str):
         partial(add_bucket_hash, n_buckets=bb_n), batch_format="pyarrow"
     )
     flagged = (
-        sig.repartition(8)
+        sig.repartition(_rwidth(sf_dir, bb_n, fanout=4))
         .groupby("bb")
         .map_groups(band_bucket_drops, batch_format="pyarrow")
     )
@@ -2269,14 +2311,23 @@ def q_sessionize(sf_dir: str):
     map_groups per user (SURVEY §2.9 windowed custom operator)."""
     import ray.data
 
-    from .stages.events import sessionize_group
+    from functools import partial
+
+    from .stages.events import ASOF_BUCKETS, add_user_bucket, sessionize_group
 
     ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    # repartition ≤ group count before map_groups (CLAUDE.md): user
-    # count >> 8 on any events corpus; without this, groupless
-    # partitions emit schema-less blocks
-    return ds.repartition(8).groupby("user_id").map_groups(
-        sessionize_group, batch_format="pyarrow"
+    # bucketed shuffle key (tiny-groups rule): one Ray group per
+    # user-bucket, users regrouped vectorized inside the group fn —
+    # never one group per user (billions at web scale). Width and
+    # bucket count are both input-scaled.
+    ub_n = _buckets(sf_dir, ASOF_BUCKETS, table="events")
+    ds = ds.map_batches(
+        partial(add_user_bucket, n_buckets=ub_n), batch_format="pyarrow"
+    )
+    return (
+        ds.repartition(_rwidth(sf_dir, ub_n, table="events"))
+        .groupby("ub")
+        .map_groups(sessionize_group, batch_format="pyarrow")
     )
 
 
@@ -2378,7 +2429,7 @@ def q_events_late(sf_dir: str):
     # closure-pickling would re-ship it per task)
     prior_ref = _ray.put(bucket_max_ts(rows, n_buckets=lb_n))
     return (
-        rows.repartition(8)
+        rows.repartition(_rwidth(sf_dir, lb_n, table="events"))
         .groupby("lb")
         .map_groups(make_late_finish(prior_ref, WATERMARK_US), batch_format="pyarrow")
     )
@@ -2426,8 +2477,10 @@ def q_events_asof(sf_dir: str):
     )
     # repartition ≤ group count (CLAUDE.md; ub has ≥ ASOF_BUCKETS
     # non-empty values on any events corpus with ≥ 8 users)
-    return ds.repartition(8).groupby("ub").map_groups(
-        asof_join_group, batch_format="pyarrow"
+    return (
+        ds.repartition(_rwidth(sf_dir, ub_n, table="events"))
+        .groupby("ub")
+        .map_groups(asof_join_group, batch_format="pyarrow")
     )
 
 
@@ -2462,8 +2515,10 @@ def q_events_range(sf_dir: str):
         partial(add_user_bucket, n_buckets=ub_n), batch_format="pyarrow"
     )
     # repartition ≤ group count (CLAUDE.md; see q_events_asof)
-    return ds.repartition(8).groupby("ub").map_groups(
-        range_join_group, batch_format="pyarrow"
+    return (
+        ds.repartition(_rwidth(sf_dir, ub_n, table="events"))
+        .groupby("ub")
+        .map_groups(range_join_group, batch_format="pyarrow")
     )
 
 
@@ -2609,7 +2664,8 @@ def q_nation_revenue(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=_jwidth(sf_dir, table="orders"),
+        on=("o_custkey",), right_on=("c_custkey",),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2692,7 +2748,12 @@ def q_block_inventory(sf_dir: str):
         lambda b: pa.table({"block_id": b.column("block_id"), "n_buildings": b.column("sum(nb_)")}),
         batch_format="pyarrow",
     )
-    return p.join(bc, join_type="inner", num_partitions=8, on=("block_id",))
+    # join width sized on the parcel count (an upper bound on the
+    # per-block rollup rows entering the join; floor 8 at test scale)
+    from .stages.scaling import MAX_BUCKETS, parquet_rows, reduce_width
+
+    npart = reduce_width(parquet_rows(derive.parcels_path()), MAX_BUCKETS)
+    return p.join(bc, join_type="inner", num_partitions=npart, on=("block_id",))
 
 
 SQL_BLOCK_INVENTORY = f"""
@@ -3172,7 +3233,11 @@ def q_line_dedup(sf_dir: str):
     flagged = rows.groupby("lb").map_groups(
         partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
     )
-    return flagged.repartition(8).groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
+    return (
+        flagged.repartition(_rwidth(sf_dir, db_n, fanout=16))
+        .groupby("db")
+        .map_groups(reassemble_docs, batch_format="pyarrow")
+    )
 
 
 def _sql_line_dedup() -> str:
@@ -3239,7 +3304,9 @@ def q_dedup_clusters(sf_dir: str):
     pair generation."""
     from .stages.curation import connected_components
 
-    return connected_components(_minhash_pairs(sf_dir))
+    return connected_components(
+        _minhash_pairs(sf_dir), num_partitions=_jwidth(sf_dir, fanout=4)
+    )
 
 
 def _sql_dedup_clusters() -> str:
@@ -3272,7 +3339,9 @@ def q_dedup_keep_best(sf_dir: str):
     )
     from .stages.textops import quality_score
 
-    clusters = connected_components(_minhash_pairs(sf_dir))
+    clusters = connected_components(
+        _minhash_pairs(sf_dir), num_partitions=_jwidth(sf_dir, fanout=4)
+    )
     qual = _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow").map_batches(
         lambda b: pa.table(
             {"doc_id": b.column("doc_id"), "score": b.column("stopword_hits")}
@@ -3318,7 +3387,10 @@ def q_dedup_keep_best(sf_dir: str):
 
         joined = qual.map_batches(annotate, batch_format="pyarrow")
     else:
-        joined = clusters.join(qual, join_type="inner", num_partitions=8, on=("doc_id",))
+        joined = clusters.join(
+            qual, join_type="inner", num_partitions=_jwidth(sf_dir),
+            on=("doc_id",),
+        )
 
     cb_n = _buckets(sf_dir, CLUSTER_BUCKETS)
 
@@ -3330,7 +3402,7 @@ def q_dedup_keep_best(sf_dir: str):
 
     flagged = (
         joined.map_batches(add_cb, batch_format="pyarrow")
-        .repartition(8)
+        .repartition(_rwidth(sf_dir, cb_n))
         .groupby("cb")
         .map_groups(cluster_keep_best, batch_format="pyarrow")
     )
@@ -3482,6 +3554,7 @@ def q_host_pagerank(sf_dir: str):
         ds.map_batches(links, batch_format="pyarrow"),
         scale=_PIN,
         edge_buckets=_buckets(sf_dir, EDGE_BUCKETS, fanout=4),  # links/doc
+        num_partitions=_jwidth(sf_dir, fanout=4),
     )
 
 
@@ -3666,7 +3739,8 @@ def q_host_components(sf_dir: str):
         )
 
     clusters = connected_components(
-        ds.map_batches(pairs, batch_format="pyarrow"), num_partitions=4
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        num_partitions=_jwidth(sf_dir, floor=4),
     ).map_batches(
         lambda b: pa.table(
             {"node": b.column("doc_id"), "cluster_id": b.column("cluster_id")}
@@ -3682,7 +3756,8 @@ def q_host_components(sf_dir: str):
         batch_format="pyarrow",
     )
     return clusters.join(
-        names, join_type="inner", num_partitions=4, on=("node",)
+        names, join_type="inner", num_partitions=_jwidth(sf_dir, floor=4),
+        on=("node",),
     ).map_batches(
         lambda b: pa.table(
             {"host": b.column("host"), "cluster_id": b.column("cluster_id")}
@@ -3782,6 +3857,7 @@ def q_link_pagerank(sf_dir: str):
         ds.map_batches(links, batch_format="pyarrow"),
         scale=_PIN,
         edge_buckets=_buckets(sf_dir, EDGE_BUCKETS, fanout=4),  # links/doc
+        num_partitions=_jwidth(sf_dir, fanout=4),
     )
 
 
@@ -3822,7 +3898,11 @@ def q_tfidf_topk(sf_dir: str):
     scored = tf.groupby("wb").map_groups(
         partial(tf_score_rows, doc_buckets=db_n), batch_format="pyarrow"
     )
-    return scored.repartition(8).groupby("db").map_groups(doc_topk, batch_format="pyarrow")
+    return (
+        scored.repartition(_rwidth(sf_dir, db_n, fanout=32))
+        .groupby("db")
+        .map_groups(doc_topk, batch_format="pyarrow")
+    )
 
 
 def _sql_tfidf_topk() -> str:
@@ -3909,7 +3989,8 @@ def q_doc_surprisal(sf_dir: str):
             lambda b: ngram_partial_counts(b, n=1, n_buckets=gb_n),
             batch_format="pyarrow",
         )
-        .repartition(8)
+        # partials are per-batch-distinct, still corpus-scale in total
+        .repartition(_rwidth(sf_dir, gb_n, fanout=32))
         .groupby("gb")
         .map_groups(lambda g: bucket_topk_grams(g, VOCAB_K), batch_format="pyarrow")
         .repartition(1)
@@ -3971,7 +4052,11 @@ def q_dup_spans(sf_dir: str):
     flagged = rows.groupby("gb").map_groups(
         partial(dup_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
     )
-    return flagged.repartition(8).groupby("db").map_groups(dup_span_agg, batch_format="pyarrow")
+    return (
+        flagged.repartition(_rwidth(sf_dir, db_n, fanout=32))
+        .groupby("db")
+        .map_groups(dup_span_agg, batch_format="pyarrow")
+    )
 
 
 def _sql_dup_spans() -> str:
@@ -4553,7 +4638,11 @@ def q_dedup_delta(sf_dir: str):
         lambda b: delta_hash_rows(b, DELTA_SNAPSHOT_MOD, n_buckets=db_n),
         batch_format="pyarrow",
     )
-    return rows.repartition(8).groupby("db").map_groups(delta_new_rows, batch_format="pyarrow")
+    return (
+        rows.repartition(_rwidth(sf_dir, db_n))
+        .groupby("db")
+        .map_groups(delta_new_rows, batch_format="pyarrow")
+    )
 
 
 def _sql_dedup_delta() -> str:

@@ -21,8 +21,12 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
 def sessionize_group(group: pa.Table) -> pa.Table:
-    """One user's events → session rows (gap > 30 min starts a new
-    session). Exact-integer output (µs epochs)."""
+    """One user-BUCKET's events → session rows (gap > 30 min starts a
+    new session). Users are regrouped vectorized inside the bucket
+    (lexsort on (user_id, ts) + run boundaries) — one Ray group per
+    bucket, never per user (the tiny-groups rule; a per-user groupby
+    is billions of groups at web scale). Exact-integer output (µs
+    epochs)."""
     if group.num_rows == 0:
         # empty shuffle partitions can reach a map_groups fn — the
         # [True]-seeded new_session mask would IndexError on 0 rows
@@ -36,20 +40,27 @@ def sessionize_group(group: pa.Table) -> pa.Table:
                 "duration_us": pa.array([], pa.int64()),
             }
         )
+    uid = group.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
     ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    order = np.argsort(ts, kind="stable")
-    ts = ts[order]
-    new_session = np.concatenate([[True], np.diff(ts) > SESSION_GAP_US])
-    sess = np.cumsum(new_session) - 1  # 0-based session index per event
-    n_sessions = int(sess[-1]) + 1 if len(sess) else 0
+    order = np.lexsort((ts, uid))
+    uid, ts = uid[order], ts[order]
+    new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+    new_session = new_user | np.concatenate(
+        [[True], np.diff(ts) > SESSION_GAP_US]
+    )
+    sess = np.cumsum(new_session) - 1  # 0-based GLOBAL session run id
+    # per-user session index = global run id − the user's first run id
+    user_run = np.cumsum(new_user) - 1
+    first_sess_of_user = sess[new_user]
+    sess_idx = (sess - first_sess_of_user[user_run])[new_session]
     starts = ts[new_session]
+    # ts ascends within each session run, so reduceat-max = run last
     ends = np.maximum.reduceat(ts, np.flatnonzero(new_session))
-    counts = np.bincount(sess, minlength=n_sessions)
-    uid = group.column("user_id")[0].as_py()
+    counts = np.bincount(sess)
     return pa.table(
         {
-            "user_id": pa.array([uid] * n_sessions, pa.int64()),
-            "session_idx": pa.array(np.arange(n_sessions)),
+            "user_id": pa.array(uid[new_session], pa.int64()),
+            "session_idx": pa.array(sess_idx.astype(np.int64)),
             "n_events": pa.array(counts.astype(np.int64)),
             "start_us": pa.array(starts),
             "end_us": pa.array(ends),

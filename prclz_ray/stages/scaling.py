@@ -45,6 +45,25 @@ def dynamic_buckets(
     return int(min(MAX_BUCKETS, max(int(floor), need)))
 
 
+def reduce_width(
+    n_rows: int, n_buckets: int, floor: int = 8,
+    rows_per_task: int = TARGET_GROUP_ROWS,
+) -> int:
+    """Partition count for the ``repartition`` feeding a bounded-bucket
+    ``groupby().map_groups()`` (or a hash join's ``num_partitions``).
+
+    The round-4 ``dynamic_buckets`` work bounds GROUP size, but a fixed
+    ``repartition(8)`` before the reduce still caps reduce parallelism
+    at 8 and makes each reduce task materialize corpus/8 rows (VERDICT
+    r4 §wrong.1 — the last 100 TB scale-killer). Same shape as
+    ``dynamic_buckets``: the tuned test-scale ``floor`` until a
+    partition would exceed ``rows_per_task`` rows, then linear growth —
+    CAPPED at ``n_buckets``, because partitions > groups emit
+    schema-less empty blocks (the CLAUDE.md hazard)."""
+    need = -(-int(n_rows) // int(rows_per_task))  # ceil
+    return int(max(1, min(int(n_buckets), max(int(floor), need))))
+
+
 def parquet_rows(paths) -> int:
     """Total row count of parquet file(s)/dir(s) from footer metadata
     only — one small read per file on the driver, no column data."""

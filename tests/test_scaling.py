@@ -191,3 +191,84 @@ def test_embedding_sample_strided_and_capped(tmp_path):
     # just the head 3 groups (first values of each selected group)
     firsts = sorted(set(int(v) // 100 for v in s[:, 0]))
     assert max(firsts) >= 5, f"head-biased sample: groups {firsts}"
+
+
+def test_reduce_width_floor_growth_cap():
+    """VERDICT r4 §wrong.1: the repartition feeding a bounded-bucket
+    reduce must widen with input rows (corpus/8 per reduce task at
+    100 TB otherwise) while never exceeding the group count
+    (schema-less empty-block hazard)."""
+    from prclz_ray.stages.scaling import reduce_width
+
+    # test scale: the tuned floor, exactly (behavior unchanged)
+    assert reduce_width(5_000, 256, floor=8) == 8
+    assert reduce_width(8 * TARGET_GROUP_ROWS, 256, floor=8) == 8
+    # growth: partitions track rows/rows_per_task
+    assert reduce_width(100 * TARGET_GROUP_ROWS, 256, floor=8) == 100
+    # capped at the bucket count — partitions ≤ groups always
+    assert reduce_width(10**15, 256, floor=8) == 256
+    # monotone in rows
+    ws = [reduce_width(k * TARGET_GROUP_ROWS, 10**6) for k in (1, 50, 5000)]
+    assert ws == sorted(ws)
+    # degenerate guard
+    assert reduce_width(0, 256) >= 1
+
+
+def test_rwidth_jwidth_scale_with_parquet_rows(tmp_path):
+    """_rwidth/_jwidth read the SAME footer row count as _buckets and
+    widen past the floor once rows×fanout exceed the per-task budget —
+    the end-to-end wiring the fixed repartition(8) sites now use."""
+    import pyarrow.parquet as pq
+
+    from prclz_ray.queries import _jwidth, _rwidth
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    # small input: floors hold (test-scale behavior identical)
+    assert _rwidth(sf, 256) == 8
+    assert _jwidth(sf) == 8
+    # a fanout that pushes rows past the budget widens the reduce,
+    # still capped by the bucket count
+    big_fanout = 50 * TARGET_GROUP_ROWS // 1000
+    assert _rwidth(sf, 256, fanout=big_fanout) == 50
+    assert _rwidth(sf, 16, fanout=big_fanout) == 16  # cap
+    assert _jwidth(sf, fanout=big_fanout) == 50      # joins: uncapped
+
+
+def test_sessionize_bucket_group_matches_per_user():
+    """The bucketed sessionizer (one Ray group per user-BUCKET) emits
+    exactly the per-user semantics: per-user session indices, counts,
+    and bounds — independent of how users interleave in the bucket."""
+    from prclz_ray.stages.events import SESSION_GAP_US, sessionize_group
+
+    gap = SESSION_GAP_US
+    # two users interleaved, each with two sessions
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 3, 7, 3, 7, 3], pa.int64()),
+            "ts": pa.array(
+                [0, 100, 10, 200, 3 * gap, 3 * gap + 5], pa.int64()
+            ),
+            "ub": pa.array([1] * 6, pa.int64()),
+        }
+    )
+    out = sessionize_group(t)
+    rows = sorted(
+        zip(
+            out.column("user_id").to_pylist(),
+            out.column("session_idx").to_pylist(),
+            out.column("n_events").to_pylist(),
+            out.column("start_us").to_pylist(),
+            out.column("end_us").to_pylist(),
+        )
+    )
+    assert rows == [
+        (3, 0, 2, 100, 200),
+        (3, 1, 1, 3 * gap + 5, 3 * gap + 5),
+        (7, 0, 2, 0, 10),
+        (7, 1, 1, 3 * gap, 3 * gap),
+    ]
+    # empty shuffle partition guard
+    assert sessionize_group(t.slice(0, 0)).num_rows == 0
