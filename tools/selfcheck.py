@@ -3,6 +3,12 @@
 row count, schema (column names), and an order-insensitive value hash.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+
+Set ``SELFCHECK_JSON=/path/out.json`` to also write the full per-query
+result table in the driver's CORRECTNESS_r*.json format (rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err per entry)
+— the committed round artifact covering ALL registry entries, since
+the driver samples only a subset (VERDICT r4 §missing.1).
 """
 
 from __future__ import annotations
@@ -78,6 +84,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = 0
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,22 +93,43 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"ERROR  {name}: {type(ex).__name__}: {ex}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(ex).__name__}: {ex}",
+            }
             n_fail += 1
             continue
         wall = time.time() - t0
         if name not in oracles:
             print(f"ROWS   {name}: {len(got)} rows ({wall:.1f}s, rows-only: no oracle)")
+            report[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(got),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             want = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"ERROR  {name} (oracle): {type(ex).__name__}: {ex}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(got),
+                "oracle_rows": None,
+                "err": f"oracle: {type(ex).__name__}: {ex}",
+            }
             n_fail += 1
             continue
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
         status = "MATCH " if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+        report[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(got),
+            "oracle_rows": len(want), "err": None,
+        }
         if status == "MATCH ":
             n_pass += 1
         else:
@@ -119,6 +147,13 @@ def main():
             )
             print(f"    first diffs:\n{merged.head(5)}")
     print(f"\n{n_pass} matched, {n_fail} failed")
+    out = os.environ.get("SELFCHECK_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {out} ({len(report)} entries)")
     ray.shutdown()
     return 1 if n_fail else 0
 
