@@ -354,15 +354,36 @@ def put_anchors_side_by_cell(parcels: pa.Table, res: int | None = None, halo_e6:
     cx1 = np.clip((ax + halo_e6) // w, 0, nmax)
     cy0 = np.clip((ay - halo_e6) // w, 0, nmax)
     cy1 = np.clip((ay + halo_e6) // w, 0, nmax)
-    by_cell: dict = {}
-    for i in range(len(ax)):
-        for cx in range(cx0[i], cx1[i] + 1):
-            for cy in range(cy0[i], cy1[i] + 1):
-                cid = (res << 56) | (int(cx) << 28) | int(cy)
-                by_cell.setdefault(cid, []).append(i)
+    # bbox-cover explode (the routing.py idiom): every (anchor, cell)
+    # pair materialized as flat arrays — this build is on the
+    # large-anchor growth path, so no per-anchor Python loop (VERDICT
+    # r4 §wrong.2). Coverage per anchor is (nx × ny), ≤ 4 cells for
+    # any halo < cell width.
+    nx = (cx1 - cx0 + 1).astype(np.int64)
+    ny = (cy1 - cy0 + 1).astype(np.int64)
+    counts = nx * ny
+    total = int(counts.sum())
+    rep = np.repeat(np.arange(len(ax), dtype=np.int64), counts)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    ny_rep = ny[rep]
+    cx = cx0[rep] + off // ny_rep
+    cy = cy0[rep] + off % ny_rep
+    cid = np.int64(res << 56) | (cx << 28) | cy
+    order = np.argsort(cid, kind="stable")
+    cid_s, rep_s = cid[order], rep[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], cid_s[1:] != cid_s[:-1]])
+    )
+    bounds = np.concatenate([starts, [total]])
+    # the remaining loop is per-CELL (one ray.put per shard — the
+    # irreducible unit), never per-anchor
     return {
-        cid: put_anchors_side(parcels.take(pa.array(idxs, pa.int64())))
-        for cid, idxs in by_cell.items()
+        int(cid_s[s]): put_anchors_side(
+            parcels.take(pa.array(rep_s[s:e], pa.int64()))
+        )
+        for s, e in zip(bounds[:-1], bounds[1:])
     }
 
 
