@@ -3048,6 +3048,7 @@ def _qc_tables(sf_dir: str):
         batch_format="pyarrow",
     )
     lang_counts = (
+        # BOUNDED partials: ≤ distinct-language rows per block — bytes
         lang_partial.repartition(1).groupby("lang_pred").sum("n").to_pandas()
     )
 
@@ -3940,6 +3941,8 @@ def q_ngram_topk(sf_dir: str):
         batch_format="pyarrow",
     )
     cands = part.groupby("gb").map_groups(bucket_topk_grams, batch_format="pyarrow")
+    # BOUNDED candidates: ≤ top-K rows per gram bucket — the global
+    # selection sees K × n_buckets rows, never corpus rows
     return cands.repartition(1).map_batches(global_topk_grams, batch_format="pyarrow")
 
 
@@ -3993,6 +3996,7 @@ def q_doc_surprisal(sf_dir: str):
         .repartition(_rwidth(sf_dir, gb_n, fanout=32))
         .groupby("gb")
         .map_groups(lambda g: bucket_topk_grams(g, VOCAB_K), batch_format="pyarrow")
+        # BOUNDED: ≤ VOCAB_K rows per gram bucket reach this choke
         .repartition(1)
         .map_batches(lambda b: global_topk_grams(b, VOCAB_K), batch_format="pyarrow")
     )
@@ -4461,7 +4465,7 @@ def q_ann_topk_pq(sf_dir: str):
     local = ds.map_batches(make_pq_topk_fn(qref, books, k=10), batch_format="pyarrow")
     return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
-    )
+    )  # candidate set is k x queries x batches rows - one partition
 
 
 def q_canonical_urls(sf_dir: str):
