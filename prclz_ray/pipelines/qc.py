@@ -131,10 +131,96 @@ def render_qc_report(summary: pa.Table, per_gadm: pa.Table, sf_dir: str) -> str:
     return "\n".join(out)
 
 
+# headline metrics tracked run-over-run (the data_tracker.py:14-70
+# analogue: the reference tabulates per-country complexity-coverage
+# progress across sessions; here the same progress ledger is per
+# qc-run over the corpus)
+_TREND_KEYS = [
+    ("coverage", "n_pages_total"),
+    ("coverage", "n_pages_geo"),
+    ("dedup", "n_unique_text"),
+    ("quality", "n_pass"),
+]
+
+
+def _append_qc_run(out_dir: str, sf_dir: str, summary: pa.Table) -> list[dict]:
+    """Append this run's flattened summary to the tiny per-run ledger
+    (the ``_runs.jsonl`` pattern, ``pipelines/flagship.py``) and return
+    the FULL history including this run — driver-side bytes only."""
+    import json
+    import time as _time
+
+    path = os.path.join(out_dir, "_manifest", "_runs.jsonl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    metrics = {
+        f"{s}.{m}": v
+        for s, m, v in zip(
+            summary.column("section").to_pylist(),
+            summary.column("metric").to_pylist(),
+            summary.column("value").to_pylist(),
+        )
+    }
+    rec = {"job": "qc", "input": sf_dir, "ts": _time.time(), "metrics": metrics}
+    history: list[dict] = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue  # a torn tail line from a killed run
+                if row.get("job") == "qc":
+                    history.append(row)
+    with open(path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    history.append(rec)
+    return history
+
+
+def render_qc_trend(history: list[dict]) -> str:
+    """Progress-over-time section: one row per qc run, headline
+    metrics + delta vs the previous run. Empty string until a second
+    run exists (a single snapshot has no trend)."""
+    if len(history) < 2:
+        return ""
+    import datetime
+
+    out = [
+        "## Progress over time",
+        "",
+        "| run | " + " | ".join(m for _, m in _TREND_KEYS) + " |",
+        "|---|" + "---|" * len(_TREND_KEYS),
+    ]
+    prev = None
+    for rec in history:
+        when = datetime.datetime.fromtimestamp(rec["ts"]).strftime(
+            "%Y-%m-%d %H:%M"
+        )
+        cells = []
+        for s, m in _TREND_KEYS:
+            v = rec["metrics"].get(f"{s}.{m}")
+            if v is None:
+                cells.append("—")
+                continue
+            cell = f"{v:,}"
+            if prev is not None:
+                pv = prev["metrics"].get(f"{s}.{m}")
+                if pv is not None:
+                    d = v - pv
+                    cell += f" ({'+' if d >= 0 else ''}{d:,})"
+            cells.append(cell)
+        out.append(f"| {when} | " + " | ".join(cells) + " |")
+        prev = rec
+    out.append("")
+    return "\n".join(out)
+
+
 def run_qc_report(sf_dir: str, out_dir: str) -> dict:
     """Compute + render the QC artifact set into ``out_dir`` (atomic
     per-file via same-dir tmp + rename, so a killed run never leaves a
-    half-written report). Returns a small manifest dict."""
+    half-written report). Appends this run's summary to the
+    ``_runs.jsonl`` ledger; from the second run on, the report carries
+    a progress-over-time delta table. Returns a small manifest dict."""
     from ..queries import _qc_tables
 
     os.makedirs(out_dir, exist_ok=True)
@@ -142,6 +228,10 @@ def run_qc_report(sf_dir: str, out_dir: str) -> dict:
     # derived from the per-gadm rollup — never compute it twice)
     summary, per_gadm = _qc_tables(sf_dir)
     md = render_qc_report(summary, per_gadm, sf_dir)
+    history = _append_qc_run(out_dir, sf_dir, summary)
+    trend = render_qc_trend(history)
+    if trend:
+        md = md + "\n" + trend
 
     artifacts = {}
     for name, writer in (
@@ -159,5 +249,6 @@ def run_qc_report(sf_dir: str, out_dir: str) -> dict:
         "out_dir": out_dir,
         "n_summary_rows": summary.num_rows,
         "n_gadm_rows": per_gadm.num_rows,
+        "n_runs": len(history),
         "artifacts": sorted(artifacts),
     }

@@ -95,3 +95,52 @@ def test_img2_zero_area_blob_rejected():
     )
     with _pytest.raises(ValueError, match="zero-area"):
         _decode_batch_pixels(batch)
+
+
+def test_qc_trend_ledger_and_delta_table(ray_session, tmp_path):
+    """Two consecutive qc runs into the same out_dir produce the
+    progress-over-time delta table (the data_tracker analogue); the
+    first run has no trend section (a snapshot is not a trend)."""
+    import json
+
+    from prclz_ray.pipelines.qc import run_qc_report
+
+    out_dir = tmp_path / "qc"
+    r1 = run_qc_report(SF, str(out_dir))
+    md1 = open(out_dir / "QC_REPORT.md").read()
+    assert r1["n_runs"] == 1
+    assert "## Progress over time" not in md1
+
+    r2 = run_qc_report(SF, str(out_dir))
+    md2 = open(out_dir / "QC_REPORT.md").read()
+    assert r2["n_runs"] == 2
+    assert "## Progress over time" in md2
+    # same corpus twice → every delta is +0
+    trend = md2.split("## Progress over time", 1)[1]
+    assert "(+0)" in trend
+    assert trend.count("| 20") == 2  # one ledger row per run
+
+    # the ledger is machine-readable jsonl, one record per run
+    lines = open(out_dir / "_manifest" / "_runs.jsonl").read().splitlines()
+    recs = [json.loads(x) for x in lines]
+    assert len(recs) == 2 and all(r["job"] == "qc" for r in recs)
+    assert recs[0]["metrics"] == recs[1]["metrics"]
+
+
+def test_qc_trend_renderer_deltas():
+    """Pure renderer: deltas are vs the PREVIOUS run, signed, and
+    missing metrics render as an em-dash instead of crashing."""
+    from prclz_ray.pipelines.qc import render_qc_trend
+
+    h = [
+        {"ts": 1e9, "metrics": {"coverage.n_pages_total": 100,
+                                "coverage.n_pages_geo": 90,
+                                "dedup.n_unique_text": 80,
+                                "quality.n_pass": 70}},
+        {"ts": 1e9 + 86400, "metrics": {"coverage.n_pages_total": 150,
+                                        "coverage.n_pages_geo": 85,
+                                        "quality.n_pass": 70}},
+    ]
+    md = render_qc_trend(h)
+    assert "(+50)" in md and "(-5)" in md and "(+0)" in md and "—" in md
+    assert render_qc_trend(h[:1]) == ""
