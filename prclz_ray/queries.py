@@ -1905,6 +1905,130 @@ def q_ann_topk_ivf(sf_dir: str):
     )  # candidate set is k x queries x batches rows - one partition
 
 
+class AnnQueryStream:
+    """Query-STREAM serving over one cached ANN layout (VERDICT r4
+    next.6): the IVF quantizer is trained and the corpus
+    Hive-partitioned ONCE in ``__init__`` (content-digested cache —
+    a second stream over the same corpus reuses the directory), then
+    successive query batches arriving over time are served with only
+    per-batch probe work — nothing is retrained or repartitioned per
+    batch. Mirrors ``q_ann_topk_ivf``'s single-level / two-level
+    dispatch exactly, so the layouts are SHARED with the one-shot
+    query.
+
+    ``query(qmat, qids, exact=False)`` → Dataset of (query_id, rank,
+    vec_id): pruned NPROBE read by default (approximate, the scale
+    path); ``exact=True`` probes every list — a full read of the
+    cached layout whose result is oracle-checkable (q_ann_stream)."""
+
+    def __init__(self, sf_dir: str, k: int = 10):
+        from .stages.scaling import dynamic_buckets, parquet_rows
+        from .stages.similarity import (
+            _arr_digest,
+            _build_partitions,
+            build_ivf_partitions,
+            hier_top1,
+            ivf_centroids,
+        )
+
+        self.sf_dir = sf_dir
+        self.k = k
+        self.batches_served = 0
+        path = f"{sf_dir}/embeddings.parquet"
+        n = parquet_rows(path)
+        n_lists_req = dynamic_buckets(n, 16, rows_per_group=125)
+        if n_lists_req <= MAX_TRAIN_LISTS:
+            emb = _embedding_sample(
+                path, cap=max(EMB_TRAIN_SAMPLE, TRAIN_PER_LIST * n_lists_req)
+            )
+            self.cents = ivf_centroids(emb, n_lists=n_lists_req)
+            self.hier = None
+            self.root = build_ivf_partitions(sf_dir, self.cents)
+        else:
+            n_lists_hier = dynamic_buckets(n, 16, rows_per_group=10_000)
+            self.cents = None
+            self.hier = _hier_quantizer(path, n, n_lists_hier)
+            coarse, subs_flat, cell_off = self.hier
+            self.root = _build_partitions(
+                sf_dir,
+                f"ivfh_{_arr_digest(coarse, subs_flat, cell_off)}",
+                hier_top1(coarse, subs_flat, cell_off),
+            )
+
+    def _all_paths(self) -> list[str]:
+        import glob
+        import os as _os
+
+        return sorted(
+            glob.glob(_os.path.join(self.root, "bucket=*", "*.parquet"))
+        )
+
+    def query(self, qmat: np.ndarray, qids: np.ndarray, exact: bool = False):
+        """One arriving query batch → its top-k Dataset. Only probe
+        selection + the (pruned or full) scan run here — the layout is
+        the one built in ``__init__``."""
+        from .stages.similarity import (
+            hier_probe,
+            ivf_probe,
+            make_hier_topk_fn,
+            make_ivf_topk_fn,
+            make_topk_fn,
+            merge_topk,
+            probed_paths,
+            put_queries,
+        )
+
+        qref = put_queries(qmat, qids)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        if exact:
+            paths = self._all_paths()
+            score_fn = make_topk_fn(qref, k=self.k)
+        elif self.hier is None:
+            paths = probed_paths(self.root, ivf_probe(qn, self.cents).ravel())
+            score_fn = make_ivf_topk_fn(qref, self.cents, k=self.k)
+        else:
+            coarse, subs_flat, cell_off = self.hier
+            qprobe = hier_probe(qn, coarse, subs_flat, cell_off)
+            paths = probed_paths(self.root, qprobe.ravel())
+            score_fn = make_hier_topk_fn(
+                qref, coarse, subs_flat, cell_off, k=self.k, qprobe=qprobe
+            )
+        self.batches_served += 1
+        ds = _read_parquet_clean(paths)
+        local = ds.map_batches(score_fn, batch_format="pyarrow")
+        # BOUNDED partial stream: ≤ k × queries × blocks candidate rows
+        return local.repartition(1).groupby("query_id").map_groups(
+            lambda g: merge_topk(g, k=self.k), batch_format="pyarrow"
+        )
+
+
+def q_ann_stream(sf_dir: str):
+    """ANN query-stream batching, oracle-checkable front door: the
+    query set arrives as TWO successive batches served by ONE
+    ``AnnQueryStream`` (layout built once, reused for batch 2 — the
+    serving pattern; the pruned approximate mode is the same object
+    with ``exact=False``). Full-probe exact scoring here so the union
+    of both batches' top-k hash-matches the ann_topk SQL oracle."""
+    _, _, qmat, qids = _load_query_vectors(sf_dir)
+    stream = AnnQueryStream(sf_dir, k=10)
+    half = max(1, len(qids) // 2)
+    parts = []
+    for sl in (slice(None, half), slice(half, None)):
+        if len(qids[sl]) == 0:
+            continue
+        t = stream.query(qmat[sl], qids[sl], exact=True)
+        parts.extend(r for r in _ray_tables(t) if r.num_rows)
+    return pa.concat_tables(parts)
+
+
+def _ray_tables(ds) -> list[pa.Table]:
+    """Materialize a SMALL Dataset to its Arrow tables (empty blocks
+    filtered — the schema-less empty-block hazard)."""
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary media columns; decode stubbed, plumbing real)
 
@@ -4937,6 +5061,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
+    "ann_stream": q_ann_stream,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "media_meta": q_media_meta,
@@ -5055,6 +5180,7 @@ ORACLES: Dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_stream": SQL_ANN_TOPK,
     "media_meta": SQL_MEDIA_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "media_pixels": SQL_MEDIA_PIXELS,

@@ -251,6 +251,12 @@ def _partition_root(sf_dir: str, kind: str) -> str:
     return os.path.join(CACHE_DIR, f"emb_{kind}_{tag}_{st.st_mtime_ns}_{st.st_size}")
 
 
+# observability for the query-stream wrapper (and its pytest): how
+# often a probe found the content-digested layout already on disk vs
+# had to Hive-partition the corpus
+PARTITION_CACHE = {"hits": 0, "builds": 0}
+
+
 def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
     """Hive-partition the embeddings table by an integer bucket column
     (``bucket=<b>/`` dirs) — built ONCE per corpus with a Ray write
@@ -266,7 +272,9 @@ def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
 
     root = _partition_root(sf_dir, kind)
     if os.path.isdir(root):
+        PARTITION_CACHE["hits"] += 1
         return root
+    PARTITION_CACHE["builds"] += 1
     err: OSError | None = None
     os.makedirs(CACHE_DIR, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f"emb_{kind}.", dir=CACHE_DIR)

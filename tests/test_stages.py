@@ -1482,3 +1482,58 @@ def test_events_late_scan_seeding():
     # both events are behind the seeded watermark by > 5 min
     assert out.column("event_id").to_pylist() == [7, 8]
     assert out.column("wm_us").to_pylist() == [10_000_000_000, 10_000_000_000]
+
+
+def test_ann_query_stream_reuses_layout_across_batches(ray_session):
+    """VERDICT r4 next.6: two query batches through ONE AnnQueryStream —
+    the second batch triggers NO partition build (counter), a second
+    stream over the same corpus is a cache HIT, and the two-batch
+    union (exact mode) is identical to the fresh one-shot ann_topk."""
+    import pandas as pd
+
+    from prclz_ray.queries import (
+        AnnQueryStream,
+        _load_query_vectors,
+        q_ann_topk,
+    )
+    from prclz_ray.stages.similarity import PARTITION_CACHE
+
+    sf = "/root/testdata/sf0.001"
+    _, _, qmat, qids = _load_query_vectors(sf)
+    stream = AnnQueryStream(sf, k=10)
+    after_init = dict(PARTITION_CACHE)
+
+    half = len(qids) // 2
+    t1 = stream.query(qmat[:half], qids[:half], exact=True).to_pandas()
+    t2 = stream.query(qmat[half:], qids[half:], exact=True).to_pandas()
+    # serving batches builds nothing — the __init__ layout is reused
+    assert dict(PARTITION_CACHE) == after_init
+    assert stream.batches_served == 2
+
+    # a SECOND stream over the same corpus reuses the on-disk layout
+    AnnQueryStream(sf, k=10)
+    assert PARTITION_CACHE["builds"] == after_init["builds"]
+    assert PARTITION_CACHE["hits"] == after_init["hits"] + 1
+
+    # identical top-k to the fresh one-shot build
+    got = (
+        pd.concat([t1, t2])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        q_ann_topk(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    # the pruned serving mode returns k rows per query from the SAME
+    # layout (approximate values — shape contract only)
+    pruned = stream.query(qmat[:3], qids[:3]).to_pandas()
+    assert len(pruned) == 30 and set(pruned["query_id"]) == set(qids[:3])
+    assert dict(PARTITION_CACHE) == {
+        "builds": after_init["builds"],
+        "hits": after_init["hits"] + 1,
+    }
