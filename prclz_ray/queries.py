@@ -4187,6 +4187,73 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_dup_spans_exact(sf_dir: str):
+    """SUFFIX-granularity exact-substring dedup (VERDICT r4 next.4;
+    Lee et al. 2022 shape): duplicated CHAR spans of length ≥ DUP_L —
+    catches sub-gram overlaps dup_spans' DUP_G-word grams cannot see
+    (a repeated 30-char passage spanning < 5 words, or one whose word
+    alignment differs between occurrences). Distributed suffix-array
+    stand-in: every char position seeds a length-DUP_L window (ONE
+    sliding view over the flat buffer); ONE bounded shuffle on the
+    window-hash bucket counts corpus-wide window multiplicity (string
+    equality, not hash equality, decides); ONE shuffle on the doc
+    bucket merges surviving windows into maximal char spans. Output
+    per affected doc: (doc_id, dup_char_cover, n_spans)."""
+    from functools import partial
+
+    from .stages.curation import (
+        DOC_BUCKETS,
+        DUPX_BUCKETS,
+        char_window_rows,
+        dupx_flag_rows,
+        dupx_span_agg,
+    )
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # one window per char: fanout ≈ chars/doc
+    xb_n = _buckets(sf_dir, DUPX_BUCKETS, fanout=256)
+    db_n = _buckets(sf_dir, DOC_BUCKETS)
+    rows = ds.map_batches(
+        partial(char_window_rows, n_buckets=xb_n), batch_format="pyarrow"
+    )
+    flagged = rows.groupby("xb").map_groups(
+        partial(dupx_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    )
+    return (
+        flagged.repartition(_rwidth(sf_dir, db_n, fanout=256))
+        .groupby("db")
+        .map_groups(dupx_span_agg, batch_format="pyarrow")
+    )
+
+
+def _sql_dup_spans_exact() -> str:
+    from .stages.curation import DUP_L as L
+
+    return f"""
+WITH pos0 AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, len(text) - {L} + 1)) AS p
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         substr(text, CAST(p AS INT), {L}) AS w
+  FROM pos0
+),
+c AS (SELECT w FROM pos GROUP BY 1 HAVING COUNT(*) >= 2),
+d AS (SELECT pos.doc_id, pos.p FROM pos JOIN c USING (w)),
+cov AS (SELECT DISTINCT doc_id, p + s.x AS q
+        FROM d, (SELECT unnest(generate_series(0, {L - 1})) AS x) s),
+isl AS (SELECT doc_id, q,
+               q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grp
+        FROM cov)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_char_cover,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+FROM isl GROUP BY 1
+"""
+
+
 def _sql_dup_spans() -> str:
     from .stages.curation import DUP_G
 
@@ -5114,6 +5181,7 @@ QUERIES: Dict[str, Callable] = {
     "tfidf_topk": q_tfidf_topk,
     "ngram_topk": q_ngram_topk,
     "dup_spans": q_dup_spans,
+    "dup_spans_exact": q_dup_spans_exact,
     "seq_pack": q_seq_pack,
     "shuffle_rank": q_shuffle_rank,
     "lines_routed": q_lines_routed,
@@ -5229,6 +5297,7 @@ ORACLES: Dict[str, str] = {
     "tfidf_topk": _sql_tfidf_topk(),
     "ngram_topk": _sql_ngram_topk(),
     "dup_spans": _sql_dup_spans(),
+    "dup_spans_exact": _sql_dup_spans_exact(),
     "seq_pack": _sql_seq_pack(),
     "shuffle_rank": _sql_shuffle_rank(),
     "lines_routed": _sql_lines_routed(),

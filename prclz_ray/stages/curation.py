@@ -778,6 +778,109 @@ def dup_span_agg(group: pa.Table, g: int = DUP_G) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# suffix-granularity exact-substring dedup (Lee et al. 2022 shape)
+
+DUP_L = 30  # minimum duplicated substring length in CHARS — the
+# char-level analogue of Lee et al. 2022's 50-BPE-token threshold
+# ("Deduplicating Training Data Makes Language Models Better"; their
+# suffix-array pass catches overlaps the gram pass cannot). dup_spans
+# works at DUP_G-WORD gram granularity, so a repeated substring
+# shorter than DUP_G words (or straddling word boundaries differently)
+# is invisible to it; this family seeds EVERY char position instead.
+DUPX_BUCKETS = 512  # floor: window shuffle buckets (input-scaled)
+
+
+def char_window_rows(
+    batch: pa.Table, L: int = DUP_L, n_buckets: int = DUPX_BUCKETS
+) -> pa.Table:
+    """documents → one row per length-``L`` char window: (doc_id, p
+    1-based char position, w window string, xb bounded shuffle
+    bucket). The distributed stand-in for a suffix array: every
+    duplicated substring of length ≥ L contains at least one aligned
+    length-L window, so counting window multiplicity corpus-wide finds
+    every such overlap. Rows ≈ corpus chars and each carries its
+    L-byte window (the exactness contract — string equality, never
+    hash equality, decides duplication; the ~L× shuffle blowup is the
+    same price the oracle and the suffix array pay). Fully vectorized:
+    one sliding view over the flat Arrow buffer, no per-row Python."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "p": pa.array([], pa.int64()),
+            "w": pa.array([], pa.large_string()),
+            "xb": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    text = pc.fill_null(batch.column("text"), "")
+    data, offsets = ensure_ascii(text, "char_window_rows")
+    lens = offsets[1:] - offsets[:-1]
+    counts = np.maximum(lens - L + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    rep = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    flat_start = offsets[:-1][rep] + within
+    # gather every window's bytes in one strided view + one fancy copy
+    win = np.lib.stride_tricks.sliding_window_view(data, L)[flat_start]
+    w_arr = pa.LargeStringArray.from_buffers(
+        total,
+        pa.py_buffer((np.arange(total + 1, dtype=np.int64) * L).tobytes()),
+        pa.py_buffer(np.ascontiguousarray(win).tobytes()),
+    )
+    return pa.table(
+        {
+            "doc_id": _combined(batch.column("doc_id").take(pa.array(rep))),
+            "p": _i64(within + 1),
+            "w": w_arr,
+            "xb": _i64(hash_strings(w_arr) % n_buckets),
+        }
+    )
+
+
+def dupx_flag_rows(group: pa.Table, doc_buckets: int = DOC_BUCKETS) -> pa.Table:
+    """One window bucket: keep positions of windows whose corpus-wide
+    occurrence count is ≥ 2 (a window's occurrences all share its hash
+    bucket; equality is decided on the STRING). Survivors leave keyed
+    by the per-doc span shuffle's doc bucket — the window text dies
+    here (8-byte rows travel on)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "p": pa.array([], pa.int64()),
+            "db": pa.array([], pa.int64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    g, run_start = _sorted_runs(group, "w")
+    counts = np.diff(run_start)
+    dup = pa.array(np.repeat(counts >= 2, counts))
+    d = g.column("doc_id").filter(dup)
+    dn = _combined(d).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": d,
+            "p": g.column("p").filter(dup),
+            "db": _i64(dn % doc_buckets),
+        }
+    )
+
+
+def dupx_span_agg(group: pa.Table, L: int = DUP_L) -> pa.Table:
+    """One doc bucket of flagged window positions → per-doc maximal
+    duplicated CHAR spans — dup_span_agg's interval-union machinery
+    with window width L and char-cover naming."""
+    return dup_span_agg(group, g=L).rename_columns(
+        ["doc_id", "dup_char_cover", "n_spans"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components over candidate pairs
 
 CC_MAX_ROUNDS = 32  # propagation bound; star/clique-shaped LSH clusters

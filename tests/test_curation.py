@@ -628,3 +628,82 @@ def test_pagerank_auto_scale_skewed_graph(ray_session):
     assert l["hub"] > l["s0"]
     # auto never exceeds the documented default
     assert max(l.values()) * C.PR_DAMP_NUM * 3 < 2**63
+
+
+def test_dup_spans_exact_catches_sub_gram_overlaps():
+    """Lee et al. shape: a 40-char substring shared between two docs
+    that spans ONE word — no repeated DUP_G-word gram exists, so
+    dup_spans is blind to it; the char-window pass must find exactly
+    the planted 40-char span in both docs."""
+    import pyarrow as pa
+
+    from prclz_ray.stages.curation import (
+        char_window_rows,
+        dup_flag_rows,
+        dup_span_agg,
+        dupx_flag_rows,
+        dupx_span_agg,
+        gram_pos_rows,
+    )
+
+    chunk = "qwertyuiopasdfghjklzxcvbnm0123456789abcd"  # 40 chars, 1 word
+    assert len(chunk) == 40
+    # boundary chars differ on BOTH sides of the planted chunk, so the
+    # maximal shared substring is exactly the 40-char chunk
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    f"unique left1{chunk}2right tail alpha words",
+                    f"other texts3{chunk}4more trailing stuff here",
+                ]
+            ),
+        }
+    )
+
+    # word-gram path: NO repeated 5-gram → no spans (the gap)
+    g = gram_pos_rows(t, n_buckets=1)
+    assert dup_span_agg(dup_flag_rows(g, doc_buckets=1)).num_rows == 0
+
+    # char-window path: exactly the planted 40-char span, both docs
+    rows = char_window_rows(t, L=30, n_buckets=1)
+    spans = dupx_span_agg(dupx_flag_rows(rows, doc_buckets=1), L=30)
+    got = sorted(
+        zip(
+            spans.column("doc_id").to_pylist(),
+            spans.column("dup_char_cover").to_pylist(),
+            spans.column("n_spans").to_pylist(),
+        )
+    )
+    assert got == [(1, 40, 1), (2, 40, 1)]
+
+    # window rows are positionally exact: doc 1's chunk starts at char
+    # 13 (1-based), so its first/last flagged windows are 13 and 23
+    f = dupx_flag_rows(rows, doc_buckets=1)
+    p1 = sorted(
+        p for d, p in zip(
+            f.column("doc_id").to_pylist(), f.column("p").to_pylist()
+        ) if d == 1
+    )
+    assert p1[0] == 13 and p1[-1] == 13 + 40 - 30
+
+    # a shared substring SHORTER than L is invisible (threshold holds)
+    t29 = pa.table(
+        {
+            "doc_id": pa.array([5, 6], pa.int64()),
+            "text": pa.array(
+                [f"aaa1{chunk[:29]}2bbb padding words", f"ccc3{chunk[:29]}4ddd other words"]
+            ),
+        }
+    )
+    r29 = char_window_rows(t29, L=30, n_buckets=1)
+    assert dupx_span_agg(dupx_flag_rows(r29, doc_buckets=1), L=30).num_rows == 0
+
+    # degenerate inputs: empty batch and all-short docs emit typed empties
+    empty = t.slice(0, 0)
+    assert char_window_rows(empty).num_rows == 0
+    short = pa.table(
+        {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["tiny"])}
+    )
+    assert char_window_rows(short, L=30).num_rows == 0
