@@ -143,24 +143,13 @@ _TREND_KEYS = [
 ]
 
 
-def _append_qc_run(out_dir: str, sf_dir: str, summary: pa.Table) -> list[dict]:
-    """Append this run's flattened summary to the tiny per-run ledger
-    (the ``_runs.jsonl`` pattern, ``pipelines/flagship.py``) and return
-    the FULL history including this run — driver-side bytes only."""
+def _read_qc_runs(out_dir: str) -> list[dict]:
+    """The qc-job rows of the shared ``_runs.jsonl`` ledger (appends
+    go through ``flagship._write_run_metrics`` — ONE owner of the
+    ledger path and record envelope). Driver-side bytes only."""
     import json
-    import time as _time
 
     path = os.path.join(out_dir, "_manifest", "_runs.jsonl")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    metrics = {
-        f"{s}.{m}": v
-        for s, m, v in zip(
-            summary.column("section").to_pylist(),
-            summary.column("metric").to_pylist(),
-            summary.column("value").to_pylist(),
-        )
-    }
-    rec = {"job": "qc", "input": sf_dir, "ts": _time.time(), "metrics": metrics}
     history: list[dict] = []
     if os.path.exists(path):
         with open(path) as fh:
@@ -171,9 +160,6 @@ def _append_qc_run(out_dir: str, sf_dir: str, summary: pa.Table) -> list[dict]:
                     continue  # a torn tail line from a killed run
                 if row.get("job") == "qc":
                     history.append(row)
-    with open(path, "a") as fh:
-        fh.write(json.dumps(rec) + "\n")
-    history.append(rec)
     return history
 
 
@@ -228,7 +214,18 @@ def run_qc_report(sf_dir: str, out_dir: str) -> dict:
     # derived from the per-gadm rollup — never compute it twice)
     summary, per_gadm = _qc_tables(sf_dir)
     md = render_qc_report(summary, per_gadm, sf_dir)
-    history = _append_qc_run(out_dir, sf_dir, summary)
+    import time as _time
+
+    metrics = {
+        f"{s}.{m}": v
+        for s, m, v in zip(
+            summary.column("section").to_pylist(),
+            summary.column("metric").to_pylist(),
+            summary.column("value").to_pylist(),
+        )
+    }
+    rec = {"job": "qc", "input": sf_dir, "ts": _time.time(), "metrics": metrics}
+    history = _read_qc_runs(out_dir) + [rec]
     trend = render_qc_trend(history)
     if trend:
         md = md + "\n" + trend
@@ -245,6 +242,12 @@ def run_qc_report(sf_dir: str, out_dir: str) -> dict:
         final = os.path.join(out_dir, name)
         os.replace(tmp, final)
         artifacts[name] = final
+    # ledger append LAST — a run killed mid-artifact-write must not be
+    # recorded as completed (phantom trend rows otherwise); the shared
+    # flagship helper owns the path + envelope
+    from .flagship import _write_run_metrics
+
+    _write_run_metrics(out_dir, "qc", sf_dir, {"metrics": metrics})
     return {
         "out_dir": out_dir,
         "n_summary_rows": summary.num_rows,

@@ -2017,7 +2017,7 @@ def q_ann_stream(sf_dir: str):
         if len(qids[sl]) == 0:
             continue
         t = stream.query(qmat[sl], qids[sl], exact=True)
-        parts.extend(r for r in _ray_tables(t) if r.num_rows)
+        parts.extend(_ray_tables(t))
     return pa.concat_tables(parts)
 
 

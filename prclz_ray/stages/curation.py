@@ -984,6 +984,14 @@ def connected_components(pairs, num_partitions: int = 8,
         )
 
     def init_label(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            # eff0 is clamped by EDGE rows, which can still exceed the
+            # distinct-NODE group count on dup-heavy pair sets — an
+            # empty aggregate partition emits a schema-less block
+            # (CLAUDE.md hazard); re-type it so the loop joins survive
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
                 "node": b.column("node"),
@@ -991,13 +999,26 @@ def connected_components(pairs, num_partitions: int = 8,
             }
         )
 
-    labels = (
-        edges.repartition(num_partitions)
+    # reduce width ≤ edge rows here (all we know pre-aggregate)…
+    eff0 = max(1, min(num_partitions, n_edges))
+    agg = (
+        edges.repartition(eff0)
         .groupby("node")
         .min("nbr")
         .map_batches(init_label, batch_format="pyarrow")
         .materialize()
     )
+    # …and ≤ DISTINCT NODES for every loop round: with input-scaled
+    # num_partitions (callers pass _jwidth) a dup-heavy pair set can
+    # have far fewer node groups than partitions — the schema-less
+    # empty-aggregate hazard the docstring warns about. The laundering
+    # repartition below ALSO consolidates away any schema-less empties
+    # eff0 > groups left behind (Ray passes zero-row blocks through
+    # map_batches UNCALLED, so init_label's re-type cannot reach them;
+    # a repartition rebuilds blocks under the surviving schema —
+    # probe-verified).
+    eff = max(1, min(num_partitions, agg.count()))
+    labels = agg.repartition(eff).materialize()
     prev = labels.sum("lbl")
     for _ in range(CC_MAX_ROUNDS):
         lbl_of_nbr = labels.map_batches(
@@ -1005,7 +1026,7 @@ def connected_components(pairs, num_partitions: int = 8,
             batch_format="pyarrow",
         )
         via_edges = edges.join(
-            lbl_of_nbr, join_type="inner", num_partitions=num_partitions, on=("nbr",)
+            lbl_of_nbr, join_type="inner", num_partitions=eff, on=("nbr",)
         ).map_batches(
             lambda b: pa.table({"node": b.column("node"), "lbl": b.column("nbr_lbl")}),
             batch_format="pyarrow",
@@ -1016,7 +1037,7 @@ def connected_components(pairs, num_partitions: int = 8,
             batch_format="pyarrow",
         )
         via_chase = labels.join(
-            lbl_of_lbl, join_type="inner", num_partitions=num_partitions, on=("lbl",)
+            lbl_of_lbl, join_type="inner", num_partitions=eff, on=("lbl",)
         ).map_batches(
             lambda b: pa.table({"node": b.column("node"), "lbl": b.column("lbl2")}),
             batch_format="pyarrow",
@@ -1024,7 +1045,7 @@ def connected_components(pairs, num_partitions: int = 8,
         labels = (
             labels.union(via_edges)
             .union(via_chase)
-            .repartition(num_partitions)
+            .repartition(eff)
             .groupby("node")
             .min("lbl")
             .map_batches(

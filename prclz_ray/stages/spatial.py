@@ -363,6 +363,8 @@ def put_anchors_side_by_cell(parcels: pa.Table, res: int | None = None, halo_e6:
     ny = (cy1 - cy0 + 1).astype(np.int64)
     counts = nx * ny
     total = int(counts.sum())
+    if total == 0:
+        return {}  # no anchors → no shards (empty parcels table)
     rep = np.repeat(np.arange(len(ax), dtype=np.int64), counts)
     off = np.arange(total, dtype=np.int64) - np.repeat(
         np.cumsum(counts) - counts, counts

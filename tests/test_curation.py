@@ -198,19 +198,26 @@ def test_connected_components_path_and_isolated(ray_session):
         }
     )
     expected = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
-    # both halves of the size-gated front door must agree
-    for threshold in (C.LOCAL_CC_EDGES, 0):
+    # both halves of the size-gated front door must agree — and the
+    # distributed half must survive num_partitions >> distinct nodes
+    # (input-scaled _jwidth callers; the internal clamp keeps reduce
+    # partitions ≤ node groups, no schema-less empties)
+    for threshold, nparts in (
+        (C.LOCAL_CC_EDGES, 2),
+        (0, 2),
+        (0, 64),
+    ):
         out = (
             C.connected_components(
                 ray.data.from_arrow(pairs),
-                num_partitions=2,
+                num_partitions=nparts,
                 local_threshold=threshold,
             )
             .to_pandas()
             .sort_values("doc_id")
         )
         got = dict(zip(out["doc_id"], out["cluster_id"]))
-        assert got == expected, f"threshold={threshold}"
+        assert got == expected, f"threshold={threshold} nparts={nparts}"
 
 
 def test_connected_components_empty_pairs(ray_session):
