@@ -143,13 +143,18 @@ _TREND_KEYS = [
 ]
 
 
-def _read_qc_runs(out_dir: str) -> list[dict]:
+def _read_qc_runs(out_dir: str, input_dir: str | None = None) -> list[dict]:
     """The qc-job rows of the shared ``_runs.jsonl`` ledger (appends
     go through ``flagship._write_run_metrics`` — ONE owner of the
-    ledger path and record envelope). Driver-side bytes only."""
+    ledger path and record envelope). Driver-side bytes only.
+
+    When ``input_dir`` is given, only runs over that SAME corpus are
+    returned — one out_dir can host qc runs of several inputs, and a
+    delta between different corpora is not progress."""
     import json
 
     path = os.path.join(out_dir, "_manifest", "_runs.jsonl")
+    want = os.path.abspath(input_dir) if input_dir else None
     history: list[dict] = []
     if os.path.exists(path):
         with open(path) as fh:
@@ -158,8 +163,11 @@ def _read_qc_runs(out_dir: str) -> list[dict]:
                     row = json.loads(line)
                 except ValueError:
                     continue  # a torn tail line from a killed run
-                if row.get("job") == "qc":
-                    history.append(row)
+                if row.get("job") != "qc":
+                    continue
+                if want and os.path.abspath(row.get("input", "")) != want:
+                    continue
+                history.append(row)
     return history
 
 
@@ -225,7 +233,7 @@ def run_qc_report(sf_dir: str, out_dir: str) -> dict:
         )
     }
     rec = {"job": "qc", "input": sf_dir, "ts": _time.time(), "metrics": metrics}
-    history = _read_qc_runs(out_dir) + [rec]
+    history = _read_qc_runs(out_dir, input_dir=sf_dir) + [rec]
     trend = render_qc_trend(history)
     if trend:
         md = md + "\n" + trend

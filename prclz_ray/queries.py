@@ -1731,13 +1731,16 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 # ---------------------------------------------------------------------------
 # similarity search (ANN top-k)
 
-def _load_query_vectors(sf_dir: str):
+def _load_query_vectors(sf_dir: str, with_sample: bool = True):
     """(query ObjectRef, bounded TRAINING sample, query matrix, query
     ids). Queries are the vec_id % 100 == 0 rows, gathered by a
     STREAMED batch scan (driver memory = the query set, never the
     corpus); the second element is ``_embedding_sample`` — the strided
     ≤20k-row quantizer/codebook training matrix, which IS the whole
-    table at every test sf (identical behavior there)."""
+    table at every test sf (identical behavior there). Callers that
+    don't train (ann_topk, ann_stream — AnnQueryStream draws its own
+    sample) pass ``with_sample=False`` to skip that second strided
+    parquet read entirely (None in its slot)."""
     import pyarrow.parquet as pq
 
     from .stages.similarity import embedding_matrix, put_queries
@@ -1755,7 +1758,7 @@ def _load_query_vectors(sf_dir: str):
             )
     qids = np.concatenate(id_parts)
     qmat = np.concatenate(mat_parts)
-    emb = _embedding_sample(path)
+    emb = _embedding_sample(path) if with_sample else None
     return put_queries(qmat, qids), emb, qmat, qids
 
 def q_ann_topk(sf_dir: str):
@@ -1765,7 +1768,7 @@ def q_ann_topk(sf_dir: str):
 
     from .stages.similarity import make_topk_fn, merge_topk
 
-    qref, _, _, _ = _load_query_vectors(sf_dir)
+    qref, _, _, _ = _load_query_vectors(sf_dir, with_sample=False)
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     local = ds.map_batches(make_topk_fn(qref, k=10), batch_format="pyarrow")
     return local.repartition(1).groupby("query_id").map_groups(
@@ -2009,7 +2012,7 @@ def q_ann_stream(sf_dir: str):
     serving pattern; the pruned approximate mode is the same object
     with ``exact=False``). Full-probe exact scoring here so the union
     of both batches' top-k hash-matches the ann_topk SQL oracle."""
-    _, _, qmat, qids = _load_query_vectors(sf_dir)
+    _, _, qmat, qids = _load_query_vectors(sf_dir, with_sample=False)
     stream = AnnQueryStream(sf_dir, k=10)
     half = max(1, len(qids) // 2)
     parts = []
@@ -2551,9 +2554,10 @@ def q_events_late(sf_dir: str):
 
     # broadcast the prior array once (input-scaled bucket count →
     # closure-pickling would re-ship it per task)
-    prior_ref = _ray.put(bucket_max_ts(rows, n_buckets=lb_n))
+    lb_w = _rwidth(sf_dir, lb_n, table="events")
+    prior_ref = _ray.put(bucket_max_ts(rows, n_buckets=lb_n, width=lb_w))
     return (
-        rows.repartition(_rwidth(sf_dir, lb_n, table="events"))
+        rows.repartition(lb_w)
         .groupby("lb")
         .map_groups(make_late_finish(prior_ref, WATERMARK_US), batch_format="pyarrow")
     )

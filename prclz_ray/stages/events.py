@@ -287,12 +287,19 @@ def late_bucket_rows(batch: pa.Table, n_buckets: int = LATE_BUCKETS) -> pa.Table
     ).append_column("lb", pa.array((ak >> shift).astype(np.int64), pa.int64()))
 
 
-def bucket_max_ts(rows, n_buckets: int = LATE_BUCKETS) -> np.ndarray:
+def bucket_max_ts(
+    rows, n_buckets: int = LATE_BUCKETS, width: int = 8
+) -> np.ndarray:
     """Exclusive running max of per-bucket ts maxima — the scan-shape
     reduce of `packing.bucket_bases` with the MAX monoid instead of
     SUM: one bounded groupby, ≤ n_buckets rows on the driver (the
     count is input-scaled — LATE_BUCKETS is only the floor).
-    prior[b] = max ts of all buckets < b (INT64_MIN for bucket 0)."""
+    prior[b] = max ts of all buckets < b (INT64_MIN for bucket 0).
+
+    ``width`` sizes the repartition feeding the reduce — pass the same
+    input-scaled ``reduce_width`` value as the caller's own reduce (the
+    partial stream is ≤ input-blocks × n_buckets tiny rows, so the
+    corpus-row width is a safe over-estimate, capped at n_buckets)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -307,7 +314,7 @@ def bucket_max_ts(rows, n_buckets: int = LATE_BUCKETS) -> np.ndarray:
 
     totals = (
         rows.map_batches(partial, batch_format="pyarrow")
-        .repartition(8)
+        .repartition(max(1, min(int(width), int(n_buckets))))
         .groupby("lb")
         .max("m")
         .to_pandas()

@@ -127,6 +127,34 @@ def test_qc_trend_ledger_and_delta_table(ray_session, tmp_path):
     assert recs[0]["metrics"] == recs[1]["metrics"]
 
 
+def test_qc_trend_ledger_isolates_corpora(tmp_path):
+    """One out_dir can host qc runs of several inputs; the trend
+    history must only compare runs over the SAME corpus (a delta
+    between different inputs is not progress)."""
+    import json
+
+    from prclz_ray.pipelines.qc import _read_qc_runs
+
+    led = tmp_path / "_manifest"
+    led.mkdir()
+    recs = [
+        {"job": "qc", "input": "/data/sfA", "ts": 1.0, "metrics": {"m": 1}},
+        {"job": "qc", "input": "/data/sfB", "ts": 2.0, "metrics": {"m": 9}},
+        {"job": "qc", "input": "/data/sfA/", "ts": 3.0, "metrics": {"m": 2}},
+        {"job": "tiles", "input": "/data/sfA", "ts": 4.0, "metrics": {}},
+    ]
+    with open(led / "_runs.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+
+    a = _read_qc_runs(str(tmp_path), input_dir="/data/sfA")
+    assert [r["ts"] for r in a] == [1.0, 3.0]  # path-normalized match
+    b = _read_qc_runs(str(tmp_path), input_dir="/data/sfB")
+    assert [r["ts"] for r in b] == [2.0]
+    # no filter → all qc rows (back-compat for ad-hoc inspection)
+    assert len(_read_qc_runs(str(tmp_path))) == 3
+
+
 def test_qc_trend_renderer_deltas():
     """Pure renderer: deltas are vs the PREVIOUS run, signed, and
     missing metrics render as an em-dash instead of crashing."""
