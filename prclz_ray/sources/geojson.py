@@ -66,19 +66,49 @@ def _explode_parts(geom: dict, promote_lines: bool) -> list[tuple[str, bytes]]:
     return out
 
 
-def _make_decoder(keys: tuple, promote_lines: bool = False, explode: bool = False):
-    """Decoder with a FIXED property-column set so every batch emits the
-    same schema (per-batch key inference would let two batches of one
-    file produce different column sets). Null geometry (valid GeoJSON)
-    yields null geom columns. With ``explode`` / ``promote_lines`` a
-    feature may yield several rows (or none) — properties replicate."""
+def _infer_prop_type(values: list) -> pa.DataType:
+    """One property's Arrow type from sampled non-null values: bool /
+    int64 / float64 when homogeneous-numeric, else string (mixed or
+    structured values JSON-encode into it)."""
+    kinds = set()
+    for v in values:
+        if isinstance(v, bool):  # before int — bool IS an int subclass
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        else:
+            kinds.add("str")
+    if kinds == {"bool"}:
+        return pa.bool_()
+    if kinds == {"int"}:
+        return pa.int64()
+    if kinds <= {"int", "float"} and kinds:
+        return pa.float64()
+    return pa.string()
+
+
+def _make_decoder(keys: tuple, types: dict | None = None,
+                  promote_lines: bool = False, explode: bool = False):
+    """Decoder with a FIXED property-column set AND fixed per-column
+    types so every batch emits the same schema (per-batch inference
+    would let two batches of one file produce int64 vs string for the
+    same key — a downstream-concat landmine; fixed NAMES alone do not
+    fix it). Keys missing from ``types`` default to string, with
+    non-string values JSON-encoded; a value that violates a sampled
+    numeric type raises a clear error naming the key instead of
+    drifting the schema. Null geometry (valid GeoJSON) yields null geom
+    columns. With ``explode`` / ``promote_lines`` a feature may yield
+    several rows (or none) — properties replicate."""
+    types = types or {}
 
     def decode(batch: pa.Table) -> pa.Table:
         # per-feature json.loads is deliberate: GeoJSON is a SIDE-TABLE
         # source (fixture/boundary scale), never the page stream
         feats = [json.loads(s) for s in batch.column("text").to_pylist() if s.strip()]
         props: dict[str, list] = {k: [] for k in keys}
-        wkbs, types = [], []
+        wkbs, gtypes = [], []
         for f in feats:
             geom = f.get("geometry")
             p = f.get("properties") or {}
@@ -89,12 +119,30 @@ def _make_decoder(keys: tuple, promote_lines: bool = False, explode: bool = Fals
             else:
                 rows = [(geom["type"], _geom_to_wkb(geom))]
             for gt, wkb in rows:
-                types.append(gt)
+                gtypes.append(gt)
                 wkbs.append(wkb)
                 for k in keys:
                     props[k].append(p.get(k))
-        cols = {k: pa.array(v) for k, v in sorted(props.items())}
-        cols["geom_type"] = pa.array(types, pa.string())
+        cols = {}
+        for k, v in sorted(props.items()):
+            t = types.get(k, pa.string())
+            if pa.types.is_string(t):
+                v = [
+                    x if x is None or isinstance(x, str) else json.dumps(x)
+                    for x in v
+                ]
+            try:
+                cols[k] = pa.array(v, type=t)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as e:
+                raise ValueError(
+                    f"geojson property {k!r}: a value is incompatible "
+                    f"with its sampled type {t} ({e}) — the type was "
+                    "inferred from the first 1000 lines; for files "
+                    "whose late lines change a property's type, "
+                    "pre-clean the file or drop the key from "
+                    "properties= (string columns accept anything)"
+                ) from None
+        cols["geom_type"] = pa.array(gtypes, pa.string())
         cols["geom_wkb"] = pa.array(wkbs, pa.binary())
         return pa.table(cols)
 
@@ -112,21 +160,32 @@ def read_geojson_features(
     ``properties`` fixes the property-column set; when omitted it is
     inferred from a driver-side sample of the first 1000 lines (good
     enough for homogeneous feature files; pass it explicitly when late
-    lines may introduce new keys). ``promote_lines`` promotes (closed)
+    lines may introduce new keys). Property TYPES are always inferred
+    from the same sample (bool/int64/float64 when homogeneous, else
+    string) so every batch emits one schema — keys absent from the
+    sample read as string. ``promote_lines`` promotes (closed)
     LineStrings to Polygons and ``explode`` splits Multi* geometries —
     the reference's building consolidation (M10)."""
     import ray.data
 
+    sampled: dict[str, list] = {}
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if i >= 1000:
+                break
+            if line.strip():
+                for k, v in (json.loads(line).get("properties") or {}).items():
+                    if v is not None:
+                        sampled.setdefault(k, []).append(v)
     if properties is None:
-        keys: set = set()
-        with open(path) as f:
-            for i, line in enumerate(f):
-                if i >= 1000:
-                    break
-                if line.strip():
-                    keys |= set((json.loads(line).get("properties") or {}).keys())
-        properties = sorted(keys)
+        properties = sorted(sampled)
+    types = {
+        k: _infer_prop_type(v)
+        for k, v in sampled.items()
+        if k in set(properties)
+    }
     return ray.data.read_text(path).map_batches(
-        _make_decoder(tuple(properties), promote_lines=promote_lines, explode=explode),
+        _make_decoder(tuple(properties), types=types,
+                      promote_lines=promote_lines, explode=explode),
         batch_format="pyarrow",
     )

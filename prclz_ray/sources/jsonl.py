@@ -21,12 +21,52 @@ import pyarrow as pa
 import pyarrow.json as pj
 
 
+def _concat_promote(tabs: list[pa.Table]) -> pa.Table:
+    """concat with promotion; on a cross-run TYPE conflict (two valid
+    JSON lines disagree, e.g. {"a":1} vs {"a":"x"} — ArrowTypeError,
+    which promotion does NOT resolve), lenient-mode semantics kick in:
+    the conflicting columns are stringified in every run and the concat
+    retried, so both rows survive instead of killing the Ray task."""
+    try:
+        return pa.concat_tables(tabs, promote_options="default")
+    except (pa.ArrowTypeError, pa.ArrowInvalid):
+        types: dict[str, set] = {}
+        for t in tabs:
+            for f in t.schema:
+                types.setdefault(f.name, set()).add(f.type)
+        conflict = {c for c, ts in types.items() if len(ts) > 1}
+        fixed = []
+        for t in tabs:
+            for c in conflict & set(t.column_names):
+                i = t.column_names.index(c)
+                col = t.column(c)
+                try:
+                    s = col.cast(pa.string())
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    # nested types: JSON-encode per value (conflict
+                    # paths only — the clean fast path never gets here)
+                    import json
+
+                    s = pa.array(
+                        [None if v is None else json.dumps(v)
+                         for v in col.to_pylist()],
+                        pa.string(),
+                    )
+                t = t.set_column(i, c, s)
+            fixed.append(t)
+        return pa.concat_tables(fixed, promote_options="default")
+
+
 def parse_lines(lines: list[bytes]):
     """Parse NDJSON lines → (table | None, bad line indices).
 
     One ``read_json`` per contiguous clean run; a failing run bisects.
     A single line that still fails is the bad line. Schemas of the
-    surviving runs unify with promotion (missing keys → null)."""
+    surviving runs unify with promotion (missing keys → null); runs
+    whose TYPES conflict unify by stringifying the conflicting column
+    (see ``_concat_promote``). Callers must pre-filter blank lines —
+    ``read_json`` silently skips them, which would desync the
+    parsed-row ↔ line-index mapping."""
     if not lines:
         return None, []
     try:
@@ -38,11 +78,7 @@ def parse_lines(lines: list[bytes]):
         lt, lb = parse_lines(lines[:mid])
         rt, rb = parse_lines(lines[mid:])
         tabs = [x for x in (lt, rt) if x is not None]
-        t = (
-            pa.concat_tables(tabs, promote_options="default")
-            if tabs
-            else None
-        )
+        t = _concat_promote(tabs) if tabs else None
         return t, lb + [mid + i for i in rb]
 
 
@@ -63,9 +99,16 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
     a null-padded row."""
 
     def parse(batch: pa.Table) -> pa.Table:
-        lines = [t.encode() for t in batch.column("text").to_pylist()]
-        t, bad = parse_lines(lines)
-        bad = [(i, "invalid json") for i in bad]
+        all_lines = [t.encode() for t in batch.column("text").to_pylist()]
+        # blank/whitespace-only lines are neither rows nor errors —
+        # read_json SKIPS them silently, which would shift every
+        # parsed-row → source-line index after the blank (DLQ rows
+        # would name the wrong line). Drop them up front so
+        # "parsed row order == good-line order" actually holds.
+        keep = [i for i, ln in enumerate(all_lines) if ln.strip()]
+        lines = [all_lines[i] for i in keep]
+        t, bad_local = parse_lines(lines)
+        bad = [(keep[i], "invalid json") for i in bad_local]
         if t is not None and required is not None and t.num_rows:
             import numpy as np
             import pyarrow.compute as pc
@@ -80,10 +123,12 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
                     viol[:] = True
             if viol.any():
                 # map violating parsed rows back to their source lines:
-                # parsed row order == good-line order
+                # parsed row order == good-(nonblank)-line order, and
+                # keep[] lifts that back to the original batch index
+                bad_set = set(bad_local)
                 good_idx = [
-                    i for i in range(len(lines))
-                    if i not in {b for b, _ in bad}
+                    keep[i] for i in range(len(lines))
+                    if i not in bad_set
                 ]
                 bad += [
                     (good_idx[r], "missing required key")
@@ -99,12 +144,15 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
             side = pa.table(
                 {
                     "line": pa.array(
-                        [lines[i].decode("utf-8", "replace") for i, _ in bad]
+                        [all_lines[i].decode("utf-8", "replace")
+                         for i, _ in bad]
                     ),
                     "reason": pa.array([r for _, r in bad]),
                 }
             )
-            tag = hashlib.md5(b"\n".join(lines[i] for i, _ in bad)).hexdigest()[:16]
+            tag = hashlib.md5(
+                b"\n".join(all_lines[i] for i, _ in bad)
+            ).hexdigest()[:16]
             os.makedirs(errors_dir, exist_ok=True)
             tmp = os.path.join(errors_dir, f".jsonl-errors-{tag}.tmp")
             pq.write_table(side, tmp)
@@ -128,6 +176,18 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
                 "block would poison downstream unions/joins; pass the "
                 "expected schema (or columns) for lenient mode"
             )
-        return t.select(columns) if columns is not None else t
+        if columns is not None:
+            # a non-empty batch whose lines all lack a requested key
+            # must null-pad it (string: the JSONL-safe default the
+            # empty-batch branch already uses) — NDJSON keys vary per
+            # batch, so whether a key appears is an accident of which
+            # lines landed here, and select() would otherwise KeyError
+            for c in columns:
+                if c not in t.column_names:
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, pa.string())
+                    )
+            return t.select(columns)
+        return t
 
     return parse

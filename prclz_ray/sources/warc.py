@@ -38,11 +38,19 @@ def write_synth_warc(path: str, urls: list[str], timestamps: list[str], payloads
             fh.write(_CRLF + _CRLF)
 
 
-def parse_warc_bytes(data: bytes) -> pa.Table:
+def parse_warc_bytes(data: bytes, record_types: tuple = ("response",)) -> pa.Table:
     """One WARC file's bytes → (url, warc_ts, html) rows.
 
     Content-Length-framed scan: never splits on payload content, so
-    binary payloads containing 'WARC/1.0' parse correctly."""
+    binary payloads containing 'WARC/1.0' parse correctly. Only
+    ``record_types`` (default: response) become rows — real CC WARCs
+    interleave warcinfo/request/metadata records with each response,
+    and emitting those would double row counts with bogus
+    (url, html=HTTP-request-bytes) pages. Every record is still FRAMED
+    (Content-Length consumed) so skipping never desyncs the scan.
+    Header field names are case-insensitive and a missing colon-space
+    ('Content-Length:123', spec-legal) still parses."""
+    want = {t.lower() for t in record_types}
     urls: list[str] = []
     tss: list[str] = []
     payloads: list[bytes] = []
@@ -60,13 +68,20 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
         header = data[pos:hdr_end].decode()
         fields = {}
         for line in header.split("\r\n")[1:]:  # [0] is the version line
-            k, _, v = line.partition(": ")
-            fields[k] = v
-        length = int(fields["Content-Length"])
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except KeyError:
+            raise ValueError(
+                f"WARC record at byte {pos} has no Content-Length — "
+                "unframed records cannot be skipped safely"
+            ) from None
         body_start = hdr_end + 4
-        payloads.append(data[body_start : body_start + length])
-        urls.append(fields.get("WARC-Target-URI", ""))
-        tss.append(fields.get("WARC-Date", ""))
+        if fields.get("warc-type", "").lower() in want:
+            payloads.append(data[body_start : body_start + length])
+            urls.append(fields.get("warc-target-uri", ""))
+            tss.append(fields.get("warc-date", ""))
         pos = body_start + length
     return pa.table(
         {

@@ -486,7 +486,9 @@ def make_chunk_pair_fn(path: str, threshold: float = 0.9):
 
         ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         x = embedding_matrix(t.column("embedding"))
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        # out-of-place: a list<double> column is a READ-ONLY zero-copy
+        # view (in-place /= raises; float32 survives only via the cast)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
         if len(cache) >= 6:
             # evict ONE (oldest) entry — clearing everything would drop
             # the partner chunk of the pair currently being processed

@@ -72,7 +72,9 @@ def make_topk_fn(queries_ref, k: int = 10):
         qn, q_ids = side["q"], side["ids"]
         emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        # out-of-place: a list<double> column yields a READ-ONLY
+        # zero-copy view (float32 survives only because its cast copies)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         sim = qn @ emb.T  # (Q, B)
         kk = min(k, sim.shape[1])
         # local top-k per query (ties broken by smaller vec_id via stable
@@ -126,6 +128,21 @@ def nearest_centroid(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     out = np.empty(len(x), dtype=np.int64)
     for s in range(0, len(x), ASSIGN_CHUNK):
         out[s : s + ASSIGN_CHUNK] = np.argmax(x[s : s + ASSIGN_CHUNK] @ c.T, axis=1)
+    return out
+
+
+def topk_centroids(x: np.ndarray, c: np.ndarray, p: int) -> np.ndarray:
+    """Top-p centroid indices per row (set, unordered) in the same
+    bounded-memory chunks as ``nearest_centroid`` — the (rows × k)
+    SCORE matrix is the OOM (CLAUDE.md chunked-scoring rule), not just
+    argsort's index matrix, so the matmul itself must be chunked."""
+    if len(x) * len(c) <= (1 << 22):
+        return np.argpartition(-(x @ c.T), p - 1, axis=1)[:, :p]
+    out = np.empty((len(x), p), dtype=np.int64)
+    for s in range(0, len(x), ASSIGN_CHUNK):
+        out[s : s + ASSIGN_CHUNK] = np.argpartition(
+            -(x[s : s + ASSIGN_CHUNK] @ c.T), p - 1, axis=1
+        )[:, :p]
     return out
 
 
@@ -281,7 +298,8 @@ def _build_partitions(sf_dir: str, kind: str, assign_fn) -> str:
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         emb = embedding_matrix(batch.column("embedding"))
-        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        # out-of-place: list<double> columns view read-only Arrow memory
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         return batch.append_column("bucket", pa.array(assign_fn(emb), type=pa.int64()))
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
@@ -667,10 +685,10 @@ def make_ivf_dedup_assign(centroids: np.ndarray, probes: int = IVF_DEDUP_PROBES)
         emb = embedding_matrix(batch.column("embedding"))
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         p = min(probes, len(centroids))
-        # argpartition: replication needs the top-p SET, not its order —
-        # a full argsort materializes a (batch × n_lists) index matrix
-        # per batch once list counts are input-scaled
-        top = np.argpartition(-(emb_n @ centroids.T), p - 1, axis=1)[:, :p]
+        # chunked top-p: replication needs the top-p SET, not its
+        # order, and both the score matrix AND the index matrix must
+        # stay bounded once list counts are input-scaled
+        top = topk_centroids(emb_n, centroids, p)
         rep = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), p))
         return pa.table(
             {

@@ -273,6 +273,29 @@ def put_blocks_side_by_cell(blocks: pa.Table, res: int | None = None) -> dict:
     return refs
 
 
+def _iter_cell_runs(cells: np.ndarray, shard_refs: dict, kind: str, cls):
+    """The sharded-join idiom, once: stable-sort row indices by cell
+    id, walk the equal-cell runs, and yield ``(row_indices, joiner)``
+    for each run whose cell has a shard (build-once per worker via
+    ``_cached``). Shared by the pip / knn / knn-topk sharded wrappers
+    so a fix lands in one place."""
+    n = len(cells)
+    if n == 0:
+        return
+    order = np.argsort(cells, kind="stable")
+    sorted_cells = cells[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], sorted_cells[1:] != sorted_cells[:-1]])
+    )
+    bounds = np.concatenate([starts, [n]])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        cid = int(sorted_cells[s])
+        ref = shard_refs.get(cid)
+        if ref is None:
+            continue
+        yield order[s:e], _cached(f"{kind}:{cid}", cls, ref)
+
+
 def make_pip_sharded_fn(shard_refs: dict):
     """Task-mode cell-sharded PIP join. Rows are grouped by their
     ``cell_r5`` and each group is matched against only that cell's
@@ -286,19 +309,9 @@ def make_pip_sharded_fn(shard_refs: dict):
         lat = batch.column("lat_e6").to_numpy(zero_copy_only=False)
         lon = batch.column("lon_e6").to_numpy(zero_copy_only=False)
         has = batch.column("has_geo").to_numpy(zero_copy_only=False)
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], sorted_cells[1:] != sorted_cells[:-1]])
-        )
-        bounds = np.concatenate([starts, [n]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            cid = int(sorted_cells[s])
-            ref = shard_refs.get(cid)
-            if ref is None:
-                continue
-            joiner = _cached(f"pip_cell:{cid}", PIPJoinActor, ref)
-            rows = order[s:e]
+        for rows, joiner in _iter_cell_runs(
+            cells, shard_refs, "pip_cell", PIPJoinActor
+        ):
             sel = rows[has[rows]]
             if len(sel) == 0:
                 continue
@@ -398,19 +411,9 @@ def make_knn_sharded_fn(shard_refs: dict):
         n = len(cells)
         parcel_id = np.full(n, None, dtype=object)
         dist2 = np.full(n, -1, dtype=np.int64)
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], sorted_cells[1:] != sorted_cells[:-1]])
-        )
-        bounds = np.concatenate([starts, [n]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            cid = int(sorted_cells[s])
-            ref = shard_refs.get(cid)
-            if ref is None:
-                continue
-            knn = _cached(f"knn_cell:{cid}", KNNAnchorActor, ref)
-            rows = order[s:e]
+        for rows, knn in _iter_cell_runs(
+            cells, shard_refs, "knn_cell", KNNAnchorActor
+        ):
             sub = batch.take(pa.array(rows, pa.int64()))
             res_t = knn(sub)
             parcel_id[rows] = res_t.column("parcel_id").to_pylist()
@@ -454,19 +457,9 @@ def make_knn_topk_sharded_fn(shard_refs: dict, k: int):
         lon = batch.column("lon_e6").to_numpy(zero_copy_only=False).astype(np.int64)
         urls = batch.column("url")
         out_rows, out_rank, out_pid, out_d2 = [], [], [], []
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], sorted_cells[1:] != sorted_cells[:-1]])
-        )
-        bounds = np.concatenate([starts, [len(cells)]])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            cid = int(sorted_cells[s])
-            ref = shard_refs.get(cid)
-            if ref is None:
-                continue
-            a = _cached(f"knn_cell:{cid}", KNNAnchorActor, ref)
-            rows = order[s:e]
+        for rows, a in _iter_cell_runs(
+            cells, shard_refs, "knn_cell", KNNAnchorActor
+        ):
             idx, d2 = a.topk(lon[rows], lat[rows], k)
             valid = idx >= 0
             counts = valid.sum(axis=1)

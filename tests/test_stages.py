@@ -1537,3 +1537,175 @@ def test_ann_query_stream_reuses_layout_across_batches(ray_session):
         "builds": after_init["builds"],
         "hits": after_init["hits"] + 1,
     }
+
+
+def test_jsonl_type_conflict_and_blank_lines(tmp_path):
+    """Round-5 review fixes: (a) two VALID lines whose types conflict
+    survive (conflicting column stringified), not an uncaught
+    ArrowTypeError killing the task; (b) blank lines shift no DLQ
+    attribution (read_json silently skips them); (c) a batch whose
+    lines all lack a requested column null-pads instead of KeyError."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_ray.sources.jsonl import make_jsonl_parse_fn, parse_lines
+
+    # (a) type conflict across valid lines — both rows survive
+    t, bad = parse_lines([b'{"a": 1}', b'{"a": "x"}'])
+    assert bad == [] and t.column("a").to_pylist() == ["1", "x"]
+    # nested-vs-scalar conflict JSON-encodes the nested value
+    t, bad = parse_lines([b'{"a": {"k": 1}}', b'{"a": 2}'])
+    assert bad == [] and t.column("a").to_pylist() == ['{"k": 1}', "2"]
+
+    # (b) blank line between a good and a violating line: the DLQ
+    # must record the VIOLATING line's text, not the blank
+    errors_dir = str(tmp_path / "dlq3")
+    fn = make_jsonl_parse_fn(
+        errors_dir=errors_dir, required=["b"], columns=["a", "b"]
+    )
+    out = fn(pa.table({"text": ['{"a":1,"b":1}', '', '  ', '{"a":2}']}))
+    assert out.num_rows == 1
+    files = [f for f in os.listdir(errors_dir) if f.endswith(".parquet")]
+    side = pq.read_table(os.path.join(errors_dir, files[0]))
+    assert side.column("line").to_pylist() == ['{"a":2}']
+
+    # (c) requested column absent from every line in the batch
+    fn = make_jsonl_parse_fn(columns=["a", "b"])
+    out = fn(pa.table({"text": ['{"a":1}', '{"a":2}']}))
+    assert out.column_names == ["a", "b"]
+    assert out.column("b").to_pylist() == [None, None]
+
+
+def test_csv_wkt_holes_and_multipolygon_roundtrip(ray_session, tmp_path):
+    """Round-5 review fix: the CSV sink used to emit exterior-only WKT
+    (holes dropped, MultiPolygon parts vstacked into one corrupt
+    ring). Now holes and parts round-trip losslessly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.geom.wkb import parse_wkb, wkb_multipolygon, wkb_polygon
+    from prclz_ray.sources import read_blocks_csv_wkt, write_blocks_csv_wkt
+
+    ext = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], float)
+    p2 = np.array([[10, 10], [12, 10], [12, 12]], float)
+    blocks = pa.table(
+        {
+            "block_id": pa.array(["with_hole", "multi"]),
+            "geom_wkb": pa.array(
+                [
+                    wkb_polygon(ext, [hole]),
+                    wkb_multipolygon([(ext, [hole]), (p2, [])]),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    path = str(tmp_path / "blocks.csv")
+    write_blocks_csv_wkt(blocks, path)
+    back = (
+        read_blocks_csv_wkt(path)
+        .to_pandas()
+        .sort_values("block_id")
+        .reset_index(drop=True)
+    )
+    g, rings = parse_wkb(bytes(back.geom_wkb[1]))  # with_hole sorts second
+    assert g == 3 and len(rings) == 2
+    assert np.allclose(rings[1][:4], hole, atol=1e-6)
+    g, parts = parse_wkb(bytes(back.geom_wkb[0]))
+    assert g == 6 and len(parts) == 2 and len(parts[0]) == 2
+    assert np.allclose(parts[1][0][:3], p2, atol=1e-6)
+
+
+def test_warc_record_type_filter(tmp_path):
+    """Round-5 review fix: real CC WARCs interleave warcinfo/request/
+    metadata records — only response records become rows, every record
+    stays Content-Length framed, and spec-legal 'Content-Length:N'
+    (no space) headers parse."""
+    from prclz_ray.sources.warc import parse_warc_bytes
+
+    CRLF = b"\r\n"
+
+    def rec(rtype, uri, body):
+        h = b"WARC/1.0" + CRLF + f"WARC-Type: {rtype}".encode() + CRLF
+        if uri:
+            h += f"WARC-Target-URI: {uri}".encode() + CRLF
+        h += b"WARC-Date: 2020-01-01T00:00:00Z" + CRLF
+        h += f"Content-Length:{len(body)}".encode() + CRLF  # no-space form
+        return h + CRLF + body + CRLF + CRLF
+
+    data = (
+        rec("warcinfo", "", b"software: test")
+        + rec("request", "http://a/", b"GET / HTTP/1.1")
+        + rec("response", "http://a/", b"<html>A WARC/1.0 inside</html>")
+        + rec("request", "http://b/", b"GET / HTTP/1.1")
+        + rec("response", "http://b/", b"<html>B</html>")
+    )
+    t = parse_warc_bytes(data)
+    assert t.column("url").to_pylist() == ["http://a/", "http://b/"]
+    assert bytes(t.column("html")[0].as_py()) == b"<html>A WARC/1.0 inside</html>"
+
+
+def test_geojson_property_type_stability(ray_session, tmp_path):
+    """Round-5 review fix: property TYPES are sampled once driver-side
+    (bool/int64/float64 when homogeneous, else string with JSON-encoded
+    values) so two batches of one file can never emit int64 vs string
+    for the same key."""
+    import json
+
+    from prclz_ray.sources.geojson import read_geojson_features
+
+    p = str(tmp_path / "f.ndjson")
+    feats = [
+        {"type": "Feature",
+         "properties": {"id": 1, "name": "a", "score": 1},
+         "geometry": {"type": "Point", "coordinates": [0, 0]}},
+        {"type": "Feature",
+         "properties": {"id": 2, "name": {"nested": True}, "score": 2.5},
+         "geometry": {"type": "Point", "coordinates": [1, 1]}},
+    ]
+    with open(p, "w") as f:
+        for x in feats:
+            f.write(json.dumps(x) + "\n")
+    df = read_geojson_features(p).to_pandas().sort_values("id")
+    assert str(df.dtypes["id"]) == "int64"          # homogeneous int
+    assert str(df.dtypes["score"]) == "float64"     # int+float promotes
+    assert df.name.tolist() == ["a", '{"nested": true}']  # mixed → string
+
+
+def test_topk_float64_embeddings_and_chunked_topp(ray_session):
+    """Round-5 review fix: a list<double> embedding column is a
+    READ-ONLY zero-copy view — the scorer must normalize out-of-place;
+    and topk_centroids' chunked path returns the same top-p SET as the
+    one-matmul path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prclz_ray.stages.similarity import (
+        make_topk_fn, put_queries, topk_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(50, 8))  # float64 → list<double> column
+    batch = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    qref = put_queries(emb[:3], np.arange(3))
+    out = make_topk_fn(qref, k=5)(batch)  # raised ValueError before fix
+    assert out.num_rows == 15
+    # each query's own vector is its top hit
+    top1 = out.to_pandas().sort_values(["query_id", "sim"], ascending=[True, False])
+    assert top1.groupby("query_id").head(1).vec_id.tolist() == [0, 1, 2]
+
+    x = rng.normal(size=(3000, 4))
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = rng.normal(size=(2000, 4))  # 3000×2000 > 1<<22 → chunked path
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    a = topk_centroids(x, c, 3)
+    b = np.argsort(-(x @ c.T), axis=1)[:, :3]
+    assert all(set(r1) == set(r2) for r1, r2 in zip(a, b))
