@@ -337,7 +337,18 @@ def extract_blocks(streets_ds, extraction_method: str = DEFAULT_EXTRACTION_METHO
     (`prclz/blocks/extraction.py:30-36`): ONE pipeline shape (group
     per admin cell, method per group), the method a registry name."""
     fn = EXTRACTION_METHODS[extraction_method]
-    return streets_ds.groupby("gadm").map_groups(fn, batch_format="pyarrow")
+    out = streets_ds.groupby("gadm").map_groups(fn, batch_format="pyarrow")
+    # LAUNDER possible schema-less empties: this is the pluggable user
+    # surface, so the caller may pass a streets dataset with more
+    # partitions than admin cells — map_groups then emits empty
+    # (schema-less) blocks that intermittently break the downstream
+    # write/join (CLAUDE.md hazard). The distinct-cell count is unknown
+    # here without an extra pass, so instead of sizing the pre-reduce
+    # width we rebuild blocks under the surviving schema after the
+    # aggregate (the connected_components pattern). Width 8 is
+    # bounded by construction: the OUTPUT is a blocks side table
+    # (~10^3-10^4 polygons), not the page stream.
+    return out.repartition(8)
 
 
 # ---------------------------------------------------------------------------

@@ -149,11 +149,22 @@ def run_tiles(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
 
     t0 = time.time()
     manifest = Manifest(out_dir)
-    done = manifest.completed(fingerprint=input_dir) if resume else set()
+
+    # keys are JOB-TAGGED ("x<N>") and every set below is scoped to
+    # THIS job's tag (the CLAUDE.md manifest invariant): an unscoped
+    # unmark would eat the resume state of any other job sharing the
+    # out_dir, and an unscoped done set would crash the int() parses
+    def _mine(keys):
+        return {
+            k for k in keys
+            if k.startswith("x") and k[1:].lstrip("-").isdigit()
+        }
+
+    done = _mine(manifest.completed(fingerprint=input_dir)) if resume else set()
     for d in glob.glob(os.path.join(out_dir, "tile_x=*")):
         if f"x{d.rsplit('=', 1)[-1]}" not in done:
             shutil.rmtree(d)
-    for key in manifest.completed() - done:
+    for key in _mine(manifest.completed()) - done:
         manifest.unmark(key)  # stale rows of removed/partial stripes
 
     ds = tile_rollup(joined_pages(input_dir))
@@ -166,15 +177,17 @@ def run_tiles(input_dir: str, out_dir: str, *, resume: bool = True) -> dict:
             batch_format="pyarrow",
         )
     ds.write_parquet(out_dir, partition_cols=["tile_x"])
-    counts = {
-        k: n for k, n in _partition_counts(out_dir, "tile_x").items()
-        if f"x{k}" not in done
-    }
+    all_counts = _partition_counts(out_dir, "tile_x")
+    counts = {k: n for k, n in all_counts.items() if f"x{k}" not in done}
     wall = time.time() - t0
     for key, n in counts.items():
         manifest.mark(f"x{int(key)}", n, fingerprint=input_dir, wall_s=wall)
     stats = {
-        "tiles": int(sum(counts.values())),
+        # "tiles" is the TOTAL in the output (footer walk covers done +
+        # new stripes — a fully-resumed run must not report 0), mirroring
+        # run_flagship's rows/new_rows split
+        "tiles": int(sum(all_counts.values())),
+        "new_tiles": int(sum(counts.values())),
         "new_stripes": len(counts),
         "skipped": len(done),
         "wall_s": wall,
@@ -190,6 +203,7 @@ def run_flagship(
     resume: bool = True,
     pip_concurrency=(1, 4),
     knn_concurrency=(1, 4),
+    mode: str = "task",
 ) -> dict:
     """Run the flagship join and write partitioned parquet + manifest.
 
@@ -200,13 +214,27 @@ def run_flagship(
     durable) and are deleted before recomputing, so a resumed run never
     duplicates rows. Output is one Hive directory per cell. Returns
     {partitions, rows, wall_s, skipped}.
+
+    ``mode="actor"`` runs the join stages as explicit actor pools sized
+    by ``pip_concurrency``/``knn_concurrency`` (placement control on
+    real clusters); the default task mode ignores those knobs (its
+    per-worker cache self-sizes), so sizing a pool REQUIRES
+    ``mode="actor"``.
     """
     import glob
     import shutil
 
     t0 = time.time()
     manifest = Manifest(out_dir)
-    done = manifest.completed(fingerprint=input_dir) if resume else set()
+
+    # this job's manifest keys are the BARE cell ids — scope every
+    # done/unmark set to them (CLAUDE.md manifest invariant) so a
+    # tagged job ("x<N>" tiles, "kb<N>" curate) sharing the out_dir
+    # keeps its resume state and the int() parse below can't crash
+    def _mine(keys):
+        return {k for k in keys if k.lstrip("-").isdigit()}
+
+    done = _mine(manifest.completed(fingerprint=input_dir)) if resume else set()
 
     # crash cleanup: any partition dir without a (fingerprint-matching)
     # manifest row is a partial write from a killed run — or a
@@ -217,7 +245,7 @@ def run_flagship(
         key = d.rsplit("=", 1)[-1]
         if key not in done:
             shutil.rmtree(d)
-    for key in manifest.completed() - done:
+    for key in _mine(manifest.completed()) - done:
         manifest.unmark(key)
 
     # extraction failures leave the stream as dead-letter parquet under
@@ -227,6 +255,7 @@ def run_flagship(
         input_dir,
         pip_concurrency=pip_concurrency,
         knn_concurrency=knn_concurrency,
+        mode=mode,
         errors_dir=os.path.join(out_dir, "_errors"),
     )
     if done:

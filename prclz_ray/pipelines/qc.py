@@ -36,7 +36,7 @@ _GLYPHS = " .:-=+*#%@"
 
 def _ascii_density_map(per_gadm: pa.Table) -> str:
     """10×10 admin-grid density map, row gy descending (north up)."""
-    n_axis = world.N_BLOCKS * world.BLOCK_E6 // world.GADM_E6
+    n_axis = world.N_GADM_AXIS  # the one published grid-axis constant
     counts = dict(
         zip(
             per_gadm.column("gadm_key").to_pylist(),
@@ -124,9 +124,13 @@ def render_qc_report(summary: pa.Table, per_gadm: pa.Table, sf_dir: str) -> str:
         "| k | blocks |",
         "|---|---|",
     ]
-    for (s, m), v in sorted(vals.items()):
-        if s == "complexity":
-            out.append(f"| {m.removeprefix('n_blocks_k')} | {v:,} |")
+    # numeric sort: lexicographic would render k=10 before k=2
+    krows = sorted(
+        (int(m.removeprefix("n_blocks_k")), v)
+        for (s, m), v in vals.items()
+        if s == "complexity"
+    )
+    out += [f"| {k} | {v:,} |" for k, v in krows]
     out.append("")
     return "\n".join(out)
 

@@ -324,9 +324,18 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
     # than groups means NO empty (schema-less) partitions out of
     # map_groups — the source of Ray's RefBundle schema warnings —
     # while per-group parallelism of the heavy run stage is governed
-    # by the downstream map_batches batch size, not this
-    parts = 8 if limit_blocks is None else max(1, min(8, limit_blocks // 2))
-    ds = ds.repartition(parts)
+    # by the downstream map_batches batch size, not this. Width is
+    # INPUT-SCALED (CLAUDE.md reduce-width rule: a hardcoded 8 caps
+    # reduce parallelism and makes each task hold parcels/8 rows on a
+    # scaled-up world grid), capped at the block-group count.
+    from ..stages.scaling import parquet_rows, reduce_width
+
+    n_rows = parquet_rows(derive.parcels_path())
+    n_blocks_est = max(1, n_rows // 4)  # parcelize emits 4 per block
+    if limit_blocks is not None:
+        n_blocks_est = min(n_blocks_est, max(1, limit_blocks))
+        n_rows = min(n_rows, limit_blocks * 4)
+    ds = ds.repartition(reduce_width(n_rows, n_buckets=n_blocks_est))
 
     def pack(group: pa.Table) -> pa.Table:
         bx = int(group.column("bx")[0].as_py())

@@ -508,12 +508,23 @@ def test_run_tiles_job(ray_session, tmp_path):
     assert len(Manifest(out).completed()) == stats["new_stripes"]
 
     # idempotency: a re-run with the same out_dir skips every completed
-    # stripe and appends NOTHING (write_parquet never overwrites)
+    # stripe and appends NOTHING (write_parquet never overwrites) —
+    # "tiles" stays the TOTAL in the output, "new_tiles" goes to 0
     stats2 = run_tiles(SF, out)
-    assert stats2["tiles"] == 0
+    assert stats2["tiles"] == stats["tiles"]
+    assert stats2["new_tiles"] == 0 and stats2["new_stripes"] == 0
     assert stats2["skipped"] == stats["new_stripes"]
     t2 = pq.read_table(out)
     assert t2.num_rows == t.num_rows
+
+    # manifest tag scoping: a foreign job's rows in the SAME manifest
+    # survive a tiles re-run untouched (the CLAUDE.md invariant)
+    m = Manifest(out)
+    m.mark("kb7", 123, fingerprint="other-job")
+    m.mark("42", 5, fingerprint="other-job")  # bare flagship-style key
+    run_tiles(SF, out)
+    left = m.completed()
+    assert "kb7" in left and "42" in left
 
 
 def test_reblock_interior_goldens(ray_session):
