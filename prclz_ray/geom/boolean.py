@@ -29,15 +29,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .core import polygon_signed_area2
+from .core import open_ring, polygon_signed_area2
 from .noding import node_segments
 
 
 def _norm_ring(ring: np.ndarray, ccw: bool = True) -> np.ndarray:
     """Open ring, CCW-normalized, consecutive duplicates dropped."""
-    ring = np.asarray(ring, dtype=np.float64)
-    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
-        ring = ring[:-1]
+    ring = open_ring(ring)
     keep = np.ones(len(ring), dtype=bool)
     keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
     ring = ring[keep]

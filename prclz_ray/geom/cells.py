@@ -72,6 +72,10 @@ def cell_parent(cid, parent_res: int):
     """Parent cell at a coarser resolution (exact containment)."""
     res, x, y = cell_xy(cid)
     shift = res - parent_res
+    # numpy's negative right-shift silently yields garbage (x=y=0), so a
+    # swapped coarser/finer argument must fail loudly like cell_width_e6
+    if not np.all(shift >= 0):
+        raise ValueError(f"cell_parent: parent_res={parent_res} is finer than the cell resolution")
     return (np.int64(parent_res) << _R_SHIFT) | ((x >> shift) << _X_SHIFT) | (y >> shift)
 
 

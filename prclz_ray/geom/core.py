@@ -102,6 +102,17 @@ def point_segments_d2(px: float, py: float, segs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # polygon kernels
 
+def open_ring(coords: np.ndarray) -> np.ndarray:
+    """Drop the closing vertex of a closed (N, 2) ring (float64 view);
+    open rings pass through unchanged. The ONE place the closed-ring
+    convention is handled — consecutive interior duplicates are kept
+    (boolean._norm_ring layers dedup + CCW on top of this)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) > 1 and np.array_equal(coords[0], coords[-1]):
+        return coords[:-1]
+    return coords
+
+
 def polygon_area(coords: np.ndarray) -> float:
     """Unsigned shoelace area of an (N, 2) ring (closed or open)."""
     x, y = coords[:, 0], coords[:, 1]
@@ -120,11 +131,7 @@ def polygon_centroid(coords: np.ndarray, small_area_eps: float = 0.02):
     When |2A| < ``small_area_eps`` the centroid of the (deduplicated)
     vertex set is returned instead, mirroring `prclz/topology.py:261-265`.
     """
-    coords = np.asarray(coords, dtype=np.float64)
-    if len(coords) > 1 and np.array_equal(coords[0], coords[-1]):
-        ring = coords[:-1]
-    else:
-        ring = coords
+    ring = open_ring(coords)
     x, y = ring[:, 0], ring[:, 1]
     a2 = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
     if abs(a2) < small_area_eps:
@@ -149,9 +156,7 @@ def points_in_polygon(coords: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.
     exactly on an edge are not guaranteed either way (standard crossing
     test) — callers that need boundary semantics must buffer.
     """
-    coords = np.asarray(coords, dtype=np.float64)
-    if len(coords) > 1 and np.array_equal(coords[0], coords[-1]):
-        coords = coords[:-1]
+    coords = open_ring(coords)
     x0, y0 = coords[:, 0], coords[:, 1]
     x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
     px = np.asarray(px, dtype=np.float64)[:, None]
@@ -171,9 +176,7 @@ def inset_convex(ring: np.ndarray, eps: float) -> np.ndarray:
     eps from a convex face equals insetting the face by eps. Implemented
     as successive half-plane clips against the offset edge lines.
     """
-    ring = np.asarray(ring, dtype=np.float64)
-    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
-        ring = ring[:-1]
+    ring = open_ring(ring)
     if polygon_signed_area2(ring) < 0:
         ring = ring[::-1]
     out = ring
@@ -215,12 +218,8 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     (role of `prclz/complexity.py:28` ``Polygon(vs).buffer(0).intersection(block)``
     for the convex-block case).
     """
-    subject = np.asarray(subject, dtype=np.float64)
-    clip = np.asarray(clip, dtype=np.float64)
-    if len(subject) > 1 and np.array_equal(subject[0], subject[-1]):
-        subject = subject[:-1]
-    if len(clip) > 1 and np.array_equal(clip[0], clip[-1]):
-        clip = clip[:-1]
+    subject = open_ring(subject)
+    clip = open_ring(clip)
     if polygon_signed_area2(clip) < 0:
         clip = clip[::-1]
 

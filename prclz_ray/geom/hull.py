@@ -44,10 +44,15 @@ def minimum_rotated_rectangle(ring: np.ndarray) -> np.ndarray:
     (rotating calipers over the hull edges) — 4-vertex CCW ring."""
     hull = convex_hull(ring)
     if len(hull) < 3:
-        # degenerate: a point or segment — zero-area "rectangle"
-        lo = hull.min(axis=0) if len(hull) else np.zeros(2)
-        hi = hull.max(axis=0) if len(hull) else np.zeros(2)
-        return np.array([lo, [hi[0], lo[1]], hi, [lo[0], hi[1]]])
+        # degenerate: a point or segment — the true minimum rectangle is
+        # zero-area ALONG the segment (an axis-aligned bbox of a diagonal
+        # segment would have large positive area and fool area-difference
+        # callers like outside_terminal into proceeding)
+        if len(hull) == 0:
+            z = np.zeros(2)
+            return np.array([z, z, z, z])
+        a, b = hull[0], hull[-1]
+        return np.array([a, b, b, a])
     best = None
     n = len(hull)
     for i in range(n):

@@ -170,12 +170,46 @@ class PlanarGraph:
         return faces
 
     def inner_faces(self) -> List[List[Tuple[Coord, Coord]]]:
-        """Faces minus the outer face (= the face with the most edges)."""
+        """Faces minus each connected component's unbounded face.
+
+        The rotation-system trace emits bounded faces CCW (positive
+        shoelace) and a component's unbounded face CW with area equal
+        to minus the sum of its bounded faces, so the minimum signed
+        area per component identifies the outer face exactly (the
+        reference's most-edges heuristic, `prclz/topology.py:449-456`,
+        assumes one component and would keep extra components'
+        unbounded faces as phantom inner faces). Ties — all-degenerate
+        tree components — break toward most edges.
+        """
         faces = self.trace_faces()
         if not faces:
             return []
-        outer = max(range(len(faces)), key=lambda i: len(faces[i]))
-        return [f for i, f in enumerate(faces) if i != outer]
+        comp: Dict[Coord, int] = {}
+        cid = 0
+        for start in self.adj:
+            if start in comp:
+                continue
+            comp[start] = cid
+            stack = [start]
+            while stack:
+                u = stack.pop()
+                for v in self.adj[u]:
+                    if v not in comp:
+                        comp[v] = cid
+                        stack.append(v)
+            cid += 1
+        outer_idx: Dict[int, int] = {}
+        outer_key: Dict[int, Tuple[float, int]] = {}
+        for i, f in enumerate(faces):
+            ring = np.array([e[0] for e in f], dtype=np.float64)
+            x, y = ring[:, 0], ring[:, 1]
+            a2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+            c = comp[f[0][0]]
+            key = (a2, -len(f))
+            if c not in outer_key or key < outer_key[c]:
+                outer_idx[c], outer_key[c] = i, key
+        drop = set(outer_idx.values())
+        return [f for i, f in enumerate(faces) if i not in drop]
 
     @staticmethod
     def face_centroid(face: List[Tuple[Coord, Coord]]) -> Coord:

@@ -248,3 +248,25 @@ def test_blocks_diagonal_smoketest():
     assert tri_a["ymin_e6"] == 2000000 + round(e * 1e6)
     assert tri_a["xmax_e6"] == 1000000 + round((0.4 - e) * 1e6)
     assert tri_a["ymax_e6"] == 2000000 + round((0.4 - e - d) * 1e6)
+
+
+# --- round-5 review regressions ----------------------------------------------
+
+def test_min_rotated_rectangle_collinear_is_zero_area():
+    from prclz_ray.geom.core import polygon_area
+    from prclz_ray.geom.hull import minimum_rotated_rectangle, outside_terminal
+
+    ring = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])
+    rect = minimum_rotated_rectangle(ring)
+    assert polygon_area(rect) < 1e-12  # NOT the axis-aligned bbox (area 4)
+    # degenerate block -> empty rect-minus-hull difference -> caller fallback
+    assert outside_terminal(ring) is None
+
+
+def test_cell_parent_rejects_finer_parent_res():
+    from prclz_ray.geom.cells import cell_id_e6, cell_parent
+
+    cid = cell_id_e6(1_500_000, 2_500_000, 5)
+    assert cell_parent(cid, 3) is not None  # coarser: fine
+    with pytest.raises(ValueError):
+        cell_parent(cid, 7)  # finer "parent" must fail loudly, not return 0,0

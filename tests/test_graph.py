@@ -263,3 +263,27 @@ def test_block_complexity_nonconvex_golden():
     assert block_complexity(L_RING, nested) == 2
     assert block_complexity(L_RING, [(0.5, 0.5)]) == 1
     assert block_complexity(L_RING, []) == 0
+
+
+# --- round-5 review regressions ----------------------------------------------
+
+def test_inner_faces_disconnected_components():
+    # two disjoint unit squares: each component's unbounded face must be
+    # dropped, leaving exactly the two bounded faces (the single-outer
+    # most-edges heuristic kept component 2's unbounded face as a phantom)
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    g = PlanarGraph.from_polygons([sq, sq + 10.0])
+    inner = g.inner_faces()
+    assert len(inner) == 2
+    # two isolated cells share no edge -> empty dual -> k = 0 (the phantom
+    # unbounded face used to link into component 2's cell, inflating k to 1)
+    assert get_complexity(weak_dual_sequence(g)) == 0
+
+
+def test_inner_faces_tree_component_dropped():
+    # a dangling-edge component has only its unbounded face: inner_faces
+    # must not report it
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    g = PlanarGraph.from_polygons([sq])
+    g.add_edge((5.0, 5.0), (6.0, 6.0))
+    assert len(g.inner_faces()) == 1
