@@ -550,6 +550,22 @@ def complexity_group(group: pa.Table) -> pa.Table:
     )
 
 
+def complexity_bucket_group(group: pa.Table) -> pa.Table:
+    """A BUCKET of blocks (the ≥10⁴-tiny-groups rule: one Ray group per
+    hash bucket, never per block_id) — blocks are regrouped by a single
+    argsort inside and each run goes through ``complexity_group``."""
+    ids = np.asarray(group.column("block_id").to_pylist())
+    order = np.argsort(ids, kind="stable")
+    g = group.take(pa.array(order))
+    sids = ids[order]
+    heads = np.flatnonzero(np.concatenate([[True], sids[1:] != sids[:-1]]))
+    bounds = np.concatenate([heads, [len(sids)]])
+    return pa.concat_tables(
+        complexity_group(g.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        for i in range(len(heads))
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset builders (cached)
 

@@ -320,22 +320,29 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
     from . import derive
 
     ds = _limit_filter(_read_parquet_clean(derive.parcels_path()), limit_blocks)
-    # coalesce before the group shuffle: far fewer shuffle partitions
-    # than groups means NO empty (schema-less) partitions out of
-    # map_groups — the source of Ray's RefBundle schema warnings —
-    # while per-group parallelism of the heavy run stage is governed
-    # by the downstream map_batches batch size, not this. Width is
-    # INPUT-SCALED (CLAUDE.md reduce-width rule: a hardcoded 8 caps
-    # reduce parallelism and makes each task hold parcels/8 rows on a
-    # scaled-up world grid), capped at the block-group count.
-    from ..stages.scaling import parquet_rows, reduce_width
+    # bucketed grouping (CLAUDE.md tiny-groups rule): one Ray group per
+    # HASH BUCKET of blocks, never per block_id — 10⁴+ groups of ~4
+    # parcels each are a pathological groupby shape; blocks regroup
+    # vectorized inside the bucket. Bucket count and reduce width are
+    # both INPUT-SCALED, width capped at the bucket count (schema-less
+    # empty-partition hazard). Parcel order within a block does not
+    # affect _run_block (the graph is coordinate-keyed).
+    from ..stages.hashing import hash_strings
+    from ..stages.scaling import dynamic_buckets, parquet_rows, reduce_width
 
     n_rows = parquet_rows(derive.parcels_path())
-    n_blocks_est = max(1, n_rows // 4)  # parcelize emits 4 per block
     if limit_blocks is not None:
-        n_blocks_est = min(n_blocks_est, max(1, limit_blocks))
-        n_rows = min(n_rows, limit_blocks * 4)
-    ds = ds.repartition(reduce_width(n_rows, n_buckets=n_blocks_est))
+        n_rows = min(n_rows, limit_blocks * 4)  # parcelize emits 4 per block
+    bc_n = dynamic_buckets(n_rows, 64)
+
+    def add_bc(b: pa.Table) -> pa.Table:
+        bid = b.column("block_id")
+        bid = bid.combine_chunks() if isinstance(bid, pa.ChunkedArray) else bid
+        return b.append_column("bc", pa.array(hash_strings(bid) % bc_n, pa.int64()))
+
+    ds = ds.map_batches(add_bc, batch_format="pyarrow").repartition(
+        reduce_width(n_rows, n_buckets=bc_n)
+    )
 
     def pack(group: pa.Table) -> pa.Table:
         bx = int(group.column("bx")[0].as_py())
@@ -352,7 +359,19 @@ def packed_blocks_dataset(limit_blocks: int | None = None):
             }
         )
 
-    packed = ds.groupby("block_id").map_groups(pack, batch_format="pyarrow")
+    def pack_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("block_id").to_pylist())
+        order = np.argsort(ids, kind="stable")
+        g = group.take(pa.array(order))
+        sids = ids[order]
+        heads = np.flatnonzero(np.concatenate([[True], sids[1:] != sids[:-1]]))
+        bounds = np.concatenate([heads, [len(sids)]])
+        return pa.concat_tables(
+            pack(g.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(len(heads))
+        )
+
+    packed = ds.groupby("bc").map_groups(pack_bucket, batch_format="pyarrow")
     # block_id tie-break: distinct composite sort keys keep the range
     # partitioner's boundaries distinct (duplicate-only keys collapse
     # ranges into empty schema-less partitions) and make order stable

@@ -96,6 +96,36 @@ def _jwidth(sf_dir: str, table: str = "documents", fanout: int = 1,
     )
 
 
+def _zero_flag_docs(sf_dir: str):
+    """(doc_id, dropped=0) stream over the full corpus — the left side
+    of the shared shuffle anti-join tail (``_keep_unflagged``)."""
+    return _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dropped": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _keep_unflagged(zeros, flagged):
+    """Shuffle anti-join tail shared by the dedup/decontaminate family:
+    keep every doc_id whose max(dropped) over zeros ∪ flagged is 0 —
+    nothing materializes on the driver (the drop set can be 30-50% of
+    the corpus at web scale)."""
+    kept = zeros.union(flagged).groupby("doc_id").max("dropped")
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}).filter(
+            pc.equal(b.column("max(dropped)"), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _cents(col) -> pa.Array:
     """value*100 rounded half-away-from-zero (DuckDB ROUND semantics),
     sign-correct for negative values, cast to exact int64."""
@@ -832,8 +862,11 @@ def q_segment_revenue(sf_dir: str):
         ok = batch.column("l_orderkey").to_numpy()
         custk = o2c_[np.clip(ok, 0, len(o2c_) - 1)]
         custk[(ok < 0) | (ok >= len(o2c_))] = -1
-        seg = np.where(custk >= 0, c2s_[np.clip(custk, 0, None)], "")
-        matched = (custk >= 0) & (seg != "")
+        # both bounds clamped: a dangling o_custkey above max(c_custkey)
+        # must drop like a dangling l_orderkey, not crash the task
+        in_c = (custk >= 0) & (custk < len(c2s_))
+        seg = np.where(in_c, c2s_[np.clip(custk, 0, len(c2s_) - 1)], "")
+        matched = in_c & (seg != "")
         batch = batch.filter(pa.array(matched))  # inner-join drop
         seg = seg[matched]
         price = batch.column("l_extendedprice").to_numpy()
@@ -1074,15 +1107,9 @@ def q_decontaminate(sf_dir: str):
         )
 
     train = docs.map_batches(train_rows, batch_format="pyarrow")
-    kept = train.union(flagged).groupby("doc_id").max("dropped")
-
-    def clean_rows(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        mx = b.column("max(dropped)").to_numpy(zero_copy_only=False)
-        keep = (mx == 0) & (ids % DECON_EVAL_MOD != 0)
-        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
-
-    return kept.map_batches(clean_rows, batch_format="pyarrow")
+    # every id in train ∪ flagged is non-eval by construction, so the
+    # shared anti-join tail needs no extra eval recheck
+    return _keep_unflagged(train, flagged)
 
 
 def _sql_decontaminate() -> str:
@@ -1645,26 +1672,22 @@ def q_dedup_embedding_ann(sf_dir: str):
             return _EMPTY_PAIR_PB
         return add_pair_hash(b, n_buckets=pb_n, a_col="vec_a", b_col="vec_b")
 
-    def retype_pairs(b: pa.Table) -> pa.Table:
-        # a pb reduce partition that received no groups re-emits
-        # schema-less — re-type so the output Dataset always carries
-        # the (vec_a, vec_b) schema
-        if b.num_rows == 0 or "vec_a" not in b.column_names:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
-            )
-        return b
-
-    # squeeze to ≤ group count before the distinct groupby (pagerank's
-    # hygiene); the row-count cap alone is NOT a group-count bound
-    # (multi-probe duplicates rows), hence retype_pairs downstream.
-    # Pair count >> 8 at scale, so no reduce-parallelism loss.
-    keyed = pairs.map_batches(add_pb, batch_format="pyarrow").materialize()
+    # input-scaled reduce width (CLAUDE.md: never a fixed repartition(8)
+    # on a full-corpus stream — the candidate-pair stream grows with the
+    # corpus); the repartition doubles as the launder for any schema-less
+    # empty blocks the IVF-list map_groups emitted, so no mid-pipeline
+    # materialize/count pass is needed.
+    pw = _rwidth(sf_dir, pb_n, table="embeddings", fanout=4)
+    keyed = pairs.map_batches(add_pb, batch_format="pyarrow")
     return (
-        keyed.repartition(max(1, min(8, keyed.count())))
+        keyed.repartition(pw)
         .groupby("pb")
         .map_groups(pair_distinct, batch_format="pyarrow")
-        .map_batches(retype_pairs, batch_format="pyarrow")
+        # a pb reduce partition that received no groups emits a
+        # schema-less block a map_batches re-type can never see (Ray
+        # skips zero-row blocks); this repartition rebuilds blocks
+        # under the surviving (vec_a, vec_b) schema
+        .repartition(min(8, pw))
     )
 
 
@@ -1699,24 +1722,7 @@ def q_dedup_corpus(sf_dir: str):
         .groupby("bb")
         .map_groups(band_bucket_drops, batch_format="pyarrow")
     )
-    everyone = _read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "dropped": pa.array(np.zeros(b.num_rows, np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    kept = everyone.union(flagged).groupby("doc_id").max("dropped")
-    return kept.map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id")}).filter(
-            pc.equal(b.column("max(dropped)"), 0)
-        ),
-        batch_format="pyarrow",
-    )
+    return _keep_unflagged(_zero_flag_docs(sf_dir), flagged)
 
 
 def _sql_dedup_corpus() -> str:
@@ -2371,7 +2377,7 @@ def q_block_complexity(sf_dir: str):
     import ray.data
 
     from .pipelines import derive
-    from .pipelines.derive import complexity_group
+    from .pipelines.derive import complexity_bucket_group
 
     blocks = pq.read_table(derive.blocks_path())
     buildings = _read_parquet_clean(derive.buildings_path())
@@ -2406,15 +2412,29 @@ def q_block_complexity(sf_dir: str):
     )
     wkb_ref = _ray.put(wkb_by_block)
 
+    # bucketed grouping (tiny-groups rule): ~10⁴+ blocks of 3-8 buildings
+    # each would be a pathological one-Ray-group-per-block shuffle — hash
+    # the block id into an input-scaled bucket and regroup inside. The
+    # block count is already on the driver (it IS the broadcast side).
+    from .stages.hashing import hash_strings
+    from .stages.scaling import dynamic_buckets, reduce_width
+
+    est_rows = blocks.num_rows * 6  # ~3-8 building centroids per block
+    bc_n = dynamic_buckets(est_rows, 64)
+    bc_w = reduce_width(est_rows, bc_n)
+
     def attach(batch: pa.Table) -> pa.Table:
         lut = _ray.get(wkb_ref)
         ids = batch.column("block_id").to_pylist()
+        bid = batch.column("block_id")
+        bid = bid.combine_chunks() if isinstance(bid, pa.ChunkedArray) else bid
         return pa.table(
             {
-                "block_id": batch.column("block_id"),
+                "block_id": bid,
                 "lon_e6": batch.column("lon_e6"),
                 "lat_e6": batch.column("lat_e6"),
                 "geom_wkb": pa.array([lut.get(i) for i in ids], pa.binary()),
+                "bc": pa.array(hash_strings(bid) % bc_n, pa.int64()),
             }
         )
 
@@ -2424,8 +2444,9 @@ def q_block_complexity(sf_dir: str):
     grouped = (
         joined.map_batches(drop_unmatched, batch_format="pyarrow")
         .map_batches(attach, batch_format="pyarrow")
-        .groupby("block_id")
-        .map_groups(complexity_group, batch_format="pyarrow")
+        .repartition(bc_w)
+        .groupby("bc")
+        .map_groups(complexity_bucket_group, batch_format="pyarrow")
     )
     return grouped.select_columns(["block_id", "k", "n_bldgs"])
 
@@ -3294,6 +3315,8 @@ def q_host_stats(sf_dir: str):
         ds.map_batches(
             partial(host_partial_stats, n_buckets=hb_n), batch_format="pyarrow"
         )
+        # per-batch-distinct partials still scale with the corpus
+        .repartition(_rwidth(sf_dir, hb_n))
         .groupby("hb")
         .map_groups(host_combine_stats, batch_format="pyarrow")
     )
@@ -3322,7 +3345,11 @@ def q_host_cap(sf_dir: str):
     rows = ds.map_batches(
         partial(host_cap_rows, n_buckets=hb_n), batch_format="pyarrow"
     )
-    return rows.groupby("hb").map_groups(host_rank_keep, batch_format="pyarrow")
+    return (
+        rows.repartition(_rwidth(sf_dir, hb_n))  # full doc stream
+        .groupby("hb")
+        .map_groups(host_rank_keep, batch_format="pyarrow")
+    )
 
 
 def _sql_host_cap() -> str:
@@ -3359,8 +3386,10 @@ def q_line_dedup(sf_dir: str):
     rows = ds.map_batches(
         partial(doc_line_rows, n_buckets=lb_n), batch_format="pyarrow"
     )
-    flagged = rows.groupby("lb").map_groups(
-        partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    flagged = (
+        rows.repartition(_rwidth(sf_dir, lb_n, fanout=16))  # line rows
+        .groupby("lb")
+        .map_groups(partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow")
     )
     return (
         flagged.repartition(_rwidth(sf_dir, db_n, fanout=16))
@@ -3535,24 +3564,7 @@ def q_dedup_keep_best(sf_dir: str):
         .groupby("cb")
         .map_groups(cluster_keep_best, batch_format="pyarrow")
     )
-    everyone = _read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "dropped": pa.array(np.zeros(b.num_rows, np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    kept = everyone.union(flagged).groupby("doc_id").max("dropped")
-    return kept.map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id")}).filter(
-            pc.equal(b.column("max(dropped)"), 0)
-        ),
-        batch_format="pyarrow",
-    )
+    return _keep_unflagged(_zero_flag_docs(sf_dir), flagged)
 
 
 def _sql_dedup_keep_best() -> str:
@@ -3651,6 +3663,19 @@ FROM n
 _SQL_PR_DST = "'src' || CAST((doc_id * doc_id + 3) % 20 AS VARCHAR)"
 
 
+def _pr_link_batch(b: pa.Table) -> pa.Table:
+    """The Ray half of the host-link fixture rule — one (src, dst) row
+    per doc, self-links dropped. MUST stay byte-identical to
+    _SQL_PR_DST; host_pagerank AND host_components both build on it,
+    so the rule lives in exactly one place per engine side."""
+    d = b.column("doc_id").to_numpy(zero_copy_only=False)
+    dst = pc.binary_join_element_wise(
+        "src", pc.cast(pa.array((d * d + 3) % 20, pa.int64()), pa.string()), ""
+    )
+    t = pa.table({"src": b.column("source"), "dst": dst})
+    return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+
+
 def q_host_pagerank(sf_dir: str):
     """Link-graph centrality: exact-integer host PageRank after
     PR_ITERS rounds — the crawl-frontier / host-quality weighting
@@ -3668,13 +3693,7 @@ def q_host_pagerank(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
 
-    def links(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        dst = pc.binary_join_element_wise(
-            "src", pc.cast(pa.array((d * d + 3) % 20, pa.int64()), pa.string()), ""
-        )
-        t = pa.table({"src": b.column("source"), "dst": dst})
-        return t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+    links = _pr_link_batch  # the ONE host-link fixture rule
 
     from .stages.curation import PR_SCALE as _PIN
     from .stages.curation import EDGE_BUCKETS
@@ -3845,12 +3864,7 @@ def q_host_components(sf_dir: str):
     )
 
     def pairs(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        dst = pc.binary_join_element_wise(
-            "src", pc.cast(pa.array((d * d + 3) % 20, pa.int64()), pa.string()), ""
-        )
-        t = pa.table({"src": b.column("source"), "dst": dst})
-        t = t.filter(pc.invert(pc.equal(t.column("src"), t.column("dst"))))
+        t = _pr_link_batch(b)  # the ONE host-link fixture rule
         return pa.table(
             {
                 "doc_a": pa.array(hash_strings62(t.column("src")), pa.int64()),
@@ -3883,7 +3897,10 @@ def q_host_components(sf_dir: str):
             {"node": b.column("node"), "host": b.column("max(host)")}
         ),
         batch_format="pyarrow",
-    )
+        # when read blocks outnumber distinct hosts, the aggregate emits
+        # schema-less empty partitions the rename above never sees (Ray
+        # skips zero-row blocks) — launder them before the join
+    ).repartition(_jwidth(sf_dir, floor=4))
     return clusters.join(
         names, join_type="inner", num_partitions=_jwidth(sf_dir, floor=4),
         on=("node",),
@@ -4024,8 +4041,10 @@ def q_tfidf_topk(sf_dir: str):
     tf = ds.map_batches(
         partial(word_tf_rows, n_buckets=wb_n), batch_format="pyarrow"
     )
-    scored = tf.groupby("wb").map_groups(
-        partial(tf_score_rows, doc_buckets=db_n), batch_format="pyarrow"
+    scored = (
+        tf.repartition(_rwidth(sf_dir, wb_n, fanout=32))  # word rows
+        .groupby("wb")
+        .map_groups(partial(tf_score_rows, doc_buckets=db_n), batch_format="pyarrow")
     )
     return (
         scored.repartition(_rwidth(sf_dir, db_n, fanout=32))
@@ -4068,7 +4087,11 @@ def q_ngram_topk(sf_dir: str):
         functools.partial(ngram_partial_counts, n_buckets=gb_n),
         batch_format="pyarrow",
     )
-    cands = part.groupby("gb").map_groups(bucket_topk_grams, batch_format="pyarrow")
+    cands = (
+        part.repartition(_rwidth(sf_dir, gb_n, fanout=32))  # per-batch partials
+        .groupby("gb")
+        .map_groups(bucket_topk_grams, batch_format="pyarrow")
+    )
     # BOUNDED candidates: ≤ top-K rows per gram bucket — the global
     # selection sees K × n_buckets rows, never corpus rows
     return cands.repartition(1).map_batches(global_topk_grams, batch_format="pyarrow")
@@ -4181,8 +4204,10 @@ def q_dup_spans(sf_dir: str):
     rows = ds.map_batches(
         partial(gram_pos_rows, n_buckets=gb_n), batch_format="pyarrow"
     )
-    flagged = rows.groupby("gb").map_groups(
-        partial(dup_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    flagged = (
+        rows.repartition(_rwidth(sf_dir, gb_n, fanout=32))  # gram rows
+        .groupby("gb")
+        .map_groups(partial(dup_flag_rows, doc_buckets=db_n), batch_format="pyarrow")
     )
     return (
         flagged.repartition(_rwidth(sf_dir, db_n, fanout=32))
@@ -4220,8 +4245,10 @@ def q_dup_spans_exact(sf_dir: str):
     rows = ds.map_batches(
         partial(char_window_rows, n_buckets=xb_n), batch_format="pyarrow"
     )
-    flagged = rows.groupby("xb").map_groups(
-        partial(dupx_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    flagged = (
+        rows.repartition(_rwidth(sf_dir, xb_n, fanout=256))  # window rows
+        .groupby("xb")
+        .map_groups(partial(dupx_flag_rows, doc_buckets=db_n), batch_format="pyarrow")
     )
     return (
         flagged.repartition(_rwidth(sf_dir, db_n, fanout=256))
@@ -4304,7 +4331,11 @@ def q_ccnet_tiers(sf_dir: str):
     rows = ds.map_batches(
         partial(ccnet_tier_rows, n_buckets=hb_n), batch_format="pyarrow"
     )
-    return rows.groupby("hb").map_groups(ccnet_tier_assign, batch_format="pyarrow")
+    return (
+        rows.repartition(_rwidth(sf_dir, hb_n))  # full doc stream
+        .groupby("hb")
+        .map_groups(ccnet_tier_assign, batch_format="pyarrow")
+    )
 
 
 SQL_CCNET_TIERS = """
@@ -4428,22 +4459,16 @@ def q_shuffle_rank(sf_dir: str):
     ).materialize()
     bases_ref = ray.put(bucket_bases(rows, "one", "sb", n_buckets=sb_n))
 
-    def retype(b: pa.Table) -> pa.Table:
-        # groupless reduce partitions emit schema-less blocks
-        if b.num_rows == 0 or "doc_id" not in b.column_names:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "shuffle_pos": pa.array([], pa.int64()),
-                }
-            )
-        return b
-
     return (
         compact_for_bucket_groupby(rows, rows)
         .groupby("sb")
         .map_groups(make_rank_fn(bases_ref), batch_format="pyarrow")
-        .map_batches(retype, batch_format="pyarrow")
+        # when the compact gate skips the pre-repartition at scale,
+        # groupless reduce partitions emit schema-less blocks a
+        # map_batches re-type can never see (Ray skips zero-row
+        # blocks) — launder them by rebuilding blocks; 16 B/row, so
+        # the extra exchange is trivial next to the rank shuffle
+        .repartition(_rwidth(sf_dir, sb_n))
     )
 
 
@@ -4525,15 +4550,23 @@ def q_embedding_centroids(sf_dir: str):
     batch, the list column carrying the 64 partial sums) → one tiny
     groupby(label). Output: (label, dim, sum_e6, n_vecs) — the exact
     centroid numerator/denominator per dimension."""
-    from .stages.similarity import centroid_combine, centroid_partials
+    from .stages.similarity import (
+        centroid_combine,
+        centroid_partials,
+        centroid_recombine,
+    )
 
     ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
     return (
         ds.map_batches(centroid_partials, batch_format="pyarrow")
-        .repartition(4)  # partials are label-count-sized; avoid the
-        # ~200 near-empty reduce tasks of the default shuffle
+        # tree step: partials are labels × n_batches rows (corpus-linear
+        # in batch count) — collapse ~64k-row chunks to ≤ labels rows
+        # each BEFORE the shuffle, so the final reduce sees a stream
+        # bounded by labels × n_chunks
+        .map_batches(centroid_recombine, batch_format="pyarrow", batch_size=65536)
+        .repartition(4)  # post-tree stream is tiny; ≤ label count
         .groupby("label")
         .map_groups(centroid_combine, batch_format="pyarrow")
     )
@@ -4547,12 +4580,18 @@ def q_embedding_gram(sf_dir: str):
     per batch → ONE groupby over d(d+1)/2 = 2080 keys. Exact-integer
     round_e6 contract (same as embedding_centroids). Output:
     (i, j, s) upper triangle."""
-    from .stages.similarity import gram_finish, gram_partials
+    from .stages.similarity import gram_finish, gram_partials, gram_precombine
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     return (
         ds.map_batches(gram_partials, batch_format="pyarrow")
-        .repartition(4)
+        # tree steps: partials are 2080 rows PER BATCH (corpus-linear in
+        # batch count) — two chained map-side combines shrink the stream
+        # ~(batch_size/2080)² before the one bounded groupby; the final
+        # width is input-scaled and capped at the 2080 key groups
+        .map_batches(gram_precombine, batch_format="pyarrow", batch_size=262144)
+        .map_batches(gram_precombine, batch_format="pyarrow", batch_size=262144)
+        .repartition(_rwidth(sf_dir, 2080, table="embeddings"))
         .groupby("k")
         .sum("s")
         .map_batches(gram_finish, batch_format="pyarrow")
@@ -5018,16 +5057,23 @@ def q_curate_corpus(sf_dir: str):
 
     capped = (
         ds.map_batches(host_key, batch_format="pyarrow")
+        .repartition(_rwidth(sf_dir, hb_n))  # full doc stream
         .groupby("hb")
         .map_groups(host_rank_keep_text, batch_format="pyarrow")
     )
     lines = capped.map_batches(
         partial(doc_line_rows, n_buckets=lb_n), batch_format="pyarrow"
     )
-    flagged = lines.groupby("lb").map_groups(
-        partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow"
+    flagged = (
+        lines.repartition(_rwidth(sf_dir, lb_n, fanout=16))  # line rows
+        .groupby("lb")
+        .map_groups(partial(line_flag_rows, doc_buckets=db_n), batch_format="pyarrow")
     )
-    cleaned = flagged.groupby("db").map_groups(reassemble_docs, batch_format="pyarrow")
+    cleaned = (
+        flagged.repartition(_rwidth(sf_dir, db_n, fanout=16))
+        .groupby("db")
+        .map_groups(reassemble_docs, batch_format="pyarrow")
+    )
 
     def quality_gate(b: pa.Table) -> pa.Table:
         q = quality_score(
@@ -5052,6 +5098,7 @@ def q_curate_corpus(sf_dir: str):
 
     return (
         cleaned.map_batches(quality_gate, batch_format="pyarrow")
+        .repartition(_rwidth(sf_dir, kb_n))  # surviving doc stream
         .groupby("kb")
         .map_groups(dedup_keep_min, batch_format="pyarrow")
     )

@@ -498,6 +498,39 @@ def centroid_partials(batch: pa.Table) -> pa.Table:
     )
 
 
+def centroid_recombine(batch: pa.Table) -> pa.Table:
+    """Map-side TREE step between ``centroid_partials`` and
+    ``centroid_combine``: collapse a batch of per-batch partials to one
+    row per label, SAME schema in and out — so the stream feeding the
+    final label groupby is ≤ labels rows per re-batched chunk instead
+    of labels × n_batches rows for the whole corpus (exact-integer sums
+    are order-independent, so the tree is value-invariant)."""
+    if batch.num_rows == 0:
+        return batch
+    col = batch.column("sums")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = len(col[0])
+    mat = np.asarray(col.flatten(), dtype=np.int64).reshape(len(col), d)
+    lab = batch.column("label").to_numpy(zero_copy_only=False)
+    n = batch.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(lab, kind="stable")
+    sl, sv, sn = lab[order], mat[order], n[order]
+    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
+    sums = np.add.reduceat(sv, heads, axis=0)
+    counts = np.add.reduceat(sn, heads)
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(heads) + 1, dtype=np.int64) * d, pa.int32()),
+        pa.array(sums.reshape(-1), pa.int64()),
+    )
+    return pa.table(
+        {
+            "label": pa.array(sl[heads], pa.int64()),
+            "sums": lists,
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def centroid_combine(group: pa.Table) -> pa.Table:
     """One label's partials → exploded (label, dim, sum_e6, n_vecs)
     rows — the exact dim-wise centroid numerator/denominator."""
@@ -799,6 +832,27 @@ def gram_partials(batch: pa.Table) -> pa.Table:
         {
             "k": pa.array(iu * d + ju, pa.int64()),
             "s": pa.array(g[iu, ju], pa.int64()),
+        }
+    )
+
+
+def gram_precombine(batch: pa.Table) -> pa.Table:
+    """Map-side TREE step for the Gram reduce: sum the (k, s) partial
+    rows by k within a (re-batched, multi-block) chunk — same schema in
+    and out, shrinking the stream by ~batch_size/2080 per pass before
+    the one bounded groupby. Chainable (apply twice for another factor)
+    because the int64 sums are order-independent."""
+    if batch.num_rows == 0:
+        return batch
+    k = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    sk, ss = k[order], s[order]
+    heads = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+    return pa.table(
+        {
+            "k": pa.array(sk[heads], pa.int64()),
+            "s": pa.array(np.add.reduceat(ss, heads), pa.int64()),
         }
     )
 
