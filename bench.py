@@ -367,7 +367,10 @@ def scaling_run(sf_dir: str, amplify: int, mode: str = "task",
                 skew: bool = False) -> dict:
     """Same job at 8 and 32 CPUs in fresh processes; efficiency =
     rows/s(32) / (4 * rows/s(8))."""
-    if "--amplify" not in sys.argv:  # explicit flag wins; else scale up
+    # explicit flag wins; else scale up. Match any spelling the parser
+    # accepts (`--amplify N`, `--amplify=N`), not a literal-token sniff
+    # that silently ignores the equals form.
+    if not any(a == "--amplify" or a.startswith("--amplify=") for a in sys.argv):
         amplify = int(os.environ.get("GRAFT_SCALE_AMPLIFY", str(max(amplify, 2000))))
 
     def one(cpus: int) -> dict:

@@ -134,9 +134,10 @@ def main(argv=None) -> int:
                 out.write_parquet(args.output, min_rows_per_file=50_000)
                 print(json.dumps({"stages": args.stages, "output": args.output}))
             else:
-                df = out.to_pandas()
-                print(f"{len(df)} rows")
-                print(df.head(5).to_string())
+                # preview must not materialize the corpus on the driver
+                n = out.count()
+                print(f"{n} rows")
+                print(out.limit(5).to_pandas().to_string())
         elif args.cmd == "query":
             import pandas as pd
 

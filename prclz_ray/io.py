@@ -22,10 +22,21 @@ def clean_schema(path: str, columns: list[str] | None = None) -> pa.Schema:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):  # directory input: schema from any leaf file
-        leaf = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
-        path = os.path.join(path, leaf[0])
+        # walk nested layouts too (Hive-partitioned outputs keep their
+        # leaves in subdirectories) and fail with the cause, not a bare
+        # IndexError, when no leaf exists yet
+        leaf = None
+        for root, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            pq_files = sorted(f for f in files if f.endswith(".parquet"))
+            if pq_files:
+                leaf = os.path.join(root, pq_files[0])
+                break
+        if leaf is None:
+            raise FileNotFoundError(
+                f"clean_schema: no .parquet leaf under directory {path!r}"
+            )
+        path = leaf
     sch = pq.read_schema(path)
     names = columns if columns is not None else sch.names
     return pa.schema([sch.field(n).remove_metadata() for n in names])

@@ -46,6 +46,13 @@ class Registry:
         self._fns: dict[str, Callable] = {}
 
     def register(self, name: str, fn: Callable | None = None, *, replace: bool = False):
+        if not isinstance(name, str):
+            # @REG.register (bare, no name) would otherwise bind name=fn
+            # and silently register nothing — fail loudly at def time
+            raise TypeError(
+                f"{self.kind} register() needs a name string first; "
+                "use @registry.register('my_name')"
+            )
         if fn is None:
             def deco(f: Callable) -> Callable:
                 self.register(name, f, replace=replace)

@@ -40,9 +40,13 @@ def parse_wkt_polygon(wkt: str) -> np.ndarray:
 
 
 def _wkt_ring(ring: np.ndarray) -> str:
-    """(N, 2) open ring → '(x y, …, x0 y0)' (closed on output)."""
+    """(N, 2) open ring → '(x y, …, x0 y0)' (closed on output).
+
+    9 decimals: the engine quantizes vertices at 1e-9° (graph QUANT),
+    so .9f keeps the write→read round-trip lossless on that grid
+    (.6f would shift face-traced vertices by up to ~5 cm)."""
     closed = np.vstack([ring, ring[:1]])
-    return "(" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in closed) + ")"
+    return "(" + ", ".join(f"{x:.9f} {y:.9f}" for x, y in closed) + ")"
 
 
 def wkt_polygon(ring: np.ndarray, holes=()) -> str:

@@ -168,8 +168,26 @@ def read_geojson_features(
     the reference's building consolidation (M10)."""
     import ray.data
 
+    import os
+
+    # ray.data.read_text accepts dirs and path lists; the driver-side
+    # type sampler must follow the same expansion (first leaf file)
+    # instead of crashing on open()
+    sample_path = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(sample_path):
+        leaves = sorted(
+            f for f in os.listdir(sample_path)
+            if not f.startswith(".")
+            and os.path.isfile(os.path.join(sample_path, f))
+        )
+        if not leaves:
+            raise FileNotFoundError(
+                f"read_geojson_features: no files under directory {sample_path!r}"
+            )
+        sample_path = os.path.join(sample_path, leaves[0])
+
     sampled: dict[str, list] = {}
-    with open(path) as f:
+    with open(sample_path) as f:
         for i, line in enumerate(f):
             if i >= 1000:
                 break

@@ -154,7 +154,15 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
                 b"\n".join(all_lines[i] for i, _ in bad)
             ).hexdigest()[:16]
             os.makedirs(errors_dir, exist_ok=True)
-            tmp = os.path.join(errors_dir, f".jsonl-errors-{tag}.tmp")
+            import tempfile
+
+            # writer-unique tmp (manifest.py idiom): two concurrent
+            # tasks with identical bad lines share the SAME tag, so a
+            # content-derived tmp path would interleave their writes
+            fd, tmp = tempfile.mkstemp(
+                prefix=f".jsonl-errors-{tag}.", suffix=".tmp", dir=errors_dir
+            )
+            os.close(fd)
             pq.write_table(side, tmp)
             os.replace(tmp, os.path.join(errors_dir, f"jsonl-errors-{tag}.parquet"))
         if t is None or t.num_rows == 0:
@@ -178,15 +186,19 @@ def make_jsonl_parse_fn(errors_dir: str | None = None,
             )
         if columns is not None:
             # a non-empty batch whose lines all lack a requested key
-            # must null-pad it (string: the JSONL-safe default the
-            # empty-batch branch already uses) — NDJSON keys vary per
-            # batch, so whether a key appears is an accident of which
-            # lines landed here, and select() would otherwise KeyError
+            # must null-pad it — NDJSON keys vary per batch, so whether
+            # a key appears is an accident of which lines landed here,
+            # and select() would otherwise KeyError. When schema= is
+            # given the pad MUST use its field type: a string pad next
+            # to another block's int64 column gives the same dataset
+            # conflicting types per block (string is only the fallback
+            # the schemaless empty-batch branch uses too)
             for c in columns:
                 if c not in t.column_names:
-                    t = t.append_column(
-                        c, pa.nulls(t.num_rows, pa.string())
-                    )
+                    typ = schema.field(c).type if (
+                        schema is not None and schema.get_field_index(c) >= 0
+                    ) else pa.string()
+                    t = t.append_column(c, pa.nulls(t.num_rows, typ))
             return t.select(columns)
         return t
 

@@ -65,7 +65,9 @@ def parse_warc_bytes(data: bytes, record_types: tuple = ("response",)) -> pa.Tab
         hdr_end = data.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
             raise ValueError(f"unterminated WARC header at byte {pos}")
-        header = data[pos:hdr_end].decode()
+        # lenient decode: one raw latin-1 byte in a header (common in
+        # real crawl URIs) must not kill the whole per-file parse task
+        header = data[pos:hdr_end].decode("utf-8", "replace")
         fields = {}
         for line in header.split("\r\n")[1:]:  # [0] is the version line
             k, _, v = line.partition(":")

@@ -1720,3 +1720,72 @@ def test_topk_float64_embeddings_and_chunked_topp(ray_session):
     a = topk_centroids(x, c, 3)
     b = np.argsort(-(x @ c.T), axis=1)[:, :3]
     assert all(set(r1) == set(r2) for r1, r2 in zip(a, b))
+
+
+# --- round-5 infra review regressions -----------------------------------------
+
+def test_jsonl_schema_typed_null_pad():
+    # a batch whose surviving lines all lack a schema'd int64 key must
+    # pad with the SCHEMA type, not string (per-block type conflicts)
+    import pyarrow as pa
+
+    from prclz_ray.sources.jsonl import make_jsonl_parse_fn
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    fn = make_jsonl_parse_fn(columns=["doc_id", "n_chars"], schema=schema)
+    out = fn(pa.table({"text": pa.array(['{"doc_id": 7}'])}))
+    assert out.schema.field("n_chars").type == pa.int64()
+    assert out.column("n_chars").null_count == 1
+
+
+def test_registry_bare_decorator_raises():
+    from prclz_ray.registry import Registry
+
+    reg = Registry("thing")
+    with pytest.raises(TypeError):
+        @reg.register  # missing the name string must fail loudly
+        def my_stage(ds):
+            return ds
+
+
+def test_csv_wkt_nanodegree_roundtrip(tmp_path):
+    # write→read must be lossless on the engine's 1e-9° vertex grid
+    import numpy as np
+
+    from prclz_ray.sources.csv_wkt import parse_wkt_polygon, wkt_polygon
+
+    ring = np.array(
+        [[1.000000001, 2.000000002], [1.000000004, 2.000000001],
+         [1.000000003, 2.000000005]]
+    )
+    back = parse_wkt_polygon(wkt_polygon(ring))
+    assert np.array_equal(back, ring)
+
+
+def test_clean_schema_nested_dir_and_empty_dir(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_ray.io import clean_schema
+
+    nested = tmp_path / "hive" / "cell=1"
+    nested.mkdir(parents=True)
+    pq.write_table(pa.table({"a": [1]}), nested / "part0.parquet")
+    assert clean_schema(str(tmp_path / "hive")).names == ["a"]
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        clean_schema(str(empty))
+
+
+def test_warc_lenient_header_decode(tmp_path):
+    from prclz_ray.sources.warc import parse_warc_bytes
+
+    body = b"hello"
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: https://caf\xe9.example/\r\n"  # raw latin-1 byte
+           + f"Content-Length: {len(body)}\r\n".encode() + b"\r\n")
+    rec = hdr + body + b"\r\n\r\n"
+    out = parse_warc_bytes(rec)
+    assert len(out["payload"]) == 1 if isinstance(out, dict) else True

@@ -77,6 +77,7 @@ def main():
     if unknown:
         print(f"ERROR unknown query name(s): {sorted(unknown)}")
         print(f"valid: {sorted(qs)}")
+        ray.shutdown()
         return 2
 
     con = duckdb.connect()
@@ -142,10 +143,16 @@ def main():
             print(f"    got  cols: {sorted(got.columns)}")
             print(f"    want cols: {sorted(want.columns)}")
         elif not ok_hash and ok_rows:
-            merged = got.sort_values(sorted(got.columns)).reset_index(drop=True).compare(
-                want[got.columns].sort_values(sorted(got.columns)).reset_index(drop=True)
-            )
-            print(f"    first diffs:\n{merged.head(5)}")
+            # best-effort diagnostic only: a non-sortable object column
+            # must not abort the gate (the report still records the
+            # MISMATCH either way)
+            try:
+                merged = got.sort_values(sorted(got.columns)).reset_index(drop=True).compare(
+                    want[got.columns].sort_values(sorted(got.columns)).reset_index(drop=True)
+                )
+                print(f"    first diffs:\n{merged.head(5)}")
+            except Exception as ex:
+                print(f"    (diff display unavailable: {type(ex).__name__}: {ex})")
     print(f"\n{n_pass} matched, {n_fail} failed")
     out = os.environ.get("SELFCHECK_JSON")
     if out:
