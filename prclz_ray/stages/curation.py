@@ -84,13 +84,14 @@ def _split_words(batch: pa.Table):
     return flat, par, nw
 
 
-def _line_arrays(batch: pa.Table):
+def _line_arrays(batch: pa.Table, words=None):
     """Chunk each doc's words into LINE_W-word lines, vectorized: the
     flat word array is re-grouped by computed line offsets (lines tile
     the flat array contiguously, so starts alone define the list) and
     joined per line. Returns (line strings, line→row index, line index
-    within doc)."""
-    flat, _, nw = _split_words(batch)
+    within doc). ``words`` takes a precomputed ``_split_words`` triple
+    so a caller that needs both views splits the corpus only once."""
+    flat, _, nw = words if words is not None else _split_words(batch)
     n = len(batch)
     nlines = -(-nw // LINE_W)  # ceil; split('') == [''] so nw >= 1 always
     doc_word_start = np.concatenate([[0], np.cumsum(nw)])
@@ -410,8 +411,11 @@ def repetition_signals(batch: pa.Table) -> pa.Table:
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chars = np.maximum(n_chars, 1)  # '' guard: fractions of nothing are 0/1
 
-    # --- duplicate lines within each doc
-    lines, line_doc, _ = _line_arrays(batch)
+    # --- duplicate lines within each doc (ONE split feeds both the
+    # line view and the bigram pass below — the split dominates the
+    # kernel's per-batch cost)
+    words3 = _split_words(batch)
+    lines, line_doc, _ = _line_arrays(batch, words=words3)
     lt = pa.table({"d": _i64(line_doc), "s": lines})
     g, run_start = _sorted_runs_2(lt, "d", "s")
     counts = np.diff(run_start)
@@ -425,7 +429,7 @@ def repetition_signals(batch: pa.Table) -> pa.Table:
     ).astype(np.int64)
 
     # --- top bigram per doc
-    flat, par, nw = _split_words(batch)
+    flat, par, nw = words3
     m = len(flat)
     top_chars = np.zeros(n, dtype=np.int64)
     if m >= 2:
@@ -1177,11 +1181,10 @@ def edge_weight_combine(group: pa.Table) -> pa.Table:
             {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
              "w": pa.array([], pa.int64())}
         )
-    key = pc.binary_join_element_wise(
-        _combined(group.column("src")), _combined(group.column("dst")), "|"
-    )
-    g = group.append_column("k_", key)
-    g, runs = _key_runs(g, "k_")
+    # regroup on BOTH key columns: a '|'-joined string is ambiguous —
+    # ('a|b','c') and ('a','b|c') would merge into one edge (the joined
+    # key is still fine for the BUCKET hash, which only co-locates)
+    g, runs = _sorted_runs_2(group, "src", "dst")
     w = g.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
     sums = np.add.reduceat(np.ascontiguousarray(w), runs[:-1])
     first = runs[:-1]

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import P31, SALT_A, SALT_B, hash_strings
+from .hashing import arrow_combined, hash_strings, salted
 
 SHINGLE = 3       # words per shingle
 N_HASHES = 8      # minhash signature length
@@ -46,7 +46,7 @@ def _shingle_arrays(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
     without the fill a null length hits an invalid NaN→int64 cast."""
     text = pc.fill_null(batch.column("text"), "")
     words = pc.split_pattern(text, " ")
-    flat = pc.list_flatten(words).combine_chunks()
+    flat = arrow_combined(pc.list_flatten(words))
     par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False).astype(np.int64)
     nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     parts: list[pa.Array] = []
@@ -62,16 +62,12 @@ def _shingle_arrays(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
                 flat.slice(2, m - 2).filter(vmask),
                 " ",
             )
-            if isinstance(sh_str, pa.ChunkedArray):
-                sh_str = sh_str.combine_chunks()
-            parts.append(sh_str)
+            parts.append(arrow_combined(sh_str))
             docs.append(par[: m - 2][valid])
     fb = np.flatnonzero(nw < SHINGLE)
     if len(fb):
         fb_text = text.take(pa.array(fb))
-        if isinstance(fb_text, pa.ChunkedArray):
-            fb_text = fb_text.combine_chunks()
-        parts.append(fb_text)
+        parts.append(arrow_combined(fb_text))
         docs.append(fb)
     if not parts:
         return np.empty(0, np.int64), pa.array([], pa.string())
@@ -97,7 +93,7 @@ def minhash_matrix(batch: pa.Table) -> np.ndarray:
     starts = np.searchsorted(doc_s, np.arange(n))
     sig = np.empty((n, N_HASHES), dtype=np.int64)
     for k in range(N_HASHES):
-        sig[:, k] = np.minimum.reduceat((SALT_A[k] * h_s + SALT_B[k]) % P31, starts)
+        sig[:, k] = np.minimum.reduceat(salted(h_s, k), starts)
     return sig
 
 
@@ -133,7 +129,7 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     # so the per-band key arrays concatenate directly (row order is
     # irrelevant to the downstream groupby)
     bucket = pa.concat_arrays(
-        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in bucket_cols]
+        [arrow_combined(c) for c in bucket_cols]
     )
     return pa.table(
         {
@@ -542,8 +538,7 @@ def delta_hash_rows(batch: pa.Table, snapshot_mod: int, n_buckets: int = DELTA_B
     travels to the anti-join."""
     from .hashing import hash_strings62
 
-    text = batch.column("text")
-    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    text = arrow_combined(batch.column("text"))
     h = hash_strings62(pc.fill_null(text, ""))
     d = batch.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table(

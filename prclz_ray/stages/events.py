@@ -136,6 +136,23 @@ def extract_props_k(batch: pa.Table) -> pa.Table:
             "extract_props_k: non-integer k (regex would truncate "
             "where the oracle's CAST errors)"
         )
+    # exponent (2e5: regex reads the mantissa) and quoted numerics
+    # ("5": regex reads NULL) also diverge from the JSON-path oracle
+    odd = pc.match_substring_regex(props, r'"k":\s*(?:-?[0-9]+[eE]|")')
+    if pc.any(odd).as_py():
+        raise ValueError(
+            "extract_props_k: exponent or quoted k (regex and the "
+            "JSON-path oracle would diverge)"
+        )
+    # a top-level ARRAY passes the one-brace nesting guard but the
+    # '$.k' path reads NULL where the regex would match inside it
+    nonobj = pc.invert(
+        pc.match_substring_regex(pc.fill_null(props, "{}"), r"^\s*\{")
+    )
+    if pc.any(nonobj).as_py():
+        raise ValueError(
+            "extract_props_k: props must be a JSON object (flat contract)"
+        )
     m = pc.extract_regex(props, r'"k":\s*(?P<k>-?[0-9]+)')
     k = pc.cast(pc.struct_field(m, "k"), pa.int64())
     # k stays NULL when props has no integer k — aggregates skip nulls,
@@ -281,6 +298,15 @@ def late_bucket_rows(batch: pa.Table, n_buckets: int = LATE_BUCKETS) -> pa.Table
         raise ValueError("late_bucket_rows: n_buckets must be a power of two")
     shift = 31 - (n_buckets.bit_length() - 1)
     eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    # int64 parity guard (the range_join_group / _pr_flow convention):
+    # past ~3.47e9 numpy wraps silently where the DuckDB oracle errors,
+    # and SQL % of a NEGATIVE id is negative where numpy's is not —
+    # fail loudly outside the safe window instead of silently diverging
+    if len(eid) and (int(eid.min()) < 0 or int(eid.max()) > (2**63 - 1) // 2654435761):
+        raise ValueError(
+            "late_bucket_rows: event_id outside the int64-safe window "
+            "for the arrival-scramble multiply (oracle parity)"
+        )
     ak = (eid * 2654435761) % 2**31
     return batch.append_column(
         "ak", pa.array(ak.astype(np.int64), pa.int64())

@@ -714,3 +714,25 @@ def test_dup_spans_exact_catches_sub_gram_overlaps():
         {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["tiny"])}
     )
     assert char_window_rows(short, L=30).num_rows == 0
+
+
+# --- round-5 stage review regressions -----------------------------------------
+
+def test_edge_weight_combine_pipe_in_host_names():
+    # ('a|b' -> 'c') and ('a' -> 'b|c') must stay DISTINCT edges: a
+    # '|'-joined regroup key would merge them into one double-weighted edge
+    import pyarrow as pa
+
+    from prclz_ray.stages.curation import edge_weight_combine
+
+    g = pa.table(
+        {
+            "src": ["a|b", "a"],
+            "dst": ["c", "b|c"],
+            "w": pa.array([1, 1], pa.int64()),
+            "eb": pa.array([0, 0], pa.int64()),
+        }
+    )
+    out = edge_weight_combine(g)
+    assert out.num_rows == 2
+    assert sorted(out.column("w").to_pylist()) == [1, 1]

@@ -1789,3 +1789,35 @@ def test_warc_lenient_header_decode(tmp_path):
     rec = hdr + body + b"\r\n\r\n"
     out = parse_warc_bytes(rec)
     assert len(out["payload"]) == 1 if isinstance(out, dict) else True
+
+
+def test_extract_props_k_rejects_divergent_forms():
+    import pyarrow as pa
+
+    from prclz_ray.stages.events import extract_props_k
+
+    def tbl(props):
+        return pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["x"]),
+                "props": pa.array([props]),
+            }
+        )
+
+    assert extract_props_k(tbl('{"k": 7}')).column("k").to_pylist() == [7]
+    for bad in ['{"k": 2e5}', '{"k": "5"}', '[{"k": 1}]']:
+        with pytest.raises(ValueError):
+            extract_props_k(tbl(bad))
+
+
+def test_late_bucket_rows_guards_unsafe_event_ids():
+    import pyarrow as pa
+
+    from prclz_ray.stages.events import late_bucket_rows
+
+    ok = pa.table({"event_id": pa.array([0, 5], pa.int64())})
+    assert late_bucket_rows(ok).num_rows == 2
+    for bad in [-1, (2**63 - 1) // 2654435761 + 1]:
+        with pytest.raises(ValueError):
+            late_bucket_rows(pa.table({"event_id": pa.array([bad], pa.int64())}))
