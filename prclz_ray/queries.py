@@ -4756,7 +4756,7 @@ WITH raw AS (
   -- absolute URLs, but the engines must share the full rule)
   SELECT doc_id, url, u0,
          regexp_replace(u0, '^([^/?#]*//[^/?#]*)\?', '\1/?') AS u1,
-         u0 LIKE '%://%' AS is_abs
+         regexp_matches(u0, '^[^/?#]+://') AS is_abs
   FROM s0
 ), s AS (
   SELECT doc_id, url, u0, is_abs,

@@ -61,13 +61,18 @@ from .hashing import arrow_i64 as _i64
 # scan machinery
 
 def bucket_bases(rows, weight_col: str, bucket_col: str,
-                 n_buckets: int = PACK_BUCKETS) -> np.ndarray:
+                 n_buckets: int = PACK_BUCKETS,
+                 width: int | None = None) -> np.ndarray:
     """Exclusive prefix sum of per-bucket weight totals.
 
-    One bounded groupby (≤ PACK_BUCKETS groups) reduces the weights;
-    the PACK_BUCKETS-row result is the only thing the driver touches.
+    One bounded groupby (≤ n_buckets groups) reduces the weights;
+    the n_buckets-row result is the only thing the driver touches.
     Returns base[b] = total weight of all buckets < b (empty buckets
-    contribute 0)."""
+    contribute 0). ``width`` sizes the repartition feeding the reduce
+    (the CLAUDE.md input-scaled reduce-width rule — with input-scaled
+    bucket counts the partial stream stops compressing, so a fixed 8
+    would make each reduce task hold ~stream/8 rows at 100 TB);
+    default: reduce_width over the materialized row count."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({bucket_col: batch.column(bucket_col),
@@ -78,14 +83,18 @@ def bucket_bases(rows, weight_col: str, bucket_col: str,
             .rename_columns([bucket_col, "w"])
         )
 
+    if width is None:
+        from .scaling import reduce_width
+
+        width = reduce_width(rows.count(), n_buckets)
     totals = (
         rows.map_batches(partial, batch_format="pyarrow")
-        .repartition(8)  # partials are ≤ PACK_BUCKETS rows per block;
-        # without this the groupby fans out to ~200 near-empty reduce
-        # tasks whose scheduling latency dominates (measured 5 s → 2 s)
+        .repartition(width)  # floor keeps the measured small-scale
+        # behavior (8 reduce tasks, not ~200 near-empty ones:
+        # 5 s → 2 s); the width grows with the corpus past it
         .groupby(bucket_col)
         .sum("w")
-        .to_pandas()  # ≤ PACK_BUCKETS rows — bytes, not data
+        .to_pandas()  # ≤ n_buckets rows — bytes, not data
     )
     sums = np.zeros(n_buckets, dtype=np.int64)
     sums[totals[bucket_col].to_numpy()] = totals["sum(w)"].to_numpy()
@@ -128,38 +137,31 @@ def pack_dataset(tok):
             )
         )
 
-    from .scaling import dynamic_buckets
+    from .scaling import dynamic_buckets, reduce_width
 
     # scale the range-bucket count with the scan length: a fixed count
     # leaves group size = corpus / N (VERDICT r3); the driver still only
     # cumsums the n-buckets totals row
-    pb_n = dynamic_buckets(tok.count(), PACK_BUCKETS)
+    n = tok.count()
+    pb_n = dynamic_buckets(n, PACK_BUCKETS)
+    rw = reduce_width(n, pb_n)
     # range anchored at the key MINIMUM so negative (md5-int64) ids
     # bucket correctly (see add_range_bucket)
     lo = tok.min("doc_id")
     width = (tok.max("doc_id") - lo) // pb_n + 1
     keyed = tok.map_batches(add_range_bucket(width, lo=lo), batch_format="pyarrow")
-    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb", n_buckets=pb_n))
-
-    def retype(b: pa.Table) -> pa.Table:
-        # a reduce partition with no pb groups emits a SCHEMA-LESS
-        # block (sparse non-empty buckets can undercut any fixed
-        # repartition count) — re-type so the manifest schema is total
-        if b.num_rows == 0 or "seq_id" not in b.column_names:
-            return pa.table(
-                {
-                    "seq_id": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tok_in_seq": pa.array([], pa.int64()),
-                }
-            )
-        return b
+    bases_ref = ray.put(bucket_bases(keyed, "nt", "pb", n_buckets=pb_n, width=rw))
 
     return (
         compact_for_bucket_groupby(keyed, tok)
         .groupby("pb")
         .map_groups(make_pack_fn(bases_ref), batch_format="pyarrow")
-        .map_batches(retype, batch_format="pyarrow")
+        # when the compact gate skips the pre-repartition at scale, a
+        # reduce partition with no pb groups emits a SCHEMA-LESS block
+        # a map_batches re-type can never see (Ray skips zero-row
+        # blocks) — launder by rebuilding blocks; the manifest is
+        # 24 B/row, so the extra exchange is trivial
+        .repartition(rw)
     )
 
 

@@ -238,8 +238,7 @@ def extract_links(batch: pa.Table, col: str = "html",
     """
     import numpy as np
 
-    def comb(x):
-        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+    from .hashing import arrow_combined as comb
 
     # null html (e.g. rows the dead-letter path keeps in-stream) must
     # yield zero links, not poison the fragment starts: a null list

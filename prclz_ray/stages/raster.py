@@ -105,7 +105,12 @@ def make_zonal_fn(tiles_ref):
                 valid = (tx <= tx1) & (ty <= ty1)
                 ox = np.minimum(xmax, (tx + 1) * RASTER_TILE_E6) - np.maximum(xmin, tx * RASTER_TILE_E6)
                 oy = np.minimum(ymax, (ty + 1) * RASTER_TILE_E6) - np.maximum(ymin, ty * RASTER_TILE_E6)
-                overlap = np.where(valid & (ox > 0) & (oy > 0), ox * oy, 0)
+                # tiles OUTSIDE the grid contribute nothing — the clip
+                # is only gather-safety; without the bounds mask an
+                # out-of-extent block would silently count the EDGE
+                # tile's value for its missing tiles
+                in_grid = (tx >= 0) & (tx <= nmax) & (ty >= 0) & (ty <= nmax)
+                overlap = np.where(valid & in_grid & (ox > 0) & (oy > 0), ox * oy, 0)
                 vals = grid[np.clip(tx, 0, nmax), np.clip(ty, 0, nmax)]
                 zonal_acc += vals * overlap
         return pa.table(

@@ -139,9 +139,13 @@ def lang_id_trigram(batch: pa.Table) -> pa.Table:
     bincount. Argmax with alphabetical tie-break; all-zero → 'und'.
     Byte lengths and the flat byte array come straight from the Arrow
     string buffer (``_string_view``) — no ``to_pylist`` / re-encode."""
-    from .hashing import _string_view
+    from .hashing import _string_view, ensure_ascii
 
     n = len(batch)
+    # numpy side reads BYTES; the SQL oracle counts substr() CODEPOINT
+    # trigrams — the shared ASCII gate (hashing.py contract) is what
+    # makes them equivalent, so non-ASCII must raise, not diverge
+    ensure_ascii(batch.column("text"), "lang_id_trigram")
     data, off = _string_view(batch.column("text"))
     lens = (off[1:] - off[:-1]).astype(np.int64)
     lo, hi = (int(off[0]), int(off[-1])) if len(off) else (0, 0)
@@ -286,13 +290,17 @@ def canonicalize_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
     regexp_replace chain in the SQL oracle (both engines use RE2).
     Output: (input passthrough id column, url, canon_url).
     """
-    u = batch.column(url_col)
-    u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+    from .hashing import arrow_combined
+
+    u = arrow_combined(batch.column(url_col))
     u0 = pc.replace_substring_regex(u, r"#.*$", "")
     # canonicalization is defined for ABSOLUTE URLs; relative hrefs
-    # (no '://') pass through fragment-stripped — previously one
-    # relative row crashed the whole batch at the parts[3] gather
-    is_abs = pc.match_substring(u0, "://")
+    # pass through fragment-stripped — previously one relative row
+    # crashed the whole batch at the parts[3] gather. ANCHORED gate:
+    # a scheme must precede any '/?#' — an unanchored '://' contains()
+    # would misroute '/redirect?to=http://x.com' into the absolute
+    # parse (and diverge from the oracle's identical anchored gate)
+    is_abs = pc.match_substring_regex(u0, r"^[^/?#]+://")
     # pathless query: insert '/' before '?' so the query never rides
     # the host slot ('http://h?x' → 'http://h/?x'; the pattern needs
     # '//' so relative rows are untouched)

@@ -1821,3 +1821,66 @@ def test_late_bucket_rows_guards_unsafe_event_ids():
     for bad in [-1, (2**63 - 1) // 2654435761 + 1]:
         with pytest.raises(ValueError):
             late_bucket_rows(pa.table({"event_id": pa.array([bad], pa.int64())}))
+
+
+def test_canonicalize_urls_anchored_abs_gate():
+    # a RELATIVE url with an embedded '://' must pass through
+    # fragment-stripped, not enter the absolute parse (which produced
+    # '///x.com' while the oracle produced '///')
+    import pyarrow as pa
+
+    from prclz_ray.stages.textops import canonicalize_urls
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "url": pa.array(
+                ["/redirect?to=http://x.com#f", "HTTPS://WWW.Ex.com/A?utm_x=1"]
+            ),
+        }
+    )
+    out = canonicalize_urls(t)
+    assert out.column("canon_url").to_pylist() == [
+        "/redirect?to=http://x.com",  # relative passthrough
+        "https://ex.com/A",
+    ]
+
+
+def test_lang_id_trigram_rejects_non_ascii():
+    import pyarrow as pa
+
+    from prclz_ray.stages.textops import lang_id_trigram
+
+    ok = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["the thing"])})
+    assert lang_id_trigram(ok).column("lang_pred3").to_pylist() == ["en"]
+    bad = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["café the"])})
+    with pytest.raises(ValueError):
+        lang_id_trigram(bad)
+
+
+def test_zonal_kernel_masks_out_of_grid_tiles(ray_session):
+    # a block past the tile grid's extent must contribute NOTHING for
+    # its missing tiles, not the edge tile's value
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from prclz_ray.stages.raster import RASTER_TILE_E6, make_zonal_fn
+
+    grid = np.array([[7]], dtype=np.int64)  # ONE tile at (0, 0)
+    zonal = make_zonal_fn(ray.put(grid))
+    t = RASTER_TILE_E6
+    batch = pa.table(
+        {
+            "block_id": pa.array(["in", "out"]),
+            "xmin_e6": pa.array([0, 5 * t], pa.int64()),
+            "ymin_e6": pa.array([0, 5 * t], pa.int64()),
+            "xmax_e6": pa.array([t, 6 * t], pa.int64()),
+            "ymax_e6": pa.array([t, 6 * t], pa.int64()),
+        }
+    )
+    out = zonal(batch)
+    vals = dict(zip(out.column("block_id").to_pylist(),
+                    out.column("zonal_weighted").to_pylist()))
+    assert vals["in"] == 7 * t * t
+    assert vals["out"] == 0  # was 7*t*t via the edge-clip bug
