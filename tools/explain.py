@@ -32,9 +32,7 @@ def main():
         ray.init(address="local", include_dashboard=False)
     import ray.data
 
-    from prclz_ray.queries import QUERIES
-
-    res = QUERIES[name](sf_dir)
+    res = _Q[name](sf_dir)
     if isinstance(res, ray.data.Dataset):
         mat = res.materialize()
         print(mat.stats())

@@ -53,9 +53,20 @@ def main() -> int:
     qs = e.queries()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in GOLDEN_QUERIES:
-        df = qs[name]("/root/testdata/sf0.001").to_pandas()
-        df = df.sort_values(sorted(df.columns)).reset_index(drop=True)
-        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        res = qs[name]("/root/testdata/sf0.001")
+        # stay in Arrow end-to-end: a pandas round-trip coerces dtypes
+        # (int64-with-nulls -> float64) and would bake a drifted golden
+        # schema that permanently fails the hash gate. The row sort is
+        # cosmetic only (selfcheck's value_hash canonicalizes order).
+        if isinstance(res, pa.Table):
+            t = res
+        elif hasattr(res, "to_arrow_refs"):  # ray.data.Dataset
+            parts = [x for x in ray.get(res.to_arrow_refs()) if x.num_rows]
+            t = pa.concat_tables(parts)
+        else:  # pandas.DataFrame
+            t = pa.Table.from_pandas(res, preserve_index=False)
+        t = t.combine_chunks().replace_schema_metadata(None)
+        t = t.sort_by([(c, "ascending") for c in sorted(t.column_names)])
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")
         pq.write_table(t, out)
         print(f"{name}: {t.num_rows} rows -> {out}")
