@@ -38,6 +38,19 @@ def cell_width_e6(res: int) -> int:
     return WORLD_SPAN_E6 >> res
 
 
+def pack_cell_id(x, y, res: int):
+    """Pack (x, y) cell indices into a cell id — the ONE packing rule.
+    Any sharder routing by cell MUST build ids through this (or
+    cell_id_e6), never by hand: inline bit-packing that skips the
+    WORLD_*0_E6 origin handling desynchronizes silently if the world
+    bbox ever moves."""
+    return (
+        (np.int64(res) << _R_SHIFT)
+        | (np.asarray(x, dtype=np.int64) << _X_SHIFT)
+        | np.asarray(y, dtype=np.int64)
+    )
+
+
 def cell_id_e6(lat_e6, lon_e6, res: int):
     """Vectorized cell id from integer microdegree coordinates."""
     w = cell_width_e6(res)
@@ -45,7 +58,7 @@ def cell_id_e6(lat_e6, lon_e6, res: int):
     lat_e6 = np.asarray(lat_e6, dtype=np.int64)
     x = np.clip((lon_e6 - WORLD_LON0_E6) // w, 0, (1 << res) - 1)
     y = np.clip((lat_e6 - WORLD_LAT0_E6) // w, 0, (1 << res) - 1)
-    return (np.int64(res) << _R_SHIFT) | (x << _X_SHIFT) | y
+    return pack_cell_id(x, y, res)
 
 
 def cell_id(lat, lon, res: int):

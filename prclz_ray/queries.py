@@ -96,6 +96,26 @@ def _jwidth(sf_dir: str, table: str = "documents", fanout: int = 1,
     )
 
 
+def _read_probed_embeddings(paths):
+    """read_parquet over a probed-partition file list, tolerating an
+    EMPTY probe set: k-means can leave lists empty and probed_paths
+    skips missing bucket dirs, so a query whose probed lists are all
+    empty must yield an empty typed scan (→ empty top-k), not an
+    IndexError inside read_parquet_clean."""
+    import ray.data
+
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        )
+    return _read_parquet_clean(paths)
+
+
 def _zero_flag_docs(sf_dir: str):
     """(doc_id, dropped=0) stream over the full corpus — the left side
     of the shared shuffle anti-join tail (``_keep_unflagged``)."""
@@ -1828,7 +1848,7 @@ def q_ann_topk_lsh(sf_dir: str):
         root, srp_probe_set(bucket_of(qn, planes), n_planes=n_planes)
     )
 
-    ds = _read_parquet_clean(paths)
+    ds = _read_probed_embeddings(paths)
     local = ds.map_batches(
         make_bucketed_topk_fn(qref, planes, k=10), batch_format="pyarrow"
     )
@@ -1907,7 +1927,7 @@ def q_ann_topk_ivf(sf_dir: str):
             qref, coarse, subs_flat, cell_off, k=10, qprobe=qprobe
         )
 
-    ds = _read_parquet_clean(paths)
+    ds = _read_probed_embeddings(paths)
     local = ds.map_batches(score_fn, batch_format="pyarrow")
     return local.repartition(1).groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=10), batch_format="pyarrow"
@@ -2003,7 +2023,7 @@ class AnnQueryStream:
                 qref, coarse, subs_flat, cell_off, k=self.k, qprobe=qprobe
             )
         self.batches_served += 1
-        ds = _read_parquet_clean(paths)
+        ds = _read_probed_embeddings(paths)
         local = ds.map_batches(score_fn, batch_format="pyarrow")
         # BOUNDED partial stream: ≤ k × queries × blocks candidate rows
         return local.repartition(1).groupby("query_id").map_groups(

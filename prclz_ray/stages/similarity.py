@@ -65,11 +65,15 @@ def make_topk_fn(queries_ref, k: int = 10):
     """Per-batch local top-k: emits (query_id, vec_id, sim) candidate
     rows, ≤ k per query per batch."""
 
+    cache: dict = {}
+
     def topk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_topk()
-        side = ray.get(queries_ref)
-        qn, q_ids = side["q"], side["ids"]
+        if "q" not in cache:  # per-worker: deref the side once, not per batch
+            side = ray.get(queries_ref)
+            cache["q"], cache["ids"] = side["q"], side["ids"]
+        qn, q_ids = cache["q"], cache["ids"]
         emb = embedding_matrix(batch.column("embedding"))
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         # out-of-place: a list<double> column yields a READ-ONLY
@@ -405,9 +409,13 @@ def srp_probe_set(qbuckets: np.ndarray, radius: int = PROBE_RADIUS,
     return probe
 
 
-def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
+def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10,
+                          radius: int = PROBE_RADIUS):
     """Like make_topk_fn but each batch only scores vectors whose SRP
-    bucket matches some query's bucket — the partition-pruned scan."""
+    bucket matches some query's bucket — the partition-pruned scan.
+    ``radius`` MUST equal the ``srp_probe_set`` radius that pruned the
+    read (one value drives both sides; a scorer accepting a wider
+    Hamming ball than the scan read is a silent recall drop)."""
 
     cache: dict = {}
 
@@ -427,7 +435,7 @@ def make_bucketed_topk_fn(queries_ref, planes: np.ndarray, k: int = 10):
         for qi in range(len(qn)):
             # multi-probe: all buckets within PROBE_RADIUS of the query
             xor = vbuck ^ qbuck[qi]
-            sel = np.flatnonzero(popcount(xor) <= PROBE_RADIUS)
+            sel = np.flatnonzero(popcount(xor) <= radius)
             if len(sel) == 0:
                 continue
             sim = emb_n[sel] @ qn[qi]
@@ -458,6 +466,26 @@ def round_e6(v: np.ndarray) -> np.ndarray:
     return np.where(x < 0, np.ceil(x - 0.5), np.floor(x + 0.5)).astype(np.int64)
 
 
+def _label_sums(lab: np.ndarray, mat: np.ndarray, wt: np.ndarray):
+    """(labels, dim-wise int64 sums, weight sums) of rows grouped by
+    label — the ONE argsort→reduceat reduce kernel behind
+    centroid_partials / centroid_recombine / centroid_combine (any
+    carrier-schema or overflow-guard change lands here once)."""
+    order = np.argsort(lab, kind="stable")
+    sl, sv, sn = lab[order], mat[order], wt[order]
+    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
+    return sl[heads], np.add.reduceat(sv, heads, axis=0), np.add.reduceat(sn, heads)
+
+
+def _sums_list_column(sums: np.ndarray) -> pa.ListArray:
+    """(k, d) int64 sum matrix → list<int64> carrier column."""
+    k, d = sums.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(k + 1, dtype=np.int64) * d, pa.int32()),
+        pa.array(sums.reshape(-1), pa.int64()),
+    )
+
+
 def centroid_partials(batch: pa.Table) -> pa.Table:
     """Map-side half of the per-label embedding centroid: one row per
     label seen in the batch with the dim-wise int64 sum (list column)
@@ -479,20 +507,11 @@ def centroid_partials(batch: pa.Table) -> pa.Table:
         # NULL group — same contract as embedding_matrix's null guard
         raise ValueError("centroid_partials: null label rows not supported")
     lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(lab, kind="stable")
-    sl, sv = lab[order], v[order]
-    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
-    sums = np.add.reduceat(sv, heads, axis=0)
-    counts = np.diff(np.concatenate([heads, [len(sl)]]))
-    d = v.shape[1]
-    lists = pa.ListArray.from_arrays(
-        pa.array(np.arange(len(heads) + 1, dtype=np.int64) * d, pa.int32()),
-        pa.array(sums.reshape(-1), pa.int64()),
-    )
+    labels, sums, counts = _label_sums(lab, v, np.ones(len(lab), np.int64))
     return pa.table(
         {
-            "label": pa.array(sl[heads], pa.int64()),
-            "sums": lists,
+            "label": pa.array(labels, pa.int64()),
+            "sums": _sums_list_column(sums),
             "n": pa.array(counts.astype(np.int64), pa.int64()),
         }
     )
@@ -513,19 +532,11 @@ def centroid_recombine(batch: pa.Table) -> pa.Table:
     mat = np.asarray(col.flatten(), dtype=np.int64).reshape(len(col), d)
     lab = batch.column("label").to_numpy(zero_copy_only=False)
     n = batch.column("n").to_numpy(zero_copy_only=False)
-    order = np.argsort(lab, kind="stable")
-    sl, sv, sn = lab[order], mat[order], n[order]
-    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
-    sums = np.add.reduceat(sv, heads, axis=0)
-    counts = np.add.reduceat(sn, heads)
-    lists = pa.ListArray.from_arrays(
-        pa.array(np.arange(len(heads) + 1, dtype=np.int64) * d, pa.int32()),
-        pa.array(sums.reshape(-1), pa.int64()),
-    )
+    labels, sums, counts = _label_sums(lab, mat, n)
     return pa.table(
         {
-            "label": pa.array(sl[heads], pa.int64()),
-            "sums": lists,
+            "label": pa.array(labels, pa.int64()),
+            "sums": _sums_list_column(sums),
             "n": pa.array(counts.astype(np.int64), pa.int64()),
         }
     )
@@ -550,15 +561,11 @@ def centroid_combine(group: pa.Table) -> pa.Table:
     mat = np.asarray(col.flatten(), dtype=np.int64).reshape(len(col), d)
     lab = group.column("label").to_numpy(zero_copy_only=False)
     n = group.column("n").to_numpy(zero_copy_only=False)
-    order = np.argsort(lab, kind="stable")
-    sl, sv, sn = lab[order], mat[order], n[order]
-    heads = np.flatnonzero(np.concatenate([[True], sl[1:] != sl[:-1]]))
-    sums = np.add.reduceat(sv, heads, axis=0)
-    counts = np.add.reduceat(sn, heads)
-    k = len(heads)
+    labels, sums, counts = _label_sums(lab, mat, n)
+    k = len(labels)
     return pa.table(
         {
-            "label": pa.array(np.repeat(sl[heads], d), pa.int64()),
+            "label": pa.array(np.repeat(labels, d), pa.int64()),
             "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k), pa.int64()),
             "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
             "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
@@ -955,27 +962,17 @@ def train_hier_quantizer(ds, coarse: np.ndarray, subs_per_cell: int,
     k1 = len(coarse)
     tagged = ds.map_batches(hier_cell_rows(coarse), batch_format="pyarrow")
 
-    def retype(b: pa.Table) -> pa.Table:
-        # a reduce partition with no cells emits a SCHEMA-LESS block
-        # (the CLAUDE.md hazard — the repartition below is capped by
-        # the coarse CENTROID count, not the non-empty cell count,
-        # and skewed training rows can leave cells empty)
-        if b.num_rows == 0 or "cell" not in b.column_names:
-            return pa.table(
-                {
-                    "cell": pa.array([], pa.int64()),
-                    "sub": pa.array([], pa.int64()),
-                    "centroid": pa.array([], pa.list_(pa.float64())),
-                }
-            )
-        return b
-
     got = (
         tagged.repartition(max(1, min(k1, 64)))
         .groupby("cell")
         .map_groups(make_hier_subs_fn(subs_per_cell, seed), batch_format="pyarrow")
-        .map_batches(retype, batch_format="pyarrow")
-        .to_pandas()  # ≤ k1 × subs_per_cell centroid rows — bytes/MBs
+        # skewed training rows can leave coarse cells empty, so some of
+        # the ≤64 reduce partitions receive no groups and emit
+        # SCHEMA-LESS blocks; a map_batches re-type can never see them
+        # (Ray skips zero-row blocks — CLAUDE.md) — REBUILD the blocks
+        # instead, which the sibling q_dedup_embedding_ann launder does
+        .repartition(8)  # ≤ k1 × subs_per_cell centroid rows — tiny
+        .to_pandas()
     )
     per_cell: dict[int, np.ndarray] = {}
     for cell, grp in got.groupby("cell"):
@@ -996,7 +993,8 @@ def make_hier_dedup_assign(coarse: np.ndarray, subs_flat: np.ndarray,
                            probes: int = IVF_DEDUP_PROBES,
                            probe_cells: int = HIER_PROBE_CELLS):
     """Two-level top-p assignment: score the HIER_COARSE coarse cells,
-    take the top probe_cells, score ONLY those cells' fine lists, and
+    take the top probe_cells, score ONLY those cells' fine lists
+    (via the shared ``_hier_candidates`` pass), and
     replicate to the global top-p — candidates per vector are
     probe_cells × subs_per_cell instead of n_lists. Emits the same
     (vec_id, embedding, bucket) rows as make_ivf_dedup_assign, so the
@@ -1016,42 +1014,58 @@ def make_hier_dedup_assign(coarse: np.ndarray, subs_flat: np.ndarray,
             )
         emb = embedding_matrix(batch.column("embedding"))
         emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        n = len(emb_n)
-        pc_ = min(probe_cells, len(coarse))
-        s1 = emb_n @ coarse.T
-        cells = np.argpartition(-s1, pc_ - 1, axis=1)[:, :pc_]
-        rows_l, scores_l, lists_l = [], [], []
-        row_of = np.repeat(np.arange(n, dtype=np.int64), pc_)
-        cell_flat = cells.ravel()
-        for cell in np.unique(cell_flat):
-            m = cell_flat == cell
-            r = row_of[m]
-            sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
-            sc = emb_n[r] @ sub.T  # (rows probing this cell, subs)
-            k = sub.shape[0]
-            rows_l.append(np.repeat(r, k))
-            scores_l.append(sc.ravel())
-            lists_l.append(np.tile(np.arange(k, dtype=np.int64) + cell_off[cell], len(r)))
-        rows_a = np.concatenate(rows_l)
-        scores_a = np.concatenate(scores_l)
-        lists_a = np.concatenate(lists_l)
-        order = np.lexsort((lists_a, -scores_a, rows_a))
-        rs = rows_a[order]
-        first = np.concatenate([[True], rs[1:] != rs[:-1]])
-        starts = np.flatnonzero(first)
-        rank = np.arange(len(rs)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(rs)]])))
+        rs, ls, rank = _hier_candidates(
+            emb_n, coarse, subs_flat, cell_off, probe_cells
+        )
         keep = rank < probes
-        sel, blists = order[keep], lists_a[order][keep]
-        take = pa.array(rows_a[sel])
+        take = pa.array(rs[keep])
         return pa.table(
             {
                 "vec_id": batch.column("vec_id").take(take),
                 "embedding": batch.column("embedding").take(take),
-                "bucket": pa.array(blists, pa.int64()),
+                "bucket": pa.array(ls[keep], pa.int64()),
             }
         )
 
     return assign
+
+
+def _hier_candidates(x: np.ndarray, coarse: np.ndarray,
+                     subs_flat: np.ndarray, cell_off: np.ndarray,
+                     probe_cells: int):
+    """Flat per-row candidate pass of the two-level descent: each row's
+    fine lists within its top ``probe_cells`` coarse cells, returned as
+    (rows, lists, rank) sorted by row, rank ordered by (score desc,
+    list asc) within the row. The ONE home of the top-p selection rule
+    — make_hier_dedup_assign (corpus side) and hier_probe (query side)
+    must share it or the replication and probe rules silently drift."""
+    pc_ = min(probe_cells, len(coarse))
+    cells = np.argpartition(-(x @ coarse.T), pc_ - 1, axis=1)[:, :pc_]
+    row_of = np.repeat(np.arange(len(x), dtype=np.int64), pc_)
+    cell_flat = cells.ravel()
+    rows_l, scores_l, lists_l = [], [], []
+    # vectorized per-CELL gather (≤ k1 iterations, never per row)
+    for cell in np.unique(cell_flat):
+        m = cell_flat == cell
+        r = row_of[m]
+        sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
+        sc = x[r] @ sub.T  # (rows probing this cell, subs)
+        kk = sub.shape[0]
+        rows_l.append(np.repeat(r, kk))
+        scores_l.append(sc.ravel())
+        lists_l.append(
+            np.tile(np.arange(kk, dtype=np.int64) + cell_off[cell], len(r))
+        )
+    rows_a = np.concatenate(rows_l)
+    scores_a = np.concatenate(scores_l)
+    lists_a = np.concatenate(lists_l)
+    order = np.lexsort((lists_a, -scores_a, rows_a))
+    rs = rows_a[order]
+    starts = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
+    rank = np.arange(len(rs)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(rs)]]))
+    )
+    return rs, lists_a[order], rank
 
 
 def hier_top1(coarse: np.ndarray, subs_flat: np.ndarray, cell_off: np.ndarray):
@@ -1080,38 +1094,13 @@ def hier_probe(qn: np.ndarray, coarse: np.ndarray, subs_flat: np.ndarray,
     top probe_cells coarse cells, then the best nprobe fine lists among
     those cells' subs. Single source of truth for the pruned read AND
     the scorer (the NPROBE agreement invariant)."""
-    pc_ = min(probe_cells, len(coarse))
-    cells = np.argpartition(-(qn @ coarse.T), pc_ - 1, axis=1)[:, :pc_]
-    # vectorized per-CELL gather (≤ k1 iterations, never per query):
-    # flat (row, score, list) candidates → lexsort → rank < nprobe —
-    # the same shape as make_hier_dedup_assign's candidate pass
     nq = len(qn)
-    row_of = np.repeat(np.arange(nq, dtype=np.int64), pc_)
-    cell_flat = cells.ravel()
-    rows_l, scores_l, lists_l = [], [], []
-    for cell in np.unique(cell_flat):
-        m = cell_flat == cell
-        r = row_of[m]
-        sub = subs_flat[cell_off[cell] : cell_off[cell + 1]]
-        sc = qn[r] @ sub.T
-        kk = sub.shape[0]
-        rows_l.append(np.repeat(r, kk))
-        scores_l.append(sc.ravel())
-        lists_l.append(np.tile(np.arange(kk, dtype=np.int64) + cell_off[cell], len(r)))
-    rows_a = np.concatenate(rows_l)
-    scores_a = np.concatenate(scores_l)
-    lists_a = np.concatenate(lists_l)
-    order = np.lexsort((lists_a, -scores_a, rows_a))
-    rs = rows_a[order]
-    first = np.concatenate([[True], rs[1:] != rs[:-1]])
-    starts = np.flatnonzero(first)
-    rank = np.arange(len(rs)) - np.repeat(
-        starts, np.diff(np.concatenate([starts, [len(rs)]]))
-    )
+    # the SAME candidate pass the corpus-side assign uses (shared rule)
+    rs, ls, rank = _hier_candidates(qn, coarse, subs_flat, cell_off, probe_cells)
     keep = rank < nprobe
     out = np.zeros((nq, nprobe), dtype=np.int64)
     fill = np.zeros(nq, dtype=np.int64)
-    kr, kl = rs[keep], lists_a[order][keep]
+    kr, kl = rs[keep], ls[keep]
     out[kr, rank[keep]] = kl
     np.maximum.at(fill, kr, rank[keep] + 1)
     # pad short rows with their last probed id (dup ids are harmless

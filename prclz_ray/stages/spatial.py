@@ -61,12 +61,18 @@ def put_blocks_side(blocks: pa.Table) -> "ray.ObjectRef":
     ring_len = np.array([len(r) for r in rings], dtype=np.int64)
     ring_offsets = np.concatenate([[0], np.cumsum(ring_len)])
     coords = np.concatenate(rings, axis=0) if rings else np.empty((0, 2))
-    bboxes = np.array(
-        [
-            [c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
-            for c in (coords[offsets[i] : offsets[i + 1]] for i in range(len(ids)))
-        ]
-    )
+    # per-polygon bboxes via ONE reduceat pair over the packed coords
+    # (a per-polygon Python min/max loop costs tens of seconds per
+    # side-table build at the 10^6-polygon regime this path serves)
+    if len(ids) and poly_len.min() > 0:
+        mins = np.minimum.reduceat(coords, offsets[:-1], axis=0)
+        maxs = np.maximum.reduceat(coords, offsets[:-1], axis=0)
+        bboxes = np.concatenate([mins, maxs], axis=1)
+    else:
+        bboxes = np.empty((len(ids), 4))
+        for i in range(len(ids)):
+            c = coords[offsets[i] : offsets[i + 1]]
+            bboxes[i] = [c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
     return ray.put(
         {
             "ids": ids,
@@ -97,6 +103,10 @@ class PIPJoinActor:
     Use: ``ds.map_batches(PIPJoinActor, fn_constructor_args=(ref,),
     concurrency=N, batch_size=B, batch_format="pyarrow")``.
     """
+
+    MAX_GRID_CELLS = 1 << 24  # dense-grid ceiling: counts + starts are
+    # O(cells) int64 per worker (~128 MB each here); past it the grid
+    # flips off and the packed tree serves candidates instead
 
     def __init__(self, blocks_ref):
         side = ray.get(blocks_ref)
@@ -140,21 +150,31 @@ class PIPJoinActor:
             by0 = np.floor((bboxes[:, 1] - self.gy0) / pitch).astype(np.int64)
             bx1 = np.floor((bboxes[:, 2] - self.gx0) / pitch).astype(np.int64)
             by1 = np.floor((bboxes[:, 3] - self.gy0) / pitch).astype(np.int64)
-            span = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+            wspan = bx1 - bx0 + 1
+            hspan = by1 - by0 + 1
+            span = wspan * hspan
+            gw, gh = int(bx1.max()) + 1, int(by1.max()) + 1
             if span.max() > 64:  # a polygon smeared over many buckets
                 self.grid_ok = False
+            elif gw * gh > self.MAX_GRID_CELLS:
+                # many small polygons over a wide extent: the dense
+                # counts/starts arrays would be O(gw·gh) int64 — a
+                # worker OOM with no error path; the packed tree below
+                # handles this regime instead
+                self.grid_ok = False
             else:
-                self.gw = int(bx1.max()) + 1
-                self.gh = int(by1.max()) + 1
-                # (bucket, polygon) membership pairs, vectorized-enough:
+                self.gw, self.gh = gw, gh
+                # (bucket, polygon) membership pairs — bbox-cover
+                # explode (flat arrays, no per-polygon Python loop:
+                # this runs in every actor/worker __init__)
                 polys = np.repeat(np.arange(len(bboxes), dtype=np.int64), span)
-                cells = np.empty(len(polys), dtype=np.int64)
-                k = 0
-                for i in range(len(bboxes)):
-                    for cx in range(bx0[i], bx1[i] + 1):
-                        for cy in range(by0[i], by1[i] + 1):
-                            cells[k] = cx * self.gh + cy
-                            k += 1
+                local = np.arange(int(span.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(span) - span, span
+                )
+                h_rep = np.repeat(hspan, span)
+                cells = (np.repeat(bx0, span) + local // h_rep) * self.gh + (
+                    np.repeat(by0, span) + local % h_rep
+                )
                 order = np.argsort(cells, kind="stable")
                 self.cell_poly = polys[order]
                 self.cell_counts = np.bincount(cells, minlength=self.gw * self.gh)
@@ -355,7 +375,13 @@ def put_anchors_side_by_cell(parcels: pa.Table, res: int | None = None, halo_e6:
     in its own slice whenever nearest-distance < halo (documented
     partitioning assumption; in this world nearest ≤ ~36k µdeg ≪ the
     100k halo — asserted by the equivalence oracle)."""
-    from ..geom.cells import RES_PARTITION, cell_width_e6
+    from ..geom.cells import (
+        RES_PARTITION,
+        WORLD_LAT0_E6,
+        WORLD_LON0_E6,
+        cell_width_e6,
+        pack_cell_id,
+    )
 
     if res is None:
         res = RES_PARTITION
@@ -363,10 +389,14 @@ def put_anchors_side_by_cell(parcels: pa.Table, res: int | None = None, halo_e6:
     ax = parcels.column("anchor_lon_e6").to_numpy().astype(np.int64)
     ay = parcels.column("anchor_lat_e6").to_numpy().astype(np.int64)
     nmax = (1 << res) - 1
-    cx0 = np.clip((ax - halo_e6) // w, 0, nmax)
-    cx1 = np.clip((ax + halo_e6) // w, 0, nmax)
-    cy0 = np.clip((ay - halo_e6) // w, 0, nmax)
-    cy1 = np.clip((ay + halo_e6) // w, 0, nmax)
+    # SAME origin handling as cell_id_e6 — points are routed by
+    # cell_id_e6, so the sharder must bin in the identical frame (an
+    # origin-0 shortcut desynchronizes every shard key the moment the
+    # world bbox moves)
+    cx0 = np.clip((ax - halo_e6 - WORLD_LON0_E6) // w, 0, nmax)
+    cx1 = np.clip((ax + halo_e6 - WORLD_LON0_E6) // w, 0, nmax)
+    cy0 = np.clip((ay - halo_e6 - WORLD_LAT0_E6) // w, 0, nmax)
+    cy1 = np.clip((ay + halo_e6 - WORLD_LAT0_E6) // w, 0, nmax)
     # bbox-cover explode (the routing.py idiom): every (anchor, cell)
     # pair materialized as flat arrays — this build is on the
     # large-anchor growth path, so no per-anchor Python loop (VERDICT
@@ -385,7 +415,7 @@ def put_anchors_side_by_cell(parcels: pa.Table, res: int | None = None, halo_e6:
     ny_rep = ny[rep]
     cx = cx0[rep] + off // ny_rep
     cy = cy0[rep] + off % ny_rep
-    cid = np.int64(res << 56) | (cx << 28) | cy
+    cid = pack_cell_id(cx, cy, res)  # the ONE packing rule (geom.cells)
     order = np.argsort(cid, kind="stable")
     cid_s, rep_s = cid[order], rep[order]
     starts = np.flatnonzero(
@@ -572,10 +602,6 @@ class KNNAnchorActor:
             )
         bx = self.ax // self.BUCKET_E6
         by = self.ay // self.BUCKET_E6
-        self.buckets: dict = {}
-        for i in range(len(bx)):
-            self.buckets.setdefault((int(bx[i]), int(by[i])), []).append(i)
-        self.buckets = {k_: np.asarray(v, dtype=np.int64) for k_, v in self.buckets.items()}
         # dense CSR grid for the vectorized 3×3 fast path: anchors sorted
         # by (bucket, anchor index); starts/counts per grid cell
         self.gx0, self.gy0 = int(bx.min()), int(by.min())
@@ -586,6 +612,16 @@ class KNNAnchorActor:
         self.cell_anchor = order
         self.cell_counts = np.bincount(flat, minlength=self.gw * self.gh).astype(np.int64)
         self.cell_starts = np.concatenate([[0], np.cumsum(self.cell_counts)[:-1]])
+        # exact-fallback bucket map, derived from the CSR slices in
+        # O(distinct cells) — a per-anchor Python dict loop here costs
+        # seconds per actor build at the 2M-anchor ceiling
+        self.buckets = {
+            (int(c) // self.gh + self.gx0, int(c) % self.gh + self.gy0):
+                self.cell_anchor[
+                    self.cell_starts[c] : self.cell_starts[c] + self.cell_counts[c]
+                ]
+            for c in np.flatnonzero(self.cell_counts)
+        }
         # precomputed 3×3 NEIGHBORHOOD CSR: for each grid cell, the
         # anchors of its (in-grid) 3×3 neighborhood, concatenated. Each
         # anchor joins ≤ 9 neighborhoods (≤ 9·n_anchors int64 — built

@@ -1884,3 +1884,22 @@ def test_zonal_kernel_masks_out_of_grid_tiles(ray_session):
                     out.column("zonal_weighted").to_pylist()))
     assert vals["in"] == 7 * t * t
     assert vals["out"] == 0  # was 7*t*t via the edge-clip bug
+
+
+def test_pip_grid_cap_falls_back_to_tree(ray_session, monkeypatch):
+    # many tiny polygons over a wide extent: the dense grid would be
+    # O(extent/pitch)^2 cells — past MAX_GRID_CELLS the actor must flip
+    # to the packed tree and still answer identically
+    import numpy as np
+
+    from prclz_ray.queries import _donut_blocks_table
+    from prclz_ray.stages.spatial import PIPJoinActor, put_blocks_side
+
+    ref = put_blocks_side(_donut_blocks_table())
+    lon = np.array([0.010, 0.040, 0.090, 0.140])
+    lat = np.array([0.010, 0.040, 0.090, 0.110])
+    grid = PIPJoinActor(ref)
+    monkeypatch.setattr(PIPJoinActor, "MAX_GRID_CELLS", 1)
+    tree = PIPJoinActor(ref)
+    assert not tree.grid_ok
+    assert grid._match(lon, lat).tolist() == tree._match(lon, lat).tolist()
